@@ -1,0 +1,709 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Readers
+import graft.filters.RangeFilters
+import graft.filters.RangeFilters.RangeFilter
+import graft.enrich.{CaptionStats, Readability}
+import graft.vocab.Vocab
+import graft.analytics.Summary
+import graft.functions.TextFunctions
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+/** The driver-checked operator inventory: one named query per SURVEY.md §2
+  * operator (plus the north-star LLM-pipeline operators), each with a DuckDB
+  * oracle over the same parquet tables.
+  *
+  * Correctness discipline (why these hash-match a different engine):
+  *  - every query ends in a total deterministic ORDER BY;
+  *  - double aggregates go through exact decimal sums (order-independent)
+  *    cast back to double;
+  *  - ratios are exact int/int double divisions (correctly rounded IEEE —
+  *    bit-identical in any engine);
+  *  - readability formulas use a fixed left-assoc op chain mirrored
+  *    textually in the oracle SQL;
+  *  - md5 is the only hash family (identical everywhere);
+  *  - the oracle SQL strings are *generated from the same fragment
+  *    builders* as far as practical, so semantics can't drift.
+  */
+object Queries {
+
+  final case class QueryDef(name: String,
+                            impl: (SparkSession, String) => DataFrame,
+                            oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set in
+    * Verify/Bench) `ts` arrives as nanos-since-epoch LONG. Floor-convert to
+    * microseconds — exactly what DuckDB does natively (µs timestamps). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  // ---------------------------------------------------------------- SQL
+  // fragments (DuckDB dialect) mirroring CaptionStats/TextAnalysis exprs.
+
+  /** tokens: split on \s+, drop empties. */
+  private def toksSql(e: String): String =
+    raw"list_filter(string_split_regex($e, '\s+'), x -> x <> '')"
+
+  /** sentences: split on [.!?]+, trim, drop empties. */
+  private def sentsSql(e: String): String =
+    raw"list_filter(list_transform(string_split_regex($e, '[.!?]+'), " +
+      "s -> trim(s)), s -> s <> '')"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+
+  /** POS-proxy CASE over one token expr (mirrors CaptionStats.posTag). */
+  private def posCaseSql(tok: String): String = {
+    val lo = s"lower($tok)"
+    raw"""CASE
+      WHEN regexp_matches($tok, '^[0-9]+([.,][0-9]+)?${"$"}') THEN 'NUM'
+      WHEN regexp_matches($tok, '^[A-Z][a-zA-Z]*${"$"}') THEN 'PROPN'
+      WHEN $lo IN (${sqlList(Seq("and", "or", "but", "nor", "so", "yet"))})
+        THEN 'CONJ'
+      WHEN $lo IN (${sqlList(Seq("in", "on", "at", "of", "to", "from", "by",
+        "with", "for", "as", "into", "over", "under"))}) THEN 'ADP'
+      WHEN regexp_matches($tok, '^[^A-Za-z0-9]+${"$"}') THEN 'SYM'
+      WHEN $lo IN (${sqlList(Seq("is", "are", "was", "were", "be", "been",
+        "am", "has", "have", "had", "do", "does", "did", "will", "would",
+        "can", "could", "shall", "should", "may", "might", "must"))})
+        OR $lo LIKE '%ing' OR $lo LIKE '%ed' THEN 'VERB'
+      WHEN $lo LIKE '%ous' OR $lo LIKE '%ful' OR $lo LIKE '%ive'
+        OR $lo LIKE '%able' OR $lo LIKE '%ible'
+        OR $lo IN (${sqlList(Seq("small", "large", "fast", "slow", "big",
+        "new", "old", "good", "bad", "high", "low"))}) THEN 'ADJ'
+      ELSE 'NOUN' END"""
+  }
+
+  /** syllables of one word (≥1): maximal [aeiouy]+ runs. */
+  private def syllSql(w: String): String =
+    s"greatest(len(regexp_extract_all(lower($w), '[aeiouy]+')), 1)"
+
+  /** dot product of two list exprs in double, fixed order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String = {
+    val d = dotSql(a, b)
+    val na = s"sqrt(${dotSql(a, a)})"
+    val nb = s"sqrt(${dotSql(b, b)})"
+    s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 " +
+      s"ELSE $d / ($na * $nb) END"
+  }
+
+  /** Exact decimal sum of a double column, back to double. */
+  private def dsumSql(e: String): String =
+    s"CAST(sum(CAST($e AS DECIMAL(24,6))) AS DOUBLE)"
+
+  // ------------------------------------------------------------ queries
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(24,6)")).cast("double")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- S1: delimited-regex text scan round-trip -------------------
+    QueryDef("s1_delimited_scan",
+      (s, dir) => {
+        val lines = t(s, dir, "documents").select(
+          concat_ws("|||", col("doc_id").cast("string"), col("source"),
+            col("text")).as("value"))
+        Readers.parseDelimited(lines, "value", "\\|\\|\\|",
+          Seq("wikicaps_id", "wikimedia_file", "caption"))
+          .withColumn("wikicaps_id", col("wikicaps_id").cast("long"))
+          .orderBy("wikicaps_id")
+      },
+      Some("""SELECT doc_id AS wikicaps_id, source AS wikimedia_file,
+        text AS caption FROM documents ORDER BY wikicaps_id""")),
+
+    // ---- P1/P2: rename + projection ---------------------------------
+    QueryDef("p1_p2_rename_project",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey").as("part_id"), col("p_name").as("part_name"),
+          col("p_size"))
+        .orderBy("part_id"),
+      Some("""SELECT p_partkey AS part_id, p_name AS part_name, p_size
+        FROM part ORDER BY part_id""")),
+
+    // ---- P3 + J1: literal origin column + unionByName ---------------
+    QueryDef("p3_j1_union_origin",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        Summary.unionWithOrigin(Seq(
+          c.filter(col("c_acctbal") < 500).select("c_custkey", "c_name") -> "low",
+          c.filter(col("c_acctbal") >= 500).select("c_custkey", "c_name") -> "high"))
+          .orderBy("c_custkey", "origin")
+      },
+      Some("""SELECT c_custkey, c_name, 'low' AS origin FROM customer
+        WHERE c_acctbal < 500
+        UNION ALL
+        SELECT c_custkey, c_name, 'high' AS origin FROM customer
+        WHERE c_acctbal >= 500
+        ORDER BY c_custkey, origin""")),
+
+    // ---- P6: conditional clamp update -------------------------------
+    QueryDef("p6_clamp_update",
+      (s, dir) => Summary.clamp(
+        events(s, dir).select("event_id", "value"), "value", 100.0)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, least(value, 100.0) AS value
+        FROM events ORDER BY event_id""")),
+
+    // ---- F1/F2: config-driven exclusive range filter chain ----------
+    QueryDef("f1_range_filter",
+      (s, dir) => RangeFilters(t(s, dir, "lineitem"), Seq(
+        RangeFilter("l_quantity", Some(5), Some(45)),
+        RangeFilter("l_discount", Some(0.01), Some(0.09))))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem
+        WHERE l_quantity > 5 AND l_quantity < 45
+          AND l_discount > 0.01 AND l_discount < 0.09
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- F3: null-drop (failed-download semantics) ------------------
+    QueryDef("f3_null_drop",
+      (s, dir) => events(s, dir)
+        .withColumn("image_path",
+          when(col("value") < 50, lit(null)).otherwise(col("event_type")))
+        .na.drop(Seq("image_path"))
+        .select("event_id", "image_path")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, image_path FROM (
+          SELECT event_id,
+            CASE WHEN value < 50 THEN NULL ELSE event_type END AS image_path
+          FROM events) WHERE image_path IS NOT NULL
+        ORDER BY event_id""")),
+
+    // ---- O3: limit after filter (max_samples) -----------------------
+    QueryDef("o3_limit_after_filter",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_totalprice") > 1000)
+        .orderBy("o_orderkey").limit(100),
+      Some("""SELECT * FROM orders WHERE o_totalprice > 1000
+        ORDER BY o_orderkey LIMIT 100""")),
+
+    // ---- O4: top-k sort (vocab-style desc) --------------------------
+    QueryDef("o4_topk_sort",
+      (s, dir) => t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(desc("p_retailprice"), col("p_partkey")).limit(15),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 15""")),
+
+    // ---- O5/O1: deterministic seeded sample (md5 permutation) -------
+    QueryDef("o5_seeded_sample",
+      (s, dir) => Summary.seededSample(
+        events(s, dir).select("event_id", "event_type", "value"),
+        "event_id", 100).orderBy("event_id"),
+      Some("""SELECT * FROM (
+          SELECT event_id, event_type, value FROM events
+          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100)
+        ORDER BY event_id""")),
+
+    // ---- O6: uniqueness enforcement (verify_integrity) --------------
+    QueryDef("o6_uniqueness_check",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.unionByName(c).groupBy("c_custkey")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(*) AS n FROM (
+          SELECT * FROM customer UNION ALL SELECT * FROM customer)
+        GROUP BY c_custkey HAVING count(*) > 1 ORDER BY c_custkey""")),
+
+    // ---- A1: vocabulary (explode + groupBy count) -------------------
+    QueryDef("a1_vocab",
+      (s, dir) => Vocab.generate(t(s, dir, "documents"), "text"),
+      Some(s"""WITH toks AS (
+          SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+        SELECT token, ${posCaseSql("token")} AS pos, count(*) AS count
+        FROM toks GROUP BY token, pos
+        ORDER BY count DESC, token ASC, pos ASC""")),
+
+    // ---- A2-A5: column-wise min/max/mean/median ---------------------
+    QueryDef("a2_a5_column_stats",
+      (s, dir) => Summary.columnStats(t(s, dir, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
+      Some {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+            CAST(min($c) AS DOUBLE) AS min_v,
+            CAST(max($c) AS DOUBLE) AS max_v,
+            ${dsumSql(c)} / count($c) AS mean_v,
+            round(quantile_cont($c, 0.5), 4) AS median_v
+          FROM lineitem"""
+        }.mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
+    // ---- A6/A7/A8: sum, count, null-count per group -----------------
+    QueryDef("a6_a8_totals",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          count(when(col("o_orderpriority").isNull, 1)).as("n_null_prio"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, count(*) AS n_orders,
+          ${dsumSql("o_totalprice")} AS sum_price,
+          count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS n_null_prio
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- A10: boxplot/quantile stats per group ----------------------
+    QueryDef("a10_boxplot_stats",
+      (s, dir) => Summary.boxplotStats(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+          CAST(min(l_extendedprice) AS DOUBLE) AS lo_whisker,
+          round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+          round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+          CAST(max(l_extendedprice) AS DOUBLE) AS hi_whisker,
+          ${dsumSql("l_extendedprice")} / count(l_extendedprice) AS mean
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Q1-style pricing summary (the flagship aggregate) ----------
+    QueryDef("q1_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(8,6)") -
+              col("l_discount").cast("decimal(8,6)")))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
+            AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
+            AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+            AS avg_qty,
+          count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- J2: key join (broadcast dim) + aggregate -------------------
+    QueryDef("j2_join_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(8,6)") -
+                col("l_discount").cast("decimal(8,6)")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
+            AS DOUBLE) AS revenue,
+          count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- X1-X4/X9: Wikimedia URL builder ----------------------------
+    QueryDef("x1_x4_url_build",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          TextFunctions.wikimediaUrl(concat(lit("File:"), col("p_name")))
+            .as("url"))
+        .orderBy("p_partkey"),
+      Some(raw"""WITH n AS (
+          SELECT p_partkey,
+            regexp_replace(regexp_replace('File:' || p_name,
+              '^(File|Image):', '', 'g'), ' ', '_', 'g') AS nm
+          FROM part)
+        SELECT p_partkey,
+          'https://upload.wikimedia.org/wikipedia/commons/' ||
+          substr(md5(upper(substr(nm, 1, 1)) || substr(nm, 2, 1000000)), 1, 1)
+          || '/' ||
+          substr(md5(upper(substr(nm, 1, 1)) || substr(nm, 2, 1000000)), 1, 2)
+          || '/' ||
+          upper(substr(nm, 1, 1)) || substr(nm, 2, 1000000) AS url
+        FROM n ORDER BY p_partkey""")),
+
+    // ---- X5/X6: control-char scrub + add_punct ----------------------
+    QueryDef("x5_x6_text_fixers",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.scrubControlChars(col("text")).as("clean_text"),
+          TextFunctions.addPunct(col("text")).as("fixed_text"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+          regexp_replace(text, '\p{C}', '', 'g') AS clean_text,
+          regexp_replace(trim(text), '\.+$$', '', 'g') || '. ' AS fixed_text
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- §2.8 enrichment: caption stats (scalar block) --------------
+    QueryDef("e1_caption_stats",
+      (s, dir) => CaptionStats.enrich(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text", "ne_texts", "ne_types")
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, ${toksSql("text")} AS toks,
+            ${sentsSql("text")} AS sents
+          FROM documents),
+        b2 AS (
+          SELECT doc_id, toks, sents,
+            CAST(len(toks) AS INTEGER) AS num_tok,
+            CAST(len(sents) AS INTEGER) AS num_sent,
+            list_transform(sents,
+              s -> CAST(len(${toksSql("s")}) AS INTEGER)) AS slens,
+            list_transform(toks, t -> ${posCaseSql("t")}) AS tags,
+            CAST(len(list_filter(toks,
+              t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')))
+              AS INTEGER) AS num_ne
+          FROM base)
+        SELECT doc_id, num_tok, num_sent,
+          CAST(coalesce(list_min(slens), 0) AS INTEGER) AS min_sent_len,
+          CAST(coalesce(list_max(slens), 0) AS INTEGER) AS max_sent_len,
+          num_ne,
+          CAST(len(list_filter(tags, x -> x = 'NOUN')) AS INTEGER) AS num_nouns,
+          CAST(len(list_filter(tags, x -> x = 'PROPN')) AS INTEGER) AS num_propn,
+          CAST(len(list_filter(tags, x -> x = 'CONJ')) AS INTEGER) AS num_conj,
+          CAST(len(list_filter(tags, x -> x = 'VERB')) AS INTEGER) AS num_verb,
+          CAST(len(list_filter(tags, x -> x = 'SYM')) AS INTEGER) AS num_sym,
+          CAST(len(list_filter(tags, x -> x = 'NUM')) AS INTEGER) AS num_num,
+          CAST(len(list_filter(tags, x -> x = 'ADP')) AS INTEGER) AS num_adp,
+          CAST(len(list_filter(tags, x -> x = 'ADJ')) AS INTEGER) AS num_adj,
+          CASE WHEN num_tok = 0 THEN 0.0
+            ELSE CAST(num_ne AS DOUBLE) / num_tok END AS ratio_ne_tok,
+          CASE WHEN num_tok = 0 THEN 0.0
+            ELSE CAST(len(list_filter(tags, x -> x = 'NOUN')) AS DOUBLE)
+              / num_tok END AS ratio_noun_tok,
+          CASE WHEN num_tok = 0 THEN 0.0
+            ELSE CAST(len(list_filter(tags, x -> x = 'PROPN')) AS DOUBLE)
+              / num_tok END AS ratio_propn_tok,
+          CASE WHEN num_tok = 0 THEN 0.0
+            ELSE CAST(len(list_filter(tags, x -> x = 'NOUN'))
+              + len(list_filter(tags, x -> x = 'PROPN')) AS DOUBLE)
+              / num_tok END AS ratio_all_noun_tok,
+          206.835 - 1.015 * (CAST(greatest(len(toks), 1) AS DOUBLE)
+            / CAST(greatest(len(sents), 1) AS DOUBLE))
+          - 84.6 * (CAST(coalesce(list_sum(list_transform(toks,
+              t -> ${syllSql("t")})), 0) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE)) AS fk_re_score,
+          0.39 * (CAST(greatest(len(toks), 1) AS DOUBLE)
+            / CAST(greatest(len(sents), 1) AS DOUBLE))
+          + 11.8 * (CAST(coalesce(list_sum(list_transform(toks,
+              t -> ${syllSql("t")})), 0) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE)) - 15.59 AS fk_gl_score,
+          0.1579 * (100.0 * (CAST(len(list_filter(toks,
+              t -> ${syllSql("t")} >= 3)) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE)))
+          + 0.0496 * (CAST(greatest(len(toks), 1) AS DOUBLE)
+            / CAST(greatest(len(sents), 1) AS DOUBLE))
+          + CASE WHEN 100.0 * (CAST(len(list_filter(toks,
+              t -> ${syllSql("t")} >= 3)) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE)) > 5
+            THEN 3.6365 ELSE 0.0 END AS dc_score
+        FROM b2 ORDER BY doc_id""")),
+
+    // ---- NE lists (ArrayType columns) -------------------------------
+    QueryDef("e2_ne_lists",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          CaptionStats.neTexts(col("text")).as("ne_texts"),
+          CaptionStats.neTypes(col("text")).as("ne_types"),
+          size(CaptionStats.neTexts(col("text"))).as("num_ne"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          list_filter(${toksSql("text")},
+            t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')) AS ne_texts,
+          list_transform(list_filter(${toksSql("text")},
+            t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')),
+            t -> CASE WHEN regexp_matches(t, '^[A-Z]+${"$"}') THEN 'ORG'
+              ELSE 'MISC' END) AS ne_types,
+          CAST(len(list_filter(${toksSql("text")},
+            t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}'))) AS INTEGER)
+            AS num_ne
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- T1: language ID --------------------------------------------
+    QueryDef("t1_langid",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some {
+        val toks = toksSql("lower(text)")
+        def hits(lang: String) =
+          s"len(list_filter($toks, t -> t IN (" +
+            sqlList(TextAnalysis.stopwords(lang)) + ")))"
+        s"""WITH h AS (
+          SELECT doc_id, ${hits("de")} AS de, ${hits("en")} AS en,
+            ${hits("es")} AS es, ${hits("fr")} AS fr
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN greatest(de, en, es, fr) = 0 THEN 'unknown'
+            WHEN de = greatest(de, en, es, fr) THEN 'de'
+            WHEN en = greatest(de, en, es, fr) THEN 'en'
+            WHEN es = greatest(de, en, es, fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+        FROM h ORDER BY doc_id"""
+      }),
+
+    // ---- T2: quality score ------------------------------------------
+    QueryDef("t2_quality_score",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val toks = toksSql("lower(text)")
+        val allStops = sqlList(
+          TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted)
+        s"""WITH m AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            CAST(greatest(len($toks), 1) AS DOUBLE) AS n_tok,
+            (CAST(length(text) AS DOUBLE)
+              - CAST(len($toks) - 1 AS DOUBLE))
+              / CAST(greatest(len($toks), 1) AS DOUBLE) AS mean_word_len,
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)
+              AS alpha_ratio,
+            CAST(len(list_filter($toks, t -> t IN ($allStops))) AS DOUBLE)
+              / CAST(greatest(len($toks), 1) AS DOUBLE) AS stop_ratio
+          FROM documents)
+        SELECT doc_id,
+          ((CASE WHEN n_chars >= 20 AND n_chars <= 2000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12
+              THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio > 0.05 AND stop_ratio < 0.6
+              THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        FROM m ORDER BY doc_id"""
+      }),
+
+    // ---- T3: token counting (whitespace + BPE-ish) ------------------
+    QueryDef("t3_token_counts",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+          CAST(len(${toksSql("text")}) AS INTEGER) AS n_tokens,
+          CAST(len(regexp_extract_all(lower(text),
+            '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subwords
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- T4: document fingerprint -----------------------------------
+    QueryDef("t4_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+            AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- D1: exact dedup groups -------------------------------------
+    QueryDef("d1_exact_dedup",
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp"),
+      Some(raw"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          AS fp,
+          min(doc_id) AS canonical_id, count(*) AS n_members
+        FROM documents GROUP BY fp ORDER BY fp""")),
+
+    // ---- D2: MinHash signatures -------------------------------------
+    QueryDef("d2_minhash_signatures",
+      (s, dir) => Dedup.minhashSignatures(
+        t(s, dir, "documents"), "doc_id", "text", 6).orderBy("doc_id"),
+      Some {
+        val mins = (0 until 6).map(i =>
+          s"min(md5(token || '#$i')) AS mh$i").mkString(", ")
+        s"""SELECT doc_id, $mins FROM (
+          SELECT doc_id,
+            unnest(list_distinct(${toksSql("lower(text)")})) AS token
+          FROM documents)
+        GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // ---- D3: MinHash-LSH candidate pairs ----------------------------
+    QueryDef("d3_lsh_pairs",
+      (s, dir) => Dedup.minhashCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 12, bands = 4)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val mins = (0 until 12).map(i =>
+          s"min(md5(token || '#$i')) AS mh$i").mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
+          s"SELECT doc_id, $b AS band_idx, " +
+            s"md5(concat_ws('|', ${cs.mkString(", ")})) AS band_key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH sig AS (
+          SELECT doc_id, $mins FROM (
+            SELECT doc_id,
+              unnest(list_distinct(${toksSql("lower(text)")})) AS token
+            FROM documents)
+          GROUP BY doc_id),
+        bands AS ($bandSelects)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b"""
+      }),
+
+    // ---- D4: n-gram Jaccard similarity on pairs ---------------------
+    QueryDef("d4_jaccard_pairs",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+        val b = d.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("text").as("tb"))
+        a.join(b, "id_a")
+          .select(col("id_a"), col("id_b"),
+            Dedup.ngramJaccard(col("ta"), col("tb"), 1).as("jaccard"))
+          .orderBy("id_a")
+      },
+      Some {
+        def dtoks(e: String) = s"list_distinct(${toksSql(s"lower($e)")})"
+        s"""SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+          CASE WHEN (len(${dtoks("d1.text")}) + len(${dtoks("d2.text")})
+            - len(list_filter(${dtoks("d1.text")},
+                x -> list_contains(${dtoks("d2.text")}, x)))) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(${dtoks("d1.text")},
+              x -> list_contains(${dtoks("d2.text")}, x))) AS DOUBLE)
+            / (len(${dtoks("d1.text")}) + len(${dtoks("d2.text")})
+              - len(list_filter(${dtoks("d1.text")},
+                  x -> list_contains(${dtoks("d2.text")}, x)))) END AS jaccard
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        ORDER BY id_a"""
+      }),
+
+    // ---- D5: SimHash-16 ---------------------------------------------
+    QueryDef("d5_simhash",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      Some {
+        val dtoks = s"list_distinct(${toksSql("lower(text)")})"
+        val bits = (0 until 16).map { i =>
+          s"""(CASE WHEN coalesce(list_sum(list_transform($dtoks,
+            t -> CASE WHEN instr('13579bdf', substr(md5(t), ${i + 1}, 1)) > 0
+              THEN 1 ELSE -1 END)), 0) > 0 THEN '1' ELSE '0' END)"""
+        }.mkString(" || ")
+        s"SELECT doc_id, $bits AS simhash FROM documents ORDER BY doc_id"
+      }),
+
+    // ---- N1: brute-force cosine top-k -------------------------------
+    QueryDef("n1_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.bruteForceTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", 20)
+          .orderBy(desc("cos_sim"), col("vec_id"))
+      },
+      Some(s"""WITH q AS (
+          SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+          round(${cosineSql("e.embedding", "q.qe")}, 4) AS cos_sim
+        FROM embeddings e, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 20""")),
+
+    // ---- N2: bucketed cosine near-dup pairs -------------------------
+    QueryDef("n2_cosine_neardup",
+      (s, dir) => Ann.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, nBits = 4)
+        .orderBy("id_a", "id_b"),
+      Some {
+        def bucket(e: String) = (0 until 4).map(i =>
+          s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"""WITH bk AS (
+          SELECT vec_id, embedding, ${bucket("embedding")} AS b
+          FROM embeddings)
+        SELECT id_a, id_b, cos_sim FROM (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+            round(${cosineSql("x.embedding", "y.embedding")}, 4) AS cos_sim
+          FROM bk x JOIN bk y ON x.b = y.b AND x.vec_id < y.vec_id)
+        WHERE cos_sim >= 0.2 ORDER BY id_a, id_b"""
+      }),
+
+    // ---- W1: tumbling-window aggregation over events ----------------
+    QueryDef("w1_event_window",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type"),
+      Some(s"""SELECT
+          strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+            AS ws,
+          event_type, count(*) AS n,
+          ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // ---- W2: ranking window (top-2 orders per customer) -------------
+    QueryDef("w2_rank_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 2 ORDER BY o_custkey, rn"""))
+  )
+
+  /** The reference's core ETL query (extract → enrich → filter → limit,
+    * `wikicaps_etl_pipeline.py:139-149`) over the sf0.001 documents table —
+    * the driver's smoke entry. */
+  def flagship(spark: SparkSession): DataFrame = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val enriched = CaptionStats.enrich(docs, "text")
+    RangeFilters(enriched, Seq(
+      RangeFilter("num_tok", Some(3), Some(10000)),
+      RangeFilter("num_sent", Some(0), Some(1000))))
+      .orderBy("doc_id")
+      .limit(400)
+  }
+}

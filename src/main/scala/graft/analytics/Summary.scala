@@ -1,0 +1,84 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Notebook-style analytics (SURVEY.md §2.5/§2.6/§3.2): column-wise summary
+  * statistics, boxplot/quantile stats, unions with origin tags, clamp
+  * updates, deterministic sampling.
+  *
+  * All are single-pass hash aggregations (partial + final) — the per-column
+  * min/max/mean/median 16-fold loop of
+  * `f30k_vs_coco_vs_wicsmmir_v2.ipynb:16515-16549` collapses into ONE
+  * aggregate over all columns, i.e. one scan of the data regardless of how
+  * many stats are requested. Median uses exact `percentile` (matches the
+  * pandas exact median and a DuckDB oracle; SURVEY.md §7.4).
+  */
+object Summary {
+
+  /** Exact mean: decimal-sum (associativity-proof, so partial/final agg
+    * order can't perturb bits) cast to double, divided by count. Matches a
+    * SQL oracle bit-for-bit, unlike avg() over doubles whose partial-sum
+    * order is engine- and run-dependent. */
+  private def exactMean(c: String): Column =
+    sum(col(c).cast("decimal(24,6)")).cast("double") / count(col(c))
+
+  /** A2–A5: one row per input column with min/max/mean/median.
+    * Emitted long-form (stat matrix), mirroring the notebook's compare table
+    * shape (36 rows of dataset×backend×stat, ipynb:17229-17263).
+    * One single-pass aggregate regardless of the number of stats. */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        exactMean(c).as(s"${c}__mean"),
+        round(expr(s"percentile($c, 0.5)"), 4).as(s"${c}__median"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to long form — stack is codegen'd, still no extra pass
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__min`, `${c}__max`, `${c}__mean`, `${c}__median`")
+      .mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stackArgs) " +
+      "as (col_name, min_v, max_v, mean_v, median_v)"))
+      .orderBy("col_name")
+  }
+
+  /** A10: boxplot stats (whis=[0,100] → min/max whiskers, ipynb:17301-17345)
+    * per group: min, q25, median, q75, max, mean. */
+  def boxplotStats(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      min(col(valueCol)).cast("double").as("lo_whisker"),
+      round(expr(s"percentile($valueCol, 0.25)"), 4).as("q25"),
+      round(expr(s"percentile($valueCol, 0.5)"), 4).as("median"),
+      round(expr(s"percentile($valueCol, 0.75)"), 4).as("q75"),
+      max(col(valueCol)).cast("double").as("hi_whisker"),
+      exactMean(valueCol).as("mean"))
+      .orderBy(groupCols.map(col): _*)
+
+  /** J1 + P3: union of tagged slices (`coco.ipynb:482`,
+    * `generate_wismir_vocab.ipynb:60`). Name-based, not positional. */
+  def unionWithOrigin(parts: Seq[(DataFrame, String)]): DataFrame =
+    parts.map { case (df, origin) =>
+      df.withColumn("origin", lit(origin))
+    }.reduce(_ unionByName _)
+
+  /** P6: clamp update `x = min(x, hi)`
+    * (`f30k_vs_coco_vs_wicsmmir_v2.ipynb:17491`). */
+  def clamp(df: DataFrame, c: String, hi: Double): DataFrame =
+    df.withColumn(c, least(col(c), lit(hi)))
+
+  /** O5: deterministic fixed-n "seeded" sample. pandas RNG
+    * (`sample(n, random_state)`, ipynb:17564-17567) is not reproducible
+    * cross-engine, so engine semantics are: order by md5(key) — a stable,
+    * uniform, engine-independent permutation — and take n. Scales as a
+    * TakeOrderedAndProject (no global sort materialization). */
+  def seededSample(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(n)
+
+  /** A8: null count of a column. */
+  def nullCount(df: DataFrame, c: String): Column =
+    count(when(col(c).isNull, 1)).as(s"${c}_nulls")
+}

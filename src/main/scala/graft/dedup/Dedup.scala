@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.enrich.CaptionStats
+import graft.text.TextAnalysis
+
+/** Deduplication operators for LLM-scale corpora (north-star extension,
+  * BASELINE.json). All keys are md5-derived so results are deterministic and
+  * engine-independent (oracle-checkable), and every algorithm is expressed as
+  * shuffle-on-key DataFrame plans that scale horizontally:
+  *
+  *  - exact:   hash-groupBy on a normalized fingerprint — one shuffle whose
+  *             width is the number of *distinct* documents.
+  *  - MinHash: per-doc signature is a map-side aggregation (explode tokens →
+  *             groupBy doc), banding turns O(n²) similarity into equi-joins
+  *             on band hashes — the classic LSH trick; the only shuffles are
+  *             by doc_id then by band hash, never all-pairs.
+  *  - SimHash: 16-bit majority signature, Hamming-bucket join.
+  *  - n-gram Jaccard: verification on candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact-dup groups: fingerprint → canonical (min) id + member count.
+    * Only groups with >1 member are duplicates. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+
+  /** Exact dedup: keep one row (min id) per fingerprint. */
+  def dropExactDups(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val withFp = df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val keep = withFp.groupBy("fp").agg(min(col(idCol)).as(idCol))
+    withFp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
+  }
+
+  /** MinHash signature columns: for each of k hash functions, the minimum of
+    * md5(token || '#' || i) over the doc's distinct lowercase tokens.
+    * Using md5-of-salted-token as the hash family keeps the signature
+    * deterministic across engines; min-of-hash per doc is a map-side partial
+    * aggregation (shuffle carries k hashes per doc, not tokens). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(CaptionStats.tokens(lower(col(textCol)))))
+        .as("token"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(col("token"), lit(s"#$i")))).as(s"mh$i"))
+    toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: `bands` bands of `rowsPerBand`
+    * hashes each; band key = md5(concat of the band's hashes). Docs sharing
+    * any band key are candidate pairs. Returns (band_idx, band_key, id). */
+  def lshBands(sig: DataFrame, idCol: String, bands: Int,
+               rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", cols: _*)).as("band_key"))
+    }
+    sig.select(col(idCol), explode(array(bandRows: _*)).as("band"))
+      .select(col("band.band_idx"), col("band.band_key"), col(idCol))
+  }
+
+  /** Candidate duplicate pairs (a < b) from shared LSH bands. The join is an
+    * equi-join on (band_idx, band_key) — shuffle width scales with bucket
+    * sizes, not n². */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 12, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, k)
+    val b = lshBands(sig, idCol, bands, rowsPerBand)
+    val l = b.select(col("band_idx"), col("band_key"),
+      col(idCol).as("id_a"))
+    val r = b.select(col("band_idx"), col("band_key"),
+      col(idCol).as("id_b"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Word n-gram Jaccard similarity between two text columns (distinct
+    * shingles; n=1 → token Jaccard). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    def shingles(c: Column): Column = {
+      val toks = CaptionStats.tokens(lower(c))
+      if (n == 1) array_distinct(toks)
+      else {
+        // sliding window of n tokens joined by single space
+        val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
+        array_distinct(transform(idx, i =>
+          concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      }
+    }
+    val sa = shingles(a); val sb = shingles(b)
+    val inter = size(array_intersect(sa, sb))
+    // |A∪B| = |A|+|B|−|A∩B| over distinct shingles; exact int/int division
+    // keeps the result bit-stable across engines (no rounding needed).
+    val uni = size(sa) + size(sb) - inter
+    when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
+  }
+
+  /** SimHash-16: bit i (0-based from the first hex nibble) is the majority
+    * vote over tokens of the low bit of nibble i of md5(token). Returned as
+    * a 16-char '0'/'1' string (engine-independent; no 64-bit bit ops needed
+    * in the oracle). Near-dup candidates share the signature or differ in
+    * few bits. */
+  def simhash16(c: Column): Column = {
+    val toks = array_distinct(CaptionStats.tokens(lower(c)))
+    val bits = (0 until 16).map { i =>
+      // +1 if nibble's low bit set ('1','3','5','7','9','b','d','f'), else -1
+      val vote = aggregate(toks, lit(0), (acc, t) =>
+        acc + when(instr(lit("13579bdf"),
+          substring(md5(t), i + 1, 1)) > 0, 1).otherwise(-1))
+      when(vote > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star extension).
+  *
+  * Embeddings are `array<float>`; all math is done in DOUBLE with a fixed
+  * left-to-right fold so results are bit-stable and oracle-checkable
+  * (float→double casts are exact).
+  *
+  * Scale path: brute-force top-k is a map-only scan + TakeOrderedAndProject
+  * (no shuffle of the corpus; only k rows per partition reach the driver).
+  * The bucketed variant assigns each vector a deterministic sign-bucket
+  * (LSH with axis-aligned hyperplanes) so candidate generation becomes an
+  * equi-join on bucket id — the same banding trick as MinHash-LSH; at 100 TB
+  * add multiple probe tables (rotate the dims used) instead of widening
+  * buckets.
+  */
+object Ann {
+
+  /** Σ aᵢ·bᵢ as double, fixed fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ as double. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = l2Norm(a); val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Brute-force top-k by cosine against one query vector (an in-plan
+    * 1-row DataFrame, broadcast-joined). Deterministic tiebreak on id. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, queryVecCol: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__q")))
+    corpus.crossJoin(q)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic LSH bucket: sign bits of `nBits` leading dimensions,
+    * as a '0'/'1' string. (Axis-aligned hyperplane family — deterministic
+    * stand-in for random projections; extend with seeded md5-derived
+    * rotations for more tables.) */
+  def signBucket(vec: Column, nBits: Int): Column =
+    concat((0 until nBits).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Bucketed ANN: search only the query's bucket (single-probe).
+    * Returns the same schema as bruteForceTopK. */
+  def bucketedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                   query: DataFrame, queryVecCol: String,
+                   k: Int, nBits: Int = 8): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__q"),
+      signBucket(col(queryVecCol), nBits).as("__qb")))
+    corpus.withColumn("__b", signBucket(col(vecCol), nBits))
+      .join(q, col("__b") === col("__qb"))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared sign-bucket
+    * (candidate generation = equi-join on bucket, verification = cosine
+    * threshold). */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nBits: Int = 8): DataFrame = {
+    val b = corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), nBits).as("__b"))
+    val l = b.select(col("__b"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val r = b.select(col("__b"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    l.join(r, Seq("__b")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

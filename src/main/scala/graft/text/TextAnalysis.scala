@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.enrich.CaptionStats
+
+/** Training-data text analysis (north-star extensions beyond the reference
+  * surface; BASELINE.json): language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions — at 100 TB these
+  * run fused into the scan with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Stopword anchor sets per language. Deterministic n-gram-free heuristic:
+    * score = number of tokens that are stopwords of the language; argmax with
+    * fixed tiebreak order (de < en < es < fr < unknown). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you",
+      "that", "was", "for", "on", "are", "with", "his", "they", "at"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein",
+      "eine", "mit", "auf", "für", "von", "zu", "den", "im"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
+      "las", "por", "con", "para", "es", "del", "se"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des", "est",
+      "dans", "pour", "que", "qui", "sur", "avec", "pas"))
+
+  private def hits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang).map(x => x: Any): _*)))
+
+  /** Language-ID over a text column → 2-letter code or "unknown". */
+  def langId(c: Column): Column = {
+    val toks = CaptionStats.tokens(lower(c))
+    val de = hits(toks, "de"); val en = hits(toks, "en")
+    val es = hits(toks, "es"); val fr = hits(toks, "fr")
+    val best = greatest(de, en, es, fr)
+    when(best === 0, lit("unknown"))
+      .when(de === best, lit("de"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(CaptionStats.tokens(c))
+
+  /** BPE-ish subword count: alphabetic runs chunked to ≤4 chars + digit runs
+    * + individual punctuation — a deterministic proxy for a BPE vocab's
+    * token count, as a single regex count. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c),
+      lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality score in [0,1]: mean of 4 deterministic signals —
+    * length in [20,2000] chars, mean word length in [3,12], alpha ratio
+    * ≥ 0.6 scaled, stopword ratio in (0.05, 0.6). Mirrors the
+    * length/punct/stopword-ratio heuristics of C4/Gopher-style cleaning
+    * (public recipes), SQL-expressible for the oracle. */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast(DoubleType)
+    val toks = CaptionStats.tokens(lower(c))
+    val nTok = greatest(size(toks), lit(1)).cast(DoubleType)
+    val meanWordLen =
+      (nChars - (size(toks) - lit(1)).cast(DoubleType)) / nTok
+    val alphaRatio =
+      length(regexp_replace(lower(c), "[^a-z]", "")).cast(DoubleType) /
+        greatest(nChars, lit(1.0))
+    val allStops = stopwords.values.flatten.toSeq.distinct.sorted
+    val stopRatio =
+      size(filter(toks, t => t.isin(allStops.map(x => x: Any): _*)))
+        .cast(DoubleType) / nTok
+    val sLen = when(nChars >= 20 && nChars <= 2000, 1.0).otherwise(0.0)
+    val sWord = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.0)
+    val sAlpha = when(alphaRatio >= 0.6, 1.0).otherwise(0.0)
+    val sStop = when(stopRatio > 0.05 && stopRatio < 0.6, 1.0).otherwise(0.0)
+    (sLen + sWord + sAlpha + sStop) / lit(4.0)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (rolling-hash stand-in, engine-independent). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+
+  /** Convenience: append all text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("pred_lang", langId(c))
+      .withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_subwords", subwordCount(c))
+      .withColumn("quality", qualityScore(c))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}
