@@ -33,8 +33,10 @@ object Readers {
   def delimitedText(spark: SparkSession, path: String, sepRegex: String,
                     names: Seq[String]): DataFrame = {
     val parts = split(col("value"), sepRegex)
+    // try_element_at: Spark 4 runs ANSI mode by default, where element_at
+    // throws on short rows; scans must be fault-tolerant instead (R4)
     val cols = names.zipWithIndex.map { case (n, i) =>
-      element_at(parts, i + 1).as(n)
+      try_element_at(parts, lit(i + 1)).as(n)
     }
     spark.read.text(path).select(cols: _*)
   }
@@ -45,7 +47,7 @@ object Readers {
                      names: Seq[String]): DataFrame = {
     val parts = split(col(lineCol), sepRegex)
     val cols = names.zipWithIndex.map { case (n, i) =>
-      element_at(parts, i + 1).as(n)
+      try_element_at(parts, lit(i + 1)).as(n)
     }
     lines.select(cols: _*)
   }

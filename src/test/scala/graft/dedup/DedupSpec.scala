@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "The  Quick  Brown Fox jumps over the lazy dog"), // ws/case dup
+    (4L, "a completely different document about spark engines"),
+    (5L, "the quick brown fox leaps over the lazy dog") // near dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: whitespace/case-normalized fingerprint groups") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n_members") > 1).collect()
+    g.length shouldBe 1
+    g(0).getAs[Long]("canonical_id") shouldBe 1L
+    g(0).getAs[Long]("n_members") shouldBe 3L // 1, 2, 3
+  }
+
+  test("dropExactDups keeps min-id representative") {
+    val kept = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 4L, 5L)
+  }
+
+  test("minhash signatures: dups identical, near-dups mostly agree") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => r.getString(i))).toMap
+    sig(1L) shouldBe sig(2L) // identical text → identical signature
+    sig(1L) shouldBe sig(3L) // normalization happens via lower+split
+    val agree = sig(1L).zip(sig(5L)).count { case (a, b) => a == b }
+    agree should be >= 5 // jaccard 8/10 → most hash slots agree
+    sig(1L).zip(sig(4L)).count { case (a, b) => a == b } should be <= 2
+  }
+
+  test("LSH candidate pairs surface the near-dup, not the unrelated doc") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      k = 12, bands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain(1L -> 2L)
+    pairs should contain(1L -> 5L)
+    pairs should not contain (1L -> 4L)
+  }
+
+  test("ngram jaccard: identity 1.0, disjoint 0.0, order-free") {
+    val pairDf = Seq(
+      ("a b c", "a b c"), ("a b", "c d"), ("a b c d", "c d e f"))
+      .toDF("x", "y")
+    val j = pairDf.select(Dedup.ngramJaccard(col("x"), col("y"), 1))
+      .collect().map(_.getDouble(0))
+    j(0) shouldBe 1.0
+    j(1) shouldBe 0.0
+    j(2) shouldBe (2.0 / 6.0) +- 1e-12
+  }
+
+  test("bigram shingles distinguish reordered text") {
+    val df = Seq(("the cat sat", "sat cat the")).toDF("x", "y")
+    df.select(Dedup.ngramJaccard(col("x"), col("y"), 1)).head()
+      .getDouble(0) shouldBe 1.0 // same token set
+    df.select(Dedup.ngramJaccard(col("x"), col("y"), 2)).head()
+      .getDouble(0) shouldBe 0.0 // no shared bigram
+  }
+
+  test("simhash: 16 bits, dups equal, near-dups within small hamming") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    all(sh.values.map(_.length)) shouldBe 16
+    sh(1L) shouldBe sh(2L)
+    val hamming = sh(1L).zip(sh(5L)).count { case (a, b) => a != b }
+    hamming should be <= 4
+  }
+}

@@ -1,0 +1,57 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0, opposite -1, zero-vector 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(0f, 0f), Array(1f, 0f), 0.0)
+    ).toDF("a", "b", "want")
+    val bad = df.filter(
+      abs(Ann.cosine(col("a"), col("b")) - col("want")) > 1e-9)
+    bad.count() shouldBe 0L
+  }
+
+  test("brute-force top-k: self first, deterministic ties by id") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val top = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0), "embedding", 5).collect()
+    top.length shouldBe 5
+    top(0).getLong(0) shouldBe 0L // query itself
+    top(0).getDouble(1) shouldBe 1.0 +- 1e-9
+    // scores non-increasing
+    top.map(_.getDouble(1)).sliding(2).foreach { w =>
+      w(0) should be >= w(1)
+    }
+  }
+
+  test("bucketed top-k returns a subset of brute-force candidates") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q,
+      "embedding", 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bucketed = Ann.bucketedTopK(emb, "vec_id", "embedding", q,
+      "embedding", 5, nBits = 4).collect()
+    bucketed.foreach { r =>
+      brute(r.getLong(0)) shouldBe r.getDouble(1) +- 1e-9
+    }
+    bucketed.map(_.getLong(0)) should contain(0L) // own bucket has self
+  }
+
+  test("near-dup pairs are symmetric-free (a<b) and above threshold") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, nBits = 4).collect()
+    pairs.foreach { r =>
+      r.getLong(0) should be < r.getLong(1)
+      r.getDouble(2) should be >= 0.2
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class ReadersSpec extends SparkSpec {
+
+  test("S1: wikicaps delimited scan with ||| separator, unicode intact") {
+    val dir = Files.createTempDirectory("wikicaps").toFile
+    val f = new java.io.File(dir, "raw.txt")
+    Files.writeString(f.toPath,
+      "1|||File:Malham Cove (5841).jpg|||Malham Cove\n" +
+        "4|||File:Ulme Schöneiche.JPG|||Elm at Schöneiche; more than 100 " +
+        "years old avenue tree.\n" +
+        "9|||File:x.png|||Two sentences here. Second one!\n")
+    val df = Readers.wikicaps(spark, f.getAbsolutePath)
+    df.columns shouldBe Array("wikicaps_id", "wikimedia_file", "caption")
+    val rows = df.orderBy("wikicaps_id").collect()
+    rows.length shouldBe 3
+    rows(0).getLong(0) shouldBe 1L
+    rows(1).getString(2) should include("Schöneiche")
+    rows(2).getString(1) shouldBe "File:x.png"
+  }
+
+  test("S3: single-char-sep CSV with header (f30k shape)") {
+    val dir = Files.createTempDirectory("f30k").toFile
+    val f = new java.io.File(dir, "captions.csv")
+    Files.writeString(f.toPath,
+      "image_id|caption_id|caption\nimg1.jpg|0|A dog runs\nimg1.jpg|1|A dog\n")
+    val df = Readers.csv(spark, f.getAbsolutePath, "|")
+    df.count() shouldBe 2
+    df.columns shouldBe Array("image_id", "caption_id", "caption")
+  }
+
+  test("S4: COCO nested JSON flattened to one row per annotation") {
+    val dir = Files.createTempDirectory("coco").toFile
+    val f = new java.io.File(dir, "captions.json")
+    Files.writeString(f.toPath,
+      """{"info": {"year": 2014}, "annotations": [
+        {"image_id": 10, "id": 100, "caption": "a cat"},
+        {"image_id": 10, "id": 101, "caption": "a black cat"},
+        {"image_id": 11, "id": 102, "caption": "a dog"}]}""")
+    val df = Readers.cocoCaptions(spark, f.getAbsolutePath, "val_2014")
+    df.columns shouldBe Array("image_id", "caption_id", "caption", "origin")
+    df.count() shouldBe 3
+    df.select("origin").distinct().head().getString(0) shouldBe "val_2014"
+  }
+
+  test("S1 fault tolerance: short rows yield nulls, not errors (R4)") {
+    val dir = Files.createTempDirectory("short").toFile
+    val f = new java.io.File(dir, "raw.txt")
+    Files.writeString(f.toPath, "1|||only-two-fields\n")
+    val rows = Readers.wikicaps(spark, f.getAbsolutePath).collect()
+    rows.length shouldBe 1
+    rows(0).isNullAt(2) shouldBe true
+  }
+}
