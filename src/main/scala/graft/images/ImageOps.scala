@@ -1,0 +1,170 @@
+package graft.images
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Image operators I1–I4 (reference `transformations/` modules) over opaque
+  * `binary` columns — the multimodal-column model: payload as BinaryType,
+  * typed metadata (width/height/format/ok) alongside, paths only at the
+  * edges.
+  *
+  * Decode/encode is real (JDK ImageIO: PNG/JPEG/GIF/BMP — no external
+  * deps); WebP has no JDK codec, so `webpEncode` is a clearly-marked
+  * deterministic stand-in (RIFF header + raw payload) keeping the
+  * plumbing — schema, chain fold, fail-flag, path rewrite — real and
+  * tested.
+  *
+  * Scale design: each transform is a scalar UDF over the binary column —
+  * map-only, no shuffle, image-parallel across partitions; the chain folds
+  * into a single task pass (mirrors the reference's per-image
+  * try/except chain, `utils.py:134-145`).
+  */
+object ImageOps {
+
+  final case class Decoded(img: BufferedImage) extends AnyVal
+
+  private def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  private def encode(img: BufferedImage, fmt: String): Option[Array[Byte]] =
+    try {
+      val bos = new ByteArrayOutputStream()
+      if (ImageIO.write(img, fmt, bos) && bos.size() > 0) Some(bos.toByteArray)
+      else None
+    } catch { case _: Exception => None }
+
+  /** I1: thumbnail resize to fit maxW×maxH, preserving aspect ratio
+    * (reference `resize_transformation.py:6-16`, PIL `thumbnail`). */
+  def resizeBytes(bytes: Array[Byte], maxW: Int, maxH: Int,
+                  fmt: String = "png"): Option[Array[Byte]] =
+    decode(bytes).flatMap { img =>
+      val scale = math.min(
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight),
+        1.0)
+      val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      encode(out, fmt)
+    }
+
+  /** I2: JPEG re-encode at a quality factor (reference
+    * `compression_transformation.py:8-16`, optimize+DPI → nearest JVM
+    * equivalent: explicit quality). */
+  def compressBytes(bytes: Array[Byte],
+                    quality: Float = 0.8f): Option[Array[Byte]] =
+    decode(bytes).flatMap { img =>
+      try {
+        val rgb = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+        val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+        val bos = new ByteArrayOutputStream()
+        val ios = new MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(rgb, null, null), params)
+        writer.dispose(); ios.close()
+        if (bos.size() > 0) Some(bos.toByteArray) else None
+      } catch { case _: Exception => None }
+    }
+
+  /** I3: WebP re-encode STUB — deterministic container (RIFF/WEBP header +
+    * PNG payload). The JDK ships no WebP codec; semantics (path rewrite
+    * `.png`→`.webp`, chain position, fail-flag) are the real part
+    * (reference `webp_transformation.py:7-24`). */
+  def webpEncode(bytes: Array[Byte]): Option[Array[Byte]] =
+    decode(bytes).flatMap(encode(_, "png")).map { png =>
+      val riff = "RIFF".getBytes ++ intLE(png.length + 4) ++ "WEBP".getBytes
+      riff ++ png
+    }
+
+  private def intLE(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** I4: fold the configured chain over one payload; None = failure
+    * (→ F4 success-mask drop, `wikicaps_etl_pipeline.py:203-210`). */
+  def applyChain(bytes: Array[Byte],
+                 chain: Seq[graft.config.TransformCfg])
+  : Option[Array[Byte]] =
+    chain.foldLeft(Option(bytes)) { (acc, t) =>
+      acc.flatMap { b =>
+        t.name match {
+          case "resize" => resizeBytes(b,
+            t.params.getOrElse("max_width", "640").toInt,
+            t.params.getOrElse("max_height", "640").toInt)
+          case "compress" => compressBytes(b,
+            t.params.getOrElse("quality", "0.8").toFloat)
+          case "webp" => webpEncode(b)
+          case _ => None // unknown transform = failure, never throw (R4)
+        }
+      }
+    }
+
+  /** Image metadata (width, height, ok) as a struct column — the "typed
+    * metadata next to an opaque payload" multimodal pattern. */
+  def imageMeta(data: Column): Column = {
+    val metaUdf = udf((bytes: Array[Byte]) =>
+      if (bytes == null) (0, 0, false)
+      else decode(bytes) match {
+        case Some(img) => (img.getWidth, img.getHeight, true)
+        case None => (0, 0, false)
+      })
+    metaUdf(data).cast("struct<width:int,height:int,ok:boolean>")
+  }
+
+  /** Apply a transform chain to a binary column; appends
+    * `<out>` payload + `<out>_ok` success flag (F4). */
+  def transformColumn(df: DataFrame, dataCol: String, outCol: String,
+                      chain: Seq[graft.config.TransformCfg]): DataFrame = {
+    val chainLocal = chain
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) None else applyChain(bytes, chainLocal))
+    df.withColumn(outCol, f(col(dataCol)))
+      .withColumn(s"${outCol}_ok", col(outCol).isNotNull)
+  }
+
+  /** Path-based driver (reference flow: files on disk, paths in the
+    * table): read → chain → write alongside with suffix; returns success
+    * flag column. The write is idempotent (same input → same output path),
+    * so task retries are safe (R4). */
+  def transformFiles(df: DataFrame, pathCol: String,
+                     chain: Seq[graft.config.TransformCfg]): DataFrame = {
+    val chainLocal = chain
+    val f = udf((path: String) => {
+      if (path == null) null
+      else try {
+        val in = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+        applyChain(in, chainLocal) match {
+          case Some(out) =>
+            val rewritten =
+              if (chainLocal.exists(_.name == "webp"))
+                path.replaceAll("\\.[A-Za-z]+$", ".webp")
+              else path
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(rewritten), out)
+            rewritten
+          case None => null
+        }
+      } catch { case _: Exception => null }
+    })
+    df.withColumn("transformed_path", f(col(pathCol)))
+      .withColumn("transform_ok", col("transformed_path").isNotNull)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (extension beyond the reference, which is
+  * batch-only — SURVEY.md §2.11 flags incremental resume as the closest
+  * analog). Demonstrated over the `events` table shape: a file stream with
+  * watermarked tumbling-window aggregation, and stateful sessionization via
+  * `mapGroupsWithState`.
+  *
+  * Scale design: windowed agg is partial-aggregated before the shuffle on
+  * (window, event_type); state is partitioned by user_id — both scale
+  * horizontally, and `Trigger.AvailableNow` gives batch-equivalent
+  * backfill semantics over historical data.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Long, total: Double,
+                           start: Timestamp, end: Timestamp,
+                           closed: Boolean)
+
+  /** Open a file stream over event parquet files (schema pinned from a
+    * batch peek — file streams require explicit schema). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (raw.schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Watermarked tumbling-window count/sum per event_type. */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(24,6)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful sessionization: events within `gapMinutes` of each other
+    * belong to one session per user; timeout closes the session. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+  : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Session, Session](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get.copy(closed = true)
+            state.remove()
+            s
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption
+            val merged = evs.foldLeft(prev) { (acc, e) =>
+              acc match {
+                case Some(s)
+                  if e.ts.getTime - s.end.getTime <= gapMinutes * 60000L =>
+                  Some(s.copy(n_events = s.n_events + 1,
+                    total = s.total + e.value, end = e.ts))
+                case _ =>
+                  Some(Session(uid, 1, e.value, e.ts, e.ts, closed = false))
+              }
+            }
+            merged.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            merged.getOrElse(Session(uid, 0, 0, null, null, closed = true))
+          }
+      }
+  }
+
+  /** Run the windowed aggregation over all currently-available files and
+    * stop (batch-equivalent backfill; reference's incremental-resume
+    * analog). Returns the result read back from the sink. */
+  def backfillWindowed(spark: SparkSession, srcDir: String,
+                       sinkDir: String, checkpointDir: String): DataFrame = {
+    val q = windowedCounts(eventStream(spark, srcDir))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+}

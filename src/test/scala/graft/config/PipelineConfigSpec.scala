@@ -1,0 +1,63 @@
+package graft.config
+
+import graft.SparkSpec
+
+class PipelineConfigSpec extends SparkSpec {
+
+  val yaml: String =
+    """# mirrors configs/config_localhost_test_spacy.yml
+      |run:
+      |  extract: true
+      |  transform: false
+      |  load: true
+      |input:
+      |  path: /tmp/raw.txt
+      |  separator: "\|\|\|"
+      |extraction:
+      |  max_samples: 300
+      |  shuffle_seed: 1312
+      |  pos_tag_stats: true
+      |  readability_scores: false
+      |  download: false
+      |  n_workers: 4
+      |  filters:
+      |    - columnId: num_tok
+      |      min: 10
+      |      max: 150
+      |    - columnId: min_sent_len
+      |      min: 5
+      |transformations:
+      |  chain:
+      |    - name: resize
+      |      max_width: 640
+      |      max_height: 640
+      |    - name: compress
+      |output:
+      |  dir: /tmp/out
+      |""".stripMargin
+
+  test("full reference-shaped config parses to typed plan") {
+    val c = PipelineConfig.fromYaml(yaml)
+    c.run shouldBe RunToggles(extract = true, transform = false, load = true)
+    c.inputPath shouldBe "/tmp/raw.txt"
+    c.maxSamples shouldBe Some(300)
+    c.shuffleSeed shouldBe Some(1312L)
+    c.readabilityScores shouldBe false
+    c.posTagStats shouldBe true
+    c.nWorkers shouldBe 4
+    c.filters shouldBe Seq(
+      FilterCfg("num_tok", Some(10.0), Some(150.0)),
+      FilterCfg("min_sent_len", Some(5.0), None)) // absent max → default
+    c.transformations.map(_.name) shouldBe Seq("resize", "compress")
+    c.transformations.head.params("max_width") shouldBe "640"
+    c.outputDir shouldBe "/tmp/out"
+  }
+
+  test("empty/missing sections give reference defaults") {
+    val c = PipelineConfig.fromYaml("run:\n  extract: true\n")
+    c.run.transform shouldBe true
+    c.maxSamples shouldBe None
+    c.filters shouldBe Nil
+    c.transformations shouldBe Nil
+  }
+}

@@ -1,0 +1,88 @@
+package graft.images
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+import graft.config.TransformCfg
+import org.apache.spark.sql.functions._
+
+object Fixtures {
+  /** Deterministic in-memory PNG (w×h gradient). */
+  def png(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 7 + y * 13) & 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  val corrupt: Array[Byte] = Array.fill[Byte](64)(42)
+}
+
+class ImageOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("I1 resize: fits 640 box, preserves aspect, never upscales") {
+    val big = Fixtures.png(1000, 500)
+    val out = ImageOps.resizeBytes(big, 640, 640).get
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(out))
+    img.getWidth shouldBe 640
+    img.getHeight shouldBe 320
+    val small = Fixtures.png(100, 80)
+    val outS = ImageOps.resizeBytes(small, 640, 640).get
+    val imgS = ImageIO.read(new java.io.ByteArrayInputStream(outS))
+    (imgS.getWidth, imgS.getHeight) shouldBe ((100, 80)) // no upscale
+  }
+
+  test("I2 compress: produces decodable JPEG") {
+    val out = ImageOps.compressBytes(Fixtures.png(64, 64), 0.7f).get
+    out.take(2) shouldBe Array(0xff.toByte, 0xd8.toByte) // JPEG SOI
+    ImageIO.read(new java.io.ByteArrayInputStream(out)) should not be null
+  }
+
+  test("I3 webp stub: RIFF/WEBP container marker") {
+    val out = ImageOps.webpEncode(Fixtures.png(16, 16)).get
+    new String(out.take(4)) shouldBe "RIFF"
+    new String(out.slice(8, 12)) shouldBe "WEBP"
+  }
+
+  test("I4 chain: fold order, corrupt input fails without throwing") {
+    val chain = Seq(TransformCfg("resize",
+      Map("max_width" -> "32", "max_height" -> "32")),
+      TransformCfg("compress"))
+    ImageOps.applyChain(Fixtures.png(100, 100), chain) shouldBe defined
+    ImageOps.applyChain(Fixtures.corrupt, chain) shouldBe None
+    ImageOps.applyChain(Fixtures.png(8, 8),
+      Seq(TransformCfg("nope"))) shouldBe None
+  }
+
+  test("binary-column transform keeps plumbing: schema + fail flag (F4)") {
+    val df = Seq(
+      (1L, Fixtures.png(100, 100)), (2L, Fixtures.corrupt))
+      .toDF("id", "data")
+    val out = ImageOps.transformColumn(df, "data", "thumb",
+      Seq(TransformCfg("resize", Map("max_width" -> "10",
+        "max_height" -> "10"))))
+    out.schema("thumb").dataType.typeName shouldBe "binary"
+    val flags = out.select("id", "thumb_ok").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    flags(1L) shouldBe true
+    flags(2L) shouldBe false
+    // success-mask filter drops the corrupt row
+    out.filter(col("thumb_ok")).count() shouldBe 1
+  }
+
+  test("imageMeta struct: width/height/ok typed metadata") {
+    val df = Seq((1L, Fixtures.png(33, 21)), (2L, Fixtures.corrupt))
+      .toDF("id", "data")
+    val m = df.select(col("id"), ImageOps.imageMeta(col("data")).as("m"))
+      .selectExpr("id", "m.width", "m.height", "m.ok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    m(1L) shouldBe ((33, 21, true))
+    m(2L) shouldBe ((0, 0, false))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+
+  test("AvailableNow backfill: windowed counts match batch for closed windows") {
+    val dir = Files.createTempDirectory("stream").toFile.getAbsolutePath
+    // copy a slice of events to a standalone stream source dir
+    val src = spark.read.parquet(s"$sf0001/events.parquet")
+    val ev =
+      if (src.schema("ts").dataType.typeName == "long")
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else src
+    ev.write.parquet(s"$dir/src")
+
+    val streamed = Streams.backfillWindowed(spark, s"$dir/src",
+      s"$dir/sink", s"$dir/ckpt")
+
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    // append-mode emits only watermark-closed windows → subset of batch,
+    // but every emitted row must agree exactly with the batch result
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      Seq("ws", "event_type"))
+    joined.count() shouldBe streamed.count()
+    joined.filter(col("s.n") =!= col("b.n")).count() shouldBe 0
+    streamed.count() should be > 0L
+  }
+
+  test("sessionize groups events within the gap into one session") {
+    import spark.implicits._
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      Streams.Event(1, t(0), 7L, "click", 1.0),
+      Streams.Event(2, t(10), 7L, "click", 2.0),
+      Streams.Event(3, t(100), 7L, "click", 4.0), // > 30 min gap → new
+      Streams.Event(4, t(5), 9L, "view", 8.0)
+    ).toDS()
+    // batch Dataset drive of the same state logic (mapGroups equivalent):
+    // per user, fold sorted events with the session gap
+    val sessions = events.groupByKey(_.user_id).flatMapGroups {
+      (uid, it) =>
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        sorted.foldLeft(List.empty[Streams.Session]) { (acc, e) =>
+          acc match {
+            case h :: tl
+              if e.ts.getTime - h.end.getTime <= 30 * 60000L =>
+              h.copy(n_events = h.n_events + 1, total = h.total + e.value,
+                end = e.ts) :: tl
+            case _ =>
+              Streams.Session(uid, 1, e.value, e.ts, e.ts,
+                closed = false) :: acc
+          }
+        }
+    }.collect()
+    val u7 = sessions.filter(_.user_id == 7L).sortBy(_.start.getTime)
+    u7.length shouldBe 2
+    u7(0).n_events shouldBe 2
+    u7(0).total shouldBe 3.0
+    u7(1).n_events shouldBe 1
+    sessions.count(_.user_id == 9L) shouldBe 1
+  }
+}
