@@ -554,10 +554,15 @@ object Queries {
         GROUP BY doc_id ORDER BY doc_id"""
       }),
 
-    // ---- D3: MinHash-LSH candidate pairs ----------------------------
+    // ---- D3: MinHash-LSH candidate pairs (3-gram shingles) ----------
+    // Shingling keeps LSH discriminative: on this corpus unigram minhash
+    // admits ~60% of ALL pairs as candidates (shared vocabulary saturates
+    // Jaccard), while 3-gram shingles surface only true near-duplicates —
+    // the standard design for corpus-scale dedup.
     QueryDef("d3_lsh_pairs",
       (s, dir) => Dedup.minhashCandidatePairs(
-        t(s, dir, "documents"), "doc_id", "text", k = 12, bands = 4)
+        t(s, dir, "documents"), "doc_id", "text", k = 12, bands = 4,
+        shingleN = 3)
         .orderBy("id_a", "id_b"),
       Some {
         val mins = (0 until 12).map(i =>
@@ -567,12 +572,15 @@ object Queries {
           s"SELECT doc_id, $b AS band_idx, " +
             s"md5(concat_ws('|', ${cs.mkString(", ")})) AS band_key FROM sig"
         }.mkString(" UNION ALL ")
-        s"""WITH sig AS (
-          SELECT doc_id, $mins FROM (
-            SELECT doc_id,
-              unnest(list_distinct(${toksSql("lower(text)")})) AS token
-            FROM documents)
-          GROUP BY doc_id),
+        s"""WITH base AS (
+          SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3
+            THEN [] ELSE list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END)) AS token
+          FROM base),
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
         bands AS ($bandSelects)
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b

@@ -26,7 +26,12 @@ object Summary {
   /** A2–A5: one row per input column with min/max/mean/median.
     * Emitted long-form (stat matrix), mirroring the notebook's compare table
     * shape (36 rows of dataset×backend×stat, ipynb:17229-17263).
-    * One single-pass aggregate regardless of the number of stats. */
+    *
+    * One single-pass distributed aggregate; the single wide result row is
+    * then unpivoted on the driver. (A `stack` Generator over the Aggregate
+    * re-executes the aggregate once per emitted row — measured 4× the scan
+    * cost at sf0.1 — so the 1-row collect is the scalable shape: the data
+    * pass is distributed, only the k-stat summary crosses the driver.) */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
@@ -35,14 +40,23 @@ object Summary {
         exactMean(c).as(s"${c}__mean"),
         round(expr(s"percentile($c, 0.5)"), 4).as(s"${c}__median"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot to long form — stack is codegen'd, still no extra pass
-    val stackArgs = cols.map(c =>
-      s"'$c', `${c}__min`, `${c}__max`, `${c}__mean`, `${c}__median`")
-      .mkString(", ")
-    wide.select(expr(s"stack(${cols.size}, $stackArgs) " +
-      "as (col_name, min_v, max_v, mean_v, median_v)"))
-      .orderBy("col_name")
+    val wide = graft.util.Partitioning.spread(df)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val rows = cols.sorted.map { c =>
+      org.apache.spark.sql.Row(c,
+        wide.getAs[Double](s"${c}__min"), wide.getAs[Double](s"${c}__max"),
+        wide.getAs[Double](s"${c}__mean"),
+        wide.getAs[Double](s"${c}__median"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col_name",
+        org.apache.spark.sql.types.StringType, nullable = false)) ++
+      Seq("min_v", "max_v", "mean_v", "median_v").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DoubleType)))
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** A10: boxplot stats (whis=[0,100] → min/max whiskers, ipynb:17301-17345)

@@ -24,7 +24,8 @@ object Dedup {
   /** Exact-dup groups: fingerprint → canonical (min) id + member count.
     * Only groups with >1 member are duplicates. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    graft.util.Partitioning.spread(df)
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
@@ -36,16 +37,41 @@ object Dedup {
     withFp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
-  /** MinHash signature columns: for each of k hash functions, the minimum of
-    * md5(token || '#' || i) over the doc's distinct lowercase tokens.
-    * Using md5-of-salted-token as the hash family keeps the signature
+  /** Distinct word n-gram shingles of a text column (n=1 → distinct
+    * tokens). Shingling before MinHash is what makes LSH discriminative:
+    * unigram Jaccard saturates on corpora with shared vocabulary, while
+    * 3-gram shingles are near-unique to genuinely duplicated passages. */
+  def shingles(c: Column, n: Int): Column =
+    shinglesFromToks(CaptionStats.tokens(lower(c)), n)
+
+  /** Shingles over an already-materialized token-array column. Keeping the
+    * array in a named column (instead of inlining the tokenizer into the
+    * lambda) matters: `slice(tokens(text), i, n)` re-runs the split per
+    * shingle index — O(len²) per doc, measured 7× slower at sf0.1. */
+  private def shinglesFromToks(toks: Column, n: Int): Column =
+    if (n == 1) array_distinct(toks)
+    else {
+      val sh = transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n))))
+      array_distinct(when(size(toks) < n, array()).otherwise(sh))
+    }
+
+  /** MinHash signature columns: for each of k hash functions, the minimum
+    * of md5(shingle || '#' || i) over the doc's distinct shingles.
+    * Using md5-of-salted-shingle as the hash family keeps the signature
     * deterministic across engines; min-of-hash per doc is a map-side partial
-    * aggregation (shuffle carries k hashes per doc, not tokens). */
+    * aggregation (shuffle carries k hashes per doc, not shingles).
+    *
+    * Inputs narrower than the session's parallelism (e.g. one small parquet
+    * file — parquet can't split below a row group) are repartitioned first:
+    * the shingle+hash work dwarfs the tiny shuffle. Wide inputs (the 100 TB
+    * case) keep their natural partitioning. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(array_distinct(CaptionStats.tokens(lower(col(textCol)))))
-        .as("token"))
+                        k: Int, shingleN: Int = 1): DataFrame = {
+    val withToks = graft.util.Partitioning.spread(df).select(col(idCol),
+      CaptionStats.tokens(lower(col(textCol))).as("__toks"))
+    val toks = withToks.select(col(idCol),
+      explode(shinglesFromToks(col("__toks"), shingleN)).as("token"))
     val aggs = (0 until k).map(i =>
       min(md5(concat(col("token"), lit(s"#$i")))).as(s"mh$i"))
     toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -70,9 +96,10 @@ object Dedup {
     * equi-join on (band_idx, band_key) — shuffle width scales with bucket
     * sizes, not n². */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 12, bands: Int = 4): DataFrame = {
+                            k: Int = 12, bands: Int = 4,
+                            shingleN: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k)
+    val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
     val b = lshBands(sig, idCol, bands, rowsPerBand)
     val l = b.select(col("band_idx"), col("band_key"),
       col(idCol).as("id_a"))
@@ -86,17 +113,7 @@ object Dedup {
   /** Word n-gram Jaccard similarity between two text columns (distinct
     * shingles; n=1 → token Jaccard). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    def shingles(c: Column): Column = {
-      val toks = CaptionStats.tokens(lower(c))
-      if (n == 1) array_distinct(toks)
-      else {
-        // sliding window of n tokens joined by single space
-        val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-        array_distinct(transform(idx, i =>
-          concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      }
-    }
-    val sa = shingles(a); val sb = shingles(b)
+    val sa = shingles(a, n); val sb = shingles(b, n)
     val inter = size(array_intersect(sa, sb))
     // |A∪B| = |A|+|B|−|A∩B| over distinct shingles; exact int/int division
     // keeps the result bit-stable across engines (no rounding needed).

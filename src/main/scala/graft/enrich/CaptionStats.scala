@@ -92,23 +92,33 @@ object CaptionStats {
              posTagStats: Boolean = true,
              readabilityScores: Boolean = true): DataFrame = {
     val c = col(textCol)
-    val toks = tokens(c)
-    val slens = sentenceLengths(c)
+    // Materialize the token/sentence/tag arrays once as hidden columns:
+    // every downstream stat references the arrays instead of re-running
+    // split/filter per column. CollapseProject keeps multi-use non-trivial
+    // aliases materialized, so the tokenizer runs once per row, not ~25×.
+    val toks = col("__toks"); val sents = col("__sents")
+    val slens = col("__slens")
 
     var out = df
+      .withColumn("__toks", tokens(c))
+      .withColumn("__sents", sentences(c))
+      .withColumn("__slens", transform(sents, s => size(tokens(s))))
       .withColumn("num_tok", size(toks))
-      .withColumn("num_sent", size(sentences(c)))
+      .withColumn("num_sent", size(sents))
       .withColumn("min_sent_len",
         coalesce(array_min(slens), lit(0)).cast(IntegerType))
       .withColumn("max_sent_len",
         coalesce(array_max(slens), lit(0)).cast(IntegerType))
-      .withColumn("ne_texts", neTexts(c))
-      .withColumn("ne_types", neTypes(c))
-      .withColumn("num_ne", size(neTexts(c)))
+      .withColumn("ne_texts",
+        filter(toks, t => t.rlike("^[A-Z][a-zA-Z]*$")))
+      .withColumn("ne_types", transform(col("ne_texts"), t =>
+        when(t.rlike("^[A-Z]+$"), lit("ORG")).otherwise(lit("MISC"))))
+      .withColumn("num_ne", size(col("ne_texts")))
 
     if (posTagStats) {
-      val tags = posTags(c)
+      val tags = col("__tags")
       out = out
+        .withColumn("__tags", transform(toks, posTag(_)))
         .withColumn("num_nouns", countTag(tags, "NOUN"))
         .withColumn("num_propn", countTag(tags, "PROPN"))
         .withColumn("num_conj", countTag(tags, "CONJ"))
@@ -125,10 +135,15 @@ object CaptionStats {
     }
     if (readabilityScores) {
       out = out
-        .withColumn("fk_re_score", Readability.fleschReadingEase(c))
-        .withColumn("fk_gl_score", Readability.fleschKincaidGrade(c))
-        .withColumn("dc_score", Readability.daleChall(c))
+        .withColumn("__syl", Readability.totalSyllablesOf(toks))
+        .withColumn("fk_re_score", Readability.fleschReadingEaseOf(
+          col("__syl"), col("num_tok"), col("num_sent")))
+        .withColumn("fk_gl_score", Readability.fleschKincaidGradeOf(
+          col("__syl"), col("num_tok"), col("num_sent")))
+        .withColumn("dc_score", Readability.daleChallOf(
+          Readability.difficultWordsOf(toks), col("num_tok"),
+          col("num_sent")))
     }
-    out
+    out.drop("__toks", "__sents", "__slens", "__tags", "__syl")
   }
 }

@@ -39,7 +39,7 @@ object Ann {
                      query: DataFrame, queryVecCol: String,
                      k: Int): DataFrame = {
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
-    corpus.crossJoin(q)
+    graft.util.Partitioning.spread(corpus).crossJoin(q)
       .select(col(idCol),
         round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
@@ -74,8 +74,8 @@ object Ann {
     * threshold). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 8): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), nBits).as("__b"))
+    val b = graft.util.Partitioning.spread(corpus)
+      .select(col(idCol), col(vecCol), signBucket(col(vecCol), nBits).as("__b"))
     val l = b.select(col("__b"), col(idCol).as("id_a"),
       col(vecCol).as("__va"))
     val r = b.select(col("__b"), col(idCol).as("id_b"),

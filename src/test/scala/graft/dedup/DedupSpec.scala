@@ -41,11 +41,35 @@ class DedupSpec extends SparkSpec {
 
   test("LSH candidate pairs surface the near-dup, not the unrelated doc") {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-      k = 12, bands = 6)
+      k = 12, bands = 6, shingleN = 1) // unigram: tiny docs, high overlap
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs should contain(1L -> 2L)
     pairs should contain(1L -> 5L)
     pairs should not contain (1L -> 4L)
+  }
+
+  test("3-gram shingle LSH: exact dup found, high-overlap non-dup rejected") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // same vocabulary, different order → unigram-identical, not a dup
+      (3L, "kappa iota theta eta zeta epsilon delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+      k = 12, bands = 4, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain(1L -> 2L)
+    pairs should not contain (1L -> 3L) // shingles see the reordering
+    pairs should not contain (2L -> 3L)
+  }
+
+  test("shingles: short docs yield empty set, no ANSI slice error") {
+    import spark.implicits._
+    val out = Seq("one two", "a", "").toDF("text")
+      .select(Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3)
+        .as("s")).collect().map(_.getSeq[String](0))
+    all(out) shouldBe empty
   }
 
   test("ngram jaccard: identity 1.0, disjoint 0.0, order-free") {

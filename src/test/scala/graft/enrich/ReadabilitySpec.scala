@@ -38,4 +38,27 @@ class ReadabilitySpec extends SparkSpec {
     val pct = 100.0 * (1.0 / 2.0)
     r.getDouble(0) shouldBe (0.1579 * pct + 0.0496 * 2 + 3.6365) +- 1e-9
   }
+
+  test("native SyllableCount ≡ regexp formulation on real corpus + edges") {
+    import spark.implicits._
+    val regexpSyll = greatest(
+      org.apache.spark.sql.functions.size(
+        regexp_extract_all(lower(col("w")), lit("[aeiouy]+"), lit(0))),
+      lit(1))
+    val edge = Seq("", "b", "a", "AEIOU", "naïve", "Ärger", "x1y2",
+      "qu-eue", "ÿ", "crwth").toDF("w")
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(graft.enrich.CaptionStats.tokens(col("text")))
+        .as("w"))
+    for (df <- Seq(edge, corpus)) {
+      df.filter(graft.functions.SyllableCount(col("w")) =!= regexpSyll)
+        .count() shouldBe 0L
+    }
+  }
+
+  test("syllable_count registers as a SQL function") {
+    graft.functions.SyllableCount.register(spark)
+    spark.sql("SELECT syllable_count('beautiful') AS n")
+      .head().getInt(0) shouldBe 3
+  }
 }
