@@ -681,6 +681,104 @@ object Queries {
           ${dsumSql("value")} AS sum_value
         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""")),
 
+    // ---- K1/K2: sink round-trip (parquet + quoted CSV) --------------
+    // The reference persists metadata as columnar + a projected CSV
+    // (`wikicaps_etl_pipeline.py:226-240`); proven here by writing both
+    // sinks and reading the CSV back through the scan path.
+    QueryDef("k1_k2_sink_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}"
+        val src = t(s, dir, "documents").select("doc_id", "source", "text")
+        src.write.mode("overwrite").parquet(s"$out/meta") // K1
+        src.select("doc_id", "text").write.mode("overwrite")
+          .option("quoteAll", "true").option("header", "true")
+          .csv(s"$out/csv") // K2
+        s.read.option("header", "true").csv(s"$out/csv")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text FROM documents ORDER BY doc_id""")),
+
+    // ---- S4: nested-JSON flatten (COCO shape) -----------------------
+    // Build the nested annotation shape in-plan (source → list of docs),
+    // then flatten one row per annotation — `explode(col("ann"))` is the
+    // COCO mapping (`notebooks/coco.ipynb:231-241`).
+    QueryDef("s4_json_flatten",
+      (s, dir) => {
+        val nested = t(s, dir, "documents")
+          .groupBy("source")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("n_chars"))))
+            .as("annotations"))
+        nested.select(col("source"), explode(col("annotations")).as("ann"))
+          .select(col("source"), col("ann.doc_id").as("doc_id"),
+            col("ann.n_chars").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT source, doc_id, n_chars FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- A11: rollup (multi-level aggregate) ------------------------
+    // The notebook's dataset×backend×stat compare matrix (SURVEY.md §2.6)
+    // as a Spark rollup: per (lang, source), per lang, and grand total.
+    QueryDef("a11_rollup_matrix",
+      (s, dir) => t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          dsum(col("n_chars").cast("double")).as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+      Some(s"""SELECT lang, source, count(*) AS n_docs,
+          ${dsumSql("n_chars")} AS sum_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+        ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""")),
+
+    // ---- A12: distinct aggregates -----------------------------------
+    QueryDef("a12_distinct_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+          count(DISTINCT o_custkey) AS n_customers,
+          count(DISTINCT o_orderpriority) AS n_priorities,
+          count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- X7: ordered corpus concat + boundary truncate --------------
+    // The readability-corpus build (ipynb:17564-17584): concatenate
+    // captions into one bounded string. Deterministic via sorted
+    // collect_list (vs pandas implicit row order).
+    QueryDef("x7_corpus_concat",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(substring(
+          concat_ws(" ", sort_array(collect_list(col("text")))),
+          1, 2000).as("corpus_head"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+          substr(string_agg(text, ' ' ORDER BY text), 1, 2000)
+            AS corpus_head,
+          count(*) AS n_docs
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- T5: datetime feature extraction ----------------------------
+    QueryDef("t5_datetime_extract",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INTEGER) AS y,
+          CAST(month(o_orderdate) AS INTEGER) AS m,
+          CAST(day(o_orderdate) AS INTEGER) AS d,
+          CAST(quarter(o_orderdate) AS INTEGER) AS q
+        FROM orders ORDER BY o_orderkey""")),
+
     // ---- W2: ranking window (top-2 orders per customer) -------------
     QueryDef("w2_rank_window",
       (s, dir) => {

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -22,6 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SyllableCount(child: Expression) extends UnaryExpression {
 
+  // analyzer-time type check (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the check is spelled out)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"syllable_count requires a string argument, got ${child.dataType}")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "syllable_count"
 
@@ -77,8 +85,15 @@ object SyllableCount {
   def apply(c: Column): Column =
     Bridge.column(new SyllableCount(Bridge.expression(c)))
 
+  private[graft] def build(exprs: Seq[Expression]): SyllableCount = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"syllable_count requires exactly 1 argument, got ${exprs.length}")
+    SyllableCount(exprs.head)
+  }
+
   /** Register as SQL function `syllable_count`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "syllable_count", exprs => SyllableCount(exprs.head), "built-in")
+      "syllable_count", build, "built-in")
 }

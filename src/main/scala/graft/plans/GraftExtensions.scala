@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.SyllableCount
+
+/** Optimizer rule: rewrite the `functions`-only syllable formulation
+  *
+  *   greatest(size(regexp_extract_all(lower(w), '[aeiouy]+', 0)), 1)
+  *
+  * into the native codegen'd [[SyllableCount]] expression (same semantics,
+  * property-tested; ~5× cheaper — no lowercase copy, no match-list
+  * allocation). This lets SQL users and config-driven plans write the
+  * portable regexp form and still get the native operator — the classic
+  * "logical pattern → efficient physical expression" Catalyst move.
+  */
+object RewriteSyllableRegex extends Rule[LogicalPlan] {
+
+  private object SyllablePattern {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Greatest(Seq(
+        Size(RegExpExtractAll(Lower(word),
+          Literal(pat, _), Literal(idx, _)), _),
+        Literal(one, IntegerType)))
+        if pat != null && pat.toString == "[aeiouy]+" &&
+          idx == 0 && one == 1 =>
+        Some(word)
+      case Greatest(Seq(
+        Literal(one, IntegerType),
+        Size(RegExpExtractAll(Lower(word),
+          Literal(pat, _), Literal(idx, _)), _)))
+        if pat != null && pat.toString == "[aeiouy]+" &&
+          idx == 0 && one == 1 =>
+        Some(word)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case SyllablePattern(word) => SyllableCount(word)
+    }
+}
+
+/** Session extensions: `syllable_count` SQL function + the rewrite rule.
+  * Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("syllable_count"),
+      new ExpressionInfo(classOf[SyllableCount].getName, "syllable_count"),
+      (exprs: Seq[Expression]) => SyllableCount.build(exprs)))
+    e.injectOptimizerRule(_ => RewriteSyllableRegex)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Needs its own session (extensions bind at build time). */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate would silently reuse the suite-wide session and the
+    // extensions would never bind — force a fresh session (shares the
+    // SparkContext, gets its own state incl. extensions)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("syllable_count SQL function is injected") {
+    spark.sql("SELECT syllable_count('readability') AS n")
+      .head().getInt(0) shouldBe 5
+  }
+
+  test("optimizer rewrites the regexp syllable pattern to SyllableCount") {
+    // parquet-backed input: literals and local relations are folded by
+    // ConstantFolding/ConvertToLocalRelation before the plan is inspectable
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_ext")
+    val df = spark.sql(
+      """SELECT greatest(size(regexp_extract_all(lower(text),
+        '[aeiouy]+', 0)), 1) AS n FROM docs_ext""")
+    df.queryExecution.optimizedPlan.toString should include("syllable_count")
+    df.count() should be > 0L
+    val df2 = spark.sql(
+      """SELECT greatest(1, size(regexp_extract_all(lower(text),
+        '[aeiouy]+', 0))) AS n FROM docs_ext""")
+    df2.queryExecution.optimizedPlan.toString should include("syllable_count")
+  }
+
+  test("other greatest/regexp shapes are left untouched") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_ext2")
+    val df = spark.sql(
+      """SELECT greatest(size(regexp_extract_all(lower(text),
+        '[abc]+', 0)), 1) AS n FROM docs_ext2""")
+    df.queryExecution.optimizedPlan.toString should not include
+      "syllable_count"
+  }
+}
