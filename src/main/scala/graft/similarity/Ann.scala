@@ -74,14 +74,20 @@ object Ann {
     * threshold). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 8): DataFrame = {
+    // norm per VECTOR (n rows), not per pair (n²/buckets rows) — the
+    // value is identical (deterministic fold), the work is 3× less
     val b = graft.util.Partitioning.spread(corpus)
-      .select(col(idCol), col(vecCol), signBucket(col(vecCol), nBits).as("__b"))
+      .select(col(idCol), col(vecCol),
+        signBucket(col(vecCol), nBits).as("__b"),
+        l2Norm(col(vecCol)).as("__n"))
     val l = b.select(col("__b"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
+      col(vecCol).as("__va"), col("__n").as("__na"))
     val r = b.select(col("__b"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val cos = when(col("__na") === 0.0 || col("__nb") === 0.0, 0.0)
+      .otherwise(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
     l.join(r, Seq("__b")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 4))
+      .withColumn("cos_sim", round(cos, 4))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }

