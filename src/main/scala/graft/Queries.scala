@@ -666,6 +666,83 @@ object Queries {
         WHERE cos_sim >= 0.2 ORDER BY id_a, id_b"""
       }),
 
+    // ---- D6: end-to-end near-dedup (LSH candidates → Jaccard verify →
+    // greedy keep-first drop) -----------------------------------------
+    QueryDef("d6_near_dedup",
+      (s, dir) => Dedup.dropNearDups(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some {
+        val mins = (0 until 12).map(i =>
+          s"min(md5(token || '#$i')) AS mh$i").mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
+          s"SELECT doc_id, $b AS band_idx, " +
+            s"md5(concat_ws('|', ${cs.mkString(", ")})) AS band_key FROM sig"
+        }.mkString(" UNION ALL ")
+        val tri = """list_distinct(CASE WHEN len(toks) < 3 THEN []
+          ELSE list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"""
+        val inter = "len(list_filter(a.s, x -> list_contains(b.s, x)))"
+        s"""WITH base AS (
+          SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+        shs AS (SELECT doc_id, $tri AS s FROM base),
+        tok AS (SELECT doc_id, unnest(s) AS token FROM shs),
+        sig AS (SELECT doc_id, $mins FROM tok GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT id_a, id_b FROM cand p
+          JOIN shs a ON a.doc_id = p.id_a
+          JOIN shs b ON b.doc_id = p.id_b
+          WHERE (CASE WHEN (len(a.s) + len(b.s) - $inter) = 0 THEN 0.0
+            ELSE CAST($inter AS DOUBLE)
+              / (len(a.s) + len(b.s) - $inter) END) >= 0.5)
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM verified)
+        ORDER BY doc_id"""
+      }),
+
+    // ---- N3: IVF top-k (probe nearest cells only) -------------------
+    QueryDef("n3_ivf_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.ivfTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding",
+          k = 10, nCentroids = 8, nProbe = 2)
+          .orderBy(desc("cos_sim"), col("vec_id"))
+      },
+      Some {
+        val assignCos = cosineSql("e.embedding", "c.ce")
+        val probeCos = cosineSql("q.qe", "c.ce")
+        val finalCos = cosineSql("a.embedding", "q.qe")
+        s"""WITH cent AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $assignCos DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid, $probeCos AS cs FROM cent c, q
+            ORDER BY cs DESC, c.cid LIMIT 2)),
+        res AS (
+          SELECT a.vec_id, round($finalCos, 4) AS cos_sim
+          FROM assign a JOIN probes USING (cid), q)
+        SELECT vec_id, cos_sim FROM res
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+      }),
+
     // ---- W1: tumbling-window aggregation over events ----------------
     QueryDef("w1_event_window",
       (s, dir) => events(s, dir)

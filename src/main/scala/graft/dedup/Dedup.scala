@@ -110,6 +110,45 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** End-to-end near-duplicate detection: LSH candidates verified by
+    * true shingle-Jaccard. Returns (id_a, id_b, jaccard) for verified
+    * pairs (a < b, jaccard ≥ threshold).
+    *
+    * The shingle sets are computed ONCE per doc and joined to the
+    * candidate pairs — verification work is O(candidates), never O(n²),
+    * and the Jaccard formula is the exact-int-division form that
+    * hash-matches a SQL oracle. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 12, bands: Int = 4,
+                   shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidatePairs(df, idCol, textCol, k, bands, shingleN)
+    val sh = graft.util.Partitioning.spread(df)
+      .select(col(idCol), col(textCol))
+      .withColumn("__toks", CaptionStats.tokens(lower(col(textCol))))
+      .select(col(idCol), shinglesFromToks(col("__toks"), shingleN).as("__s"))
+    val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
+    val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val uni = size(col("__sa")) + size(col("__sb")) - inter
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        when(uni === 0, 0.0).otherwise(inter.cast("double") / uni))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dedup: drop every doc verified near-duplicate of a lower-id
+    * doc (greedy keep-first policy — the standard corpus-dedup rule;
+    * full connected components would need an iterative join or graph
+    * library). */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 12, bands: Int = 4,
+                   shingleN: Int = 3): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, k, bands,
+      shingleN).select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (distinct
     * shingles; n=1 → token Jaccard). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

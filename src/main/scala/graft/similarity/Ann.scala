@@ -69,6 +69,56 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: assign every vector to its
+    * nearest-by-cosine centroid. Centroids are the `nCentroids`
+    * lowest-id vectors — a deterministic seed choice (real deployments
+    * run k-means; the assignment/search machinery is identical and a
+    * Lloyd step is just re-aggregating means per cell).
+    *
+    * Scale shape: centroids broadcast (tiny), assignment is map-only
+    * over the corpus, and a query probes only `nProbe` cells — corpus
+    * scanned per query shrinks by ~nProbe/nCentroids. Partition (or
+    * bucket) the stored corpus by `cid` and a probe reads only those
+    * partitions.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("__ce")))
+    val scored = graft.util.Partitioning.spread(corpus)
+      .crossJoin(centroids)
+      .withColumn("__cs", cosine(col(vecCol), col("__ce")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("__cs"), col("cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+  }
+
+  /** IVF top-k: probe the query's `nProbe` nearest cells, brute-force
+    * only inside them. Same output schema as bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, nCentroids)
+    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("__ce"))
+    val q = broadcast(query.select(col(queryVecCol).as("__q")))
+    val probes = broadcast(
+      q.crossJoin(centroids)
+        .withColumn("__cs", cosine(col("__q"), col("__ce")))
+        .orderBy(desc("__cs"), col("cid")).limit(nProbe)
+        .select("cid"))
+    assigned.join(probes, "cid")
+      .crossJoin(q)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared sign-bucket
     * (candidate generation = equi-join on bucket, verification = cosine
     * threshold). */

@@ -99,4 +99,23 @@ class DedupSpec extends SparkSpec {
     val hamming = sh(1L).zip(sh(5L)).count { case (a, b) => a != b }
     hamming should be <= 4
   }
+
+  test("nearDupPairs verifies candidates; dropNearDups keeps first") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "totally different words about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain(1L -> 2L) // exact dup: jaccard 1.0
+    pairs should not contain (1L -> 4L)
+    val kept = Dedup.dropNearDups(d, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept should contain(1L)  // canonical survives
+    kept should not contain 2L
+    kept should contain(4L)
+  }
 }

@@ -54,4 +54,21 @@ class AnnSpec extends SparkSpec {
       r.getDouble(2) should be >= 0.2
     }
   }
+
+  test("IVF: probes restrict search, self always found, subset of brute") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", q, "embedding",
+      k = 10, nCentroids = 8, nProbe = 2).collect()
+    ivf.length shouldBe 10
+    ivf.head.getLong(0) shouldBe 0L // query assigned to its own cell
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q,
+      "embedding", 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => brute(r.getLong(0)) shouldBe r.getDouble(1) +- 1e-9)
+    // assignment is total: every vector lands in exactly one cell
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", 8)
+    assigned.count() shouldBe emb.count()
+    assigned.select("cid").distinct().count() should be <= 8L
+  }
 }
