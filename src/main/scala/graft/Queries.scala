@@ -883,6 +883,52 @@ object Queries {
           CAST(quarter(o_orderdate) AS INTEGER) AS q
         FROM orders ORDER BY o_orderkey""")),
 
+    // ---- W3: batch sessionization (gap-based) -----------------------
+    // Session id = running count of gap-breaks per user (lag + cumulative
+    // sum) — the batch twin of Streams.sessionize; one shuffle on user_id.
+    QueryDef("w3_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+                1800L * 1000000L,
+              1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        ev.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH marked AS (
+          SELECT user_id, value,
+            CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END
+              AS new_session,
+            ts, event_id
+          FROM (
+            SELECT user_id, value, ts, event_id,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev_ts
+            FROM events)),
+        sessions AS (
+          SELECT user_id, value,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+          FROM marked)
+        SELECT user_id, session_id, count(*) AS n_events,
+          ${dsumSql("value")} AS total_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
     // ---- W2: ranking window (top-2 orders per customer) -------------
     QueryDef("w2_rank_window",
       (s, dir) => {

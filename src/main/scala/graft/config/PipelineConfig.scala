@@ -81,7 +81,10 @@ object PipelineConfig {
         var i = from
         while (i < until) {
           if (indentOf(lines(i)) == indent) {
-            val Array(k, v) = lines(i).trim.split(":", 2)
+            // tolerate colon-less junk lines instead of MatchError
+            val parts = lines(i).trim.split(":", 2)
+            val (k, v) =
+              if (parts.length == 2) (parts(0), parts(1)) else (parts(0), "")
             var j = i + 1
             while (j < until && indentOf(lines(j)) > indent) j += 1
             if (v.trim.nonEmpty) m += k.trim -> scalar(v)

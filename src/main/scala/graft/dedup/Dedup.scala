@@ -100,7 +100,12 @@ object Dedup {
                             shingleN: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
+    // persist: the self-join below references the band table twice, and
+    // without materialization Spark recomputes the whole shingle+minhash
+    // pipeline per side (seen in the physical plan — two full
+    // Generate→Aggregate chains). Size is (bands × docs) short rows.
     val b = lshBands(sig, idCol, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("band_idx"), col("band_key"),
       col(idCol).as("id_a"))
     val r = b.select(col("band_idx"), col("band_key"),

@@ -60,4 +60,10 @@ class PipelineConfigSpec extends SparkSpec {
     c.filters shouldBe Nil
     c.transformations shouldBe Nil
   }
+
+  test("colon-less junk lines are tolerated, not MatchError") {
+    val c = PipelineConfig.fromYaml(
+      "run:\n  extract: true\njunkline\noutput:\n  dir: /tmp/x\n")
+    c.outputDir shouldBe "/tmp/x"
+  }
 }
