@@ -531,6 +531,48 @@ object Queries {
             AS fingerprint
         FROM documents ORDER BY doc_id""")),
 
+    // ---- T6: PII-style redaction (training-data cleaning) -----------
+    // Deterministic regex redaction of email-, URL- and long-digit-run-
+    // shaped spans — the standard pre-training scrub, as codegen'd
+    // replaces (map-only at scale).
+    QueryDef("t6_redact",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+              "https?://[^\\s]+", "<URL>"),
+            "[0-9]{6,}", "<NUM>").as("clean_text"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- O7: deterministic stratified sample (n per group) ----------
+    // Per-language quota via md5-rank — the stratified twin of O5;
+    // one shuffle on the stratum key.
+    QueryDef("o7_stratified_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select("lang", "doc_id", "rk")
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, rk""")),
+
     // ---- D1: exact dedup groups -------------------------------------
     QueryDef("d1_exact_dedup",
       (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
