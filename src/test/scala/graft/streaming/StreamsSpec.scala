@@ -68,4 +68,29 @@ class StreamsSpec extends SparkSpec {
     u7(1).n_events shouldBe 1
     sessions.count(_.user_id == 9L) shouldBe 1
   }
+
+  test("sessionize runs as a real mapGroupsWithState streaming query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[Streams.Event]
+    input.addData(
+      Streams.Event(1, t(0), 7L, "click", 1.0),
+      Streams.Event(2, t(10), 7L, "click", 2.0),
+      Streams.Event(3, t(5), 9L, "view", 8.0))
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT * FROM sessions_out").as[Streams.Session]
+      .collect()
+    val u7 = out.filter(_.user_id == 7L).maxBy(_.n_events)
+    u7.n_events shouldBe 2
+    u7.total shouldBe 3.0
+    out.exists(_.user_id == 9L) shouldBe true
+  }
 }
