@@ -45,7 +45,11 @@ object Queries {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // floor division (negative-safe): `div` truncates toward zero,
+      // which would put pre-epoch timestamps 1µs later than DuckDB
+      raw.withColumn("ts", expr(
+        "timestamp_micros(ts div 1000 - (CASE WHEN ts % 1000 < 0 " +
+          "THEN 1 ELSE 0 END))"))
     else raw
   }
 
@@ -231,7 +235,7 @@ object Queries {
     QueryDef("a1_vocab",
       (s, dir) => Vocab.generate(t(s, dir, "documents"), "text"),
       Some(s"""WITH toks AS (
-          SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+          SELECT unnest(${toksSql("text")}) AS token FROM documents)
         SELECT token, ${posCaseSql("token")} AS pos, count(*) AS count
         FROM toks GROUP BY token, pos
         ORDER BY count DESC, token ASC, pos ASC""")),
@@ -812,7 +816,10 @@ object Queries {
         src.select("doc_id", "text").write.mode("overwrite")
           .option("quoteAll", "true").option("header", "true")
           .csv(s"$out/csv") // K2
-        s.read.option("header", "true").csv(s"$out/csv")
+        // multiLine: quoted texts may embed newlines; emptyValue keeps
+        // quoted empty strings as "" instead of null on read-back
+        s.read.option("header", "true").option("multiLine", "true")
+          .option("emptyValue", "").csv(s"$out/csv")
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .orderBy("doc_id")
       },

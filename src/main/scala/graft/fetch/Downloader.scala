@@ -37,7 +37,8 @@ object Downloader {
       .replace(' ', '_')
     val name =
       if (stripped.isEmpty) stripped
-      else stripped.substring(0, 1).toUpperCase + stripped.substring(1)
+      else stripped.substring(0, 1).toUpperCase(java.util.Locale.ROOT) +
+        stripped.substring(1)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(name.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

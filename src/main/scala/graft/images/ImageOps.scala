@@ -140,27 +140,33 @@ object ImageOps {
   }
 
   /** Path-based driver (reference flow: files on disk, paths in the
-    * table): read → chain → write alongside with suffix; returns success
-    * flag column. The write is idempotent (same input → same output path),
-    * so task retries are safe (R4). */
+    * table): read source → chain → write to a DISTINCT output path
+    * (`x.png` → `x.t.png`, or `x.webp` for webp chains); returns the new
+    * path + success flag. Writing alongside (instead of the reference's
+    * in-place save, `compression_transformation.py:14-16`) is what makes
+    * task retries and pipeline re-runs idempotent (R4): a retry re-reads
+    * the untouched ORIGINAL, never re-compresses its own output. */
   def transformFiles(df: DataFrame, pathCol: String,
                      chain: Seq[graft.config.TransformCfg]): DataFrame = {
     val chainLocal = chain
     val f = udf((path: String) => {
       if (path == null) null
       else try {
-        val in = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path))
-        applyChain(in, chainLocal) match {
-          case Some(out) =>
-            val rewritten =
-              if (chainLocal.exists(_.name == "webp"))
-                path.replaceAll("\\.[A-Za-z]+$", ".webp")
-              else path
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(rewritten), out)
-            rewritten
-          case None => null
+        val rewritten =
+          if (chainLocal.exists(_.name == "webp"))
+            path.replaceAll("\\.[A-Za-z]+$", ".webp")
+          else path.replaceAll("(\\.[A-Za-z]+)$", ".t$1")
+        val outPath = java.nio.file.Paths.get(rewritten)
+        if (java.nio.file.Files.exists(outPath)) rewritten // retry skip
+        else {
+          val in = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path))
+          applyChain(in, chainLocal) match {
+            case Some(out) =>
+              java.nio.file.Files.write(outPath, out)
+              rewritten
+            case None => null
+          }
         }
       } catch { case _: Exception => null }
     })

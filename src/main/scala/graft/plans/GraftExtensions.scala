@@ -42,7 +42,12 @@ object RewriteSyllableRegex extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case SyllablePattern(word) => SyllableCount(word)
+      // coalesce(…, 1) preserves NULL semantics: `greatest` SKIPS null
+      // inputs (NULL word → greatest(NULL, 1) = 1) while the
+      // null-intolerant SyllableCount returns NULL — the rewrite must not
+      // change results for nullable columns
+      case SyllablePattern(word) =>
+        Coalesce(Seq(SyllableCount(word), Literal(1)))
     }
 }
 

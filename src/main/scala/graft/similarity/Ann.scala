@@ -81,12 +81,21 @@ object Ann {
     * bucket) the stored corpus by `cid` and a probe reads only those
     * partitions.
     */
+  /** Deterministic centroid table: the `nCentroids` lowest-id vectors. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int): DataFrame =
+    broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("__ce")))
+
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                nCentroids: Int): DataFrame = {
+                nCentroids: Int): DataFrame =
+    ivfAssignTo(corpus, idCol, vecCol,
+      ivfCentroids(corpus, idCol, vecCol, nCentroids))
+
+  /** Assignment against a given (broadcast) centroid table. */
+  def ivfAssignTo(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).as("__ce")))
     val scored = graft.util.Partitioning.spread(corpus)
       .crossJoin(centroids)
       .withColumn("__cs", cosine(col(vecCol), col("__ce")))
@@ -102,9 +111,8 @@ object Ann {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val assigned = ivfAssign(corpus, idCol, vecCol, nCentroids)
-    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("__ce"))
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    val assigned = ivfAssignTo(corpus, idCol, vecCol, centroids)
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
     val probes = broadcast(
       q.crossJoin(centroids)

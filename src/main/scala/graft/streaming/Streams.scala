@@ -50,36 +50,48 @@ object Streams {
         col("n"), col("sum_value"))
 
   /** Stateful sessionization: events within `gapMinutes` of each other
-    * belong to one session per user; timeout closes the session. */
+    * belong to one session per user. Gap-crossing events EMIT the
+    * completed session (closed=true) and open a new one — hence
+    * `flatMapGroupsWithState`, which can emit zero-or-many sessions per
+    * group per batch (a `mapGroupsWithState` fold would silently drop
+    * every session but the last). The open session lives in state and is
+    * emitted closed on processing-time timeout. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
   : Dataset[Session] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[Session, Session](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[Session]) =>
           if (state.hasTimedOut) {
             val s = state.get.copy(closed = true)
             state.remove()
-            s
+            Iterator(s)
           } else {
             val evs = it.toSeq.sortBy(_.ts.getTime)
-            val prev = state.getOption
-            val merged = evs.foldLeft(prev) { (acc, e) =>
-              acc match {
+            var open = state.getOption
+            val emitted = Seq.newBuilder[Session]
+            evs.foreach { e =>
+              open match {
                 case Some(s)
                   if e.ts.getTime - s.end.getTime <= gapMinutes * 60000L =>
-                  Some(s.copy(n_events = s.n_events + 1,
+                  open = Some(s.copy(n_events = s.n_events + 1,
                     total = s.total + e.value, end = e.ts))
-                case _ =>
-                  Some(Session(uid, 1, e.value, e.ts, e.ts, closed = false))
+                case Some(s) => // gap crossed: close + emit, start fresh
+                  emitted += s.copy(closed = true)
+                  open = Some(Session(uid, 1, e.value, e.ts, e.ts,
+                    closed = false))
+                case None =>
+                  open = Some(Session(uid, 1, e.value, e.ts, e.ts,
+                    closed = false))
               }
             }
-            merged.foreach { s =>
+            open.foreach { s =>
               state.update(s)
               state.setTimeoutDuration(s"$gapMinutes minutes")
             }
-            merged.getOrElse(Session(uid, 0, 0, null, null, closed = true))
+            emitted.result().iterator
           }
       }
   }

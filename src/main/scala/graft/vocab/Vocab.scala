@@ -19,10 +19,13 @@ import graft.enrich.CaptionStats
 object Vocab {
 
   /** (token, pos, count) sorted by count desc, token/pos asc as a
-    * deterministic tiebreak (reference sorts by count only, `utils.py:178`). */
+    * deterministic tiebreak (reference sorts by count only, `utils.py:178`).
+    * Tokens keep their ORIGINAL case (the reference counts spaCy
+    * `tok.text`, `utils.py:163-165`) — lowercasing first would make the
+    * capitalization-driven PROPN tag unreachable. */
   def generate(df: DataFrame, textCol: String): DataFrame = {
     val toks = df.select(
-      explode(CaptionStats.tokens(lower(col(textCol)))).as("token"))
+      explode(CaptionStats.tokens(col(textCol))).as("token"))
       .withColumn("pos", CaptionStats.posTag(col("token")))
     toks.groupBy("token", "pos").agg(count(lit(1)).as("count"))
       .orderBy(desc("count"), asc("token"), asc("pos"))

@@ -79,18 +79,24 @@ class StreamsSpec extends SparkSpec {
     input.addData(
       Streams.Event(1, t(0), 7L, "click", 1.0),
       Streams.Event(2, t(10), 7L, "click", 2.0),
-      Streams.Event(3, t(5), 9L, "view", 8.0))
+      Streams.Event(3, t(100), 7L, "click", 4.0), // > 30 min gap
+      Streams.Event(4, t(5), 9L, "view", 8.0))
     val q = Streams.sessionize(input.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions_out")
-      .outputMode(OutputMode.Update())
+      .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(60000)
     val out = spark.sql("SELECT * FROM sessions_out").as[Streams.Session]
       .collect()
-    val u7 = out.filter(_.user_id == 7L).maxBy(_.n_events)
-    u7.n_events shouldBe 2
-    u7.total shouldBe 3.0
-    out.exists(_.user_id == 9L) shouldBe true
+    // the gap-crossing event must EMIT the completed first session
+    // (the mapGroupsWithState formulation silently dropped it)
+    val u7 = out.filter(_.user_id == 7L)
+    u7.length shouldBe 1
+    u7.head.n_events shouldBe 2
+    u7.head.total shouldBe 3.0
+    u7.head.closed shouldBe true
+    // open sessions (u9, and u7's second) stay in state, not emitted
+    out.exists(_.user_id == 9L) shouldBe false
   }
 }
