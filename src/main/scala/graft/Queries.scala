@@ -42,16 +42,8 @@ object Queries {
     * rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set in
     * Verify/Bench) `ts` arrives as nanos-since-epoch LONG. Floor-convert to
     * microseconds — exactly what DuckDB does natively (µs timestamps). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    if (raw.schema("ts").dataType.typeName == "long")
-      // floor division (negative-safe): `div` truncates toward zero,
-      // which would put pre-epoch timestamps 1µs later than DuckDB
-      raw.withColumn("ts", expr(
-        "timestamp_micros(ts div 1000 - (CASE WHEN ts % 1000 < 0 " +
-          "THEN 1 ELSE 0 END))"))
-    else raw
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.util.Timestamps.nanosLongToMicros(t(s, dir, "events"), "ts")
 
   // ---------------------------------------------------------------- SQL
   // fragments (DuckDB dialect) mirroring CaptionStats/TextAnalysis exprs.

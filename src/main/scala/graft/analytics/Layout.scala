@@ -28,8 +28,12 @@ object Layout {
     * decomposable this way (associative merge). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      saltBuckets: Int): DataFrame = {
+    // spark_partition_id is stable under task recomputation (same
+    // lineage → same partition → same id), unlike
+    // monotonically_increasing_id-derived salts which can double-count
+    // rows when a map task is recomputed after a fetch failure
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(spark_partition_id(), lit(saltBuckets)))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol).cast("decimal(24,6)")).as("__psum"),
         count(lit(1)).as("__pcnt"))

@@ -80,9 +80,18 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     * I1–I4 over the downloaded files, success-mask filter F4. */
   def transform(): DataFrame = {
     val meta = spark.read.parquet(out("metadata_filtered"))
-    if (cfg.transformations.isEmpty || !meta.columns.contains("image_path"))
+    if (cfg.transformations.isEmpty || !meta.columns.contains("image_path")) {
+      // remove any stale transformed checkpoint from an earlier run with
+      // a different chain, or load() would publish last run's data
+      val stale = new java.io.File(out("metadata_transformed"))
+      if (stale.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(stale)
+      }
       meta
-    else {
+    } else {
       val done = ImageOps.transformFiles(meta, "image_path",
         cfg.transformations)
       val kept = done.filter(col("transform_ok")) // F4

@@ -28,8 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object ImageOps {
 
-  final case class Decoded(img: BufferedImage) extends AnyVal
-
   private def decode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
@@ -152,10 +150,13 @@ object ImageOps {
     val f = udf((path: String) => {
       if (path == null) null
       else try {
-        val rewritten =
+        val sub =
           if (chainLocal.exists(_.name == "webp"))
-            path.replaceAll("\\.[A-Za-z]+$", ".webp")
-          else path.replaceAll("(\\.[A-Za-z]+)$", ".t$1")
+            path.replaceAll("\\.[A-Za-z0-9]+$", ".webp")
+          else path.replaceAll("(\\.[A-Za-z0-9]+)$", ".t$1")
+        // extension-less paths make the rewrite a no-op; the output must
+        // NEVER alias the source or 'exists' falsely reports success
+        val rewritten = if (sub == path) path + ".t" else sub
         val outPath = java.nio.file.Paths.get(rewritten)
         if (java.nio.file.Files.exists(outPath)) rewritten // retry skip
         else {
@@ -163,7 +164,14 @@ object ImageOps {
             java.nio.file.Paths.get(path))
           applyChain(in, chainLocal) match {
             case Some(out) =>
-              java.nio.file.Files.write(outPath, out)
+              // temp + atomic move: a task killed mid-write must not
+              // leave a truncated output that retries then accept
+              val tmp = java.nio.file.Paths.get(
+                rewritten + ".inprogress")
+              java.nio.file.Files.write(tmp, out)
+              java.nio.file.Files.move(tmp, outPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               rewritten
             case None => null
           }

@@ -31,9 +31,7 @@ object Streams {
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    graft.util.Timestamps.nanosLongToMicros(raw, "ts")
   }
 
   /** Watermarked tumbling-window count/sum per event_type. */
@@ -56,10 +54,28 @@ object Streams {
     * group per batch (a `mapGroupsWithState` fold would silently drop
     * every session but the last). The open session lives in state and is
     * emitted closed on processing-time timeout. */
+  /** Pure per-event merge step shared by the streaming state function and
+    * tests: returns (new open session, optionally emitted closed session).
+    * Out-of-order safe: a late event must not regress the session end (or
+    * a subsequent in-gap event would be falsely split off); start likewise
+    * only moves earlier. */
+  def mergeEvent(uid: Long, open: Option[Session], e: Event,
+                 gapMs: Long): (Session, Option[Session]) =
+    open match {
+      case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+        (s.copy(n_events = s.n_events + 1, total = s.total + e.value,
+          start = if (e.ts.before(s.start)) e.ts else s.start,
+          end = if (e.ts.after(s.end)) e.ts else s.end), None)
+      case other => // gap crossed (emit old) or no session yet
+        (Session(uid, 1, e.value, e.ts, e.ts, closed = false),
+          other.map(_.copy(closed = true)))
+    }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
   : Dataset[Session] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
+    val gapMs = gapMinutes * 60000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
@@ -73,19 +89,9 @@ object Streams {
             var open = state.getOption
             val emitted = Seq.newBuilder[Session]
             evs.foreach { e =>
-              open match {
-                case Some(s)
-                  if e.ts.getTime - s.end.getTime <= gapMinutes * 60000L =>
-                  open = Some(s.copy(n_events = s.n_events + 1,
-                    total = s.total + e.value, end = e.ts))
-                case Some(s) => // gap crossed: close + emit, start fresh
-                  emitted += s.copy(closed = true)
-                  open = Some(Session(uid, 1, e.value, e.ts, e.ts,
-                    closed = false))
-                case None =>
-                  open = Some(Session(uid, 1, e.value, e.ts, e.ts,
-                    closed = false))
-              }
+              val (next, closedOut) = mergeEvent(uid, open, e, gapMs)
+              closedOut.foreach(emitted += _)
+              open = Some(next)
             }
             open.foreach { s =>
               state.update(s)

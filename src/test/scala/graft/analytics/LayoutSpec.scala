@@ -14,7 +14,9 @@ class LayoutSpec extends SparkSpec {
       .select("o_orderkey", "o_totalprice")
     Layout.writeBucketed(li, "li_b", "l_orderkey", 8)
     Layout.writeBucketed(o, "o_b", "o_orderkey", 8)
-    // disable broadcast so the join strategy must rely on the bucket layout
+    // disable broadcast so the join strategy must rely on the bucket
+    // layout; restore the SAVED value after (shared-session contract)
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("li_b")
@@ -25,7 +27,7 @@ class LayoutSpec extends SparkSpec {
       plan should not include "Exchange hashpartitioning"
       joined.count() shouldBe li.count() // every lineitem has its order
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS o_b")
     }

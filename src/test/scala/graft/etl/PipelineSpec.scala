@@ -134,6 +134,21 @@ class PipelineSpec extends SparkSpec {
     urls.head should endWith("Malham_Cove_%285841%29.jpg")
     urls(1) should include("Special:FilePath/")
   }
+
+  test("stale metadata_transformed from an earlier run is not published") {
+    import spark.implicits._
+    val outd = Files.createTempDirectory("stale").toString
+    Seq((1L, "keep me", "cap")).toDF("wikicaps_id", "wikimedia_file",
+      "caption").write.parquet(s"$outd/metadata_filtered")
+    Seq((99L, "STALE", "old")).toDF("wikicaps_id", "wikimedia_file",
+      "caption").write.parquet(s"$outd/metadata_transformed")
+    val p = new Pipeline(spark,
+      graft.config.PipelineConfig(outputDir = outd)) // empty chain
+    p.transform(); p.load()
+    val fin = spark.read.parquet(s"$outd/metadata_final")
+    fin.count() shouldBe 1
+    fin.head().getLong(0) shouldBe 1L // not the stale 99
+  }
 }
 
 object PipelineSpec {

@@ -85,4 +85,19 @@ class ImageOpsSpec extends SparkSpec {
     m(1L) shouldBe ((33, 21, true))
     m(2L) shouldBe ((0, 0, false))
   }
+
+  test("extension-less paths get a distinct output, never alias source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("noext").toFile
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir + "/noext"), Fixtures.png(50, 50))
+    val r = ImageOps.transformFiles(Seq(dir + "/noext").toDF("p"), "p",
+      Seq(graft.config.TransformCfg("resize",
+        Map("max_width" -> "10", "max_height" -> "10")))).head()
+    r.getString(1) should not be (dir + "/noext")
+    r.getBoolean(2) shouldBe true
+    // the original must be untouched
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "/noext")) shouldBe Fixtures.png(50, 50)
+  }
 }

@@ -12,10 +12,7 @@ class StreamsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("stream").toFile.getAbsolutePath
     // copy a slice of events to a standalone stream source dir
     val src = spark.read.parquet(s"$sf0001/events.parquet")
-    val ev =
-      if (src.schema("ts").dataType.typeName == "long")
-        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else src
+    val ev = graft.util.Timestamps.nanosLongToMicros(src, "ts")
     ev.write.parquet(s"$dir/src")
 
     val streamed = Streams.backfillWindowed(spark, s"$dir/src",
@@ -98,5 +95,27 @@ class StreamsSpec extends SparkSpec {
     u7.head.closed shouldBe true
     // open sessions (u9, and u7's second) stay in state, not emitted
     out.exists(_.user_id == 9L) shouldBe false
+  }
+
+  test("cross-batch out-of-order event does not split the session") {
+    // drives the shared mergeEvent step (the exact code the streaming
+    // state function folds with) in cross-batch arrival order
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val gapMs = 30 * 60000L
+    def ev(id: Long, min: Int) = Streams.Event(id, t(min), 7L, "c", 1.0)
+    var open: Option[Streams.Session] = None
+    var emitted = List.empty[Streams.Session]
+    // batch 1: t0, t10; batch 2: late t5; batch 3: t39 (29 min after t10)
+    Seq(ev(1, 0), ev(2, 10), ev(3, 5), ev(4, 39)).foreach { e =>
+      val (next, closed) = Streams.mergeEvent(7L, open, e, gapMs)
+      closed.foreach(c => emitted ::= c)
+      open = Some(next)
+    }
+    // before the fix the late t5 regressed end to t5, so t39 (34 min
+    // later) falsely closed the session; with max() no session closes
+    emitted shouldBe empty
+    open.get.n_events shouldBe 4
+    open.get.end shouldBe t(39)
+    open.get.start shouldBe t(0)
   }
 }

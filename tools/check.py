@@ -23,7 +23,9 @@ def canon(rows, ncols):
             if isinstance(v, float):
                 r.append(("f", round(v, 9) if not math.isnan(v) else "nan"))
             elif isinstance(v, list):
-                r.append(("l", tuple(str(x) for x in v)))
+                r.append(("l", tuple(
+                    round(x, 9) if isinstance(x, float) else str(x)
+                    for x in v)))
             else:
                 r.append((type(v).__name__, str(v)))
         out.append(tuple(r))
