@@ -428,24 +428,34 @@ object Queries {
         FROM b2 ORDER BY doc_id""")),
 
     // ---- NE lists (ArrayType columns) -------------------------------
+    // The synthetic corpus is all-lowercase, which would leave every NE
+    // list empty (a vacuous check) — capitalize the leading character
+    // in-plan so extraction genuinely fires on every doc.
     QueryDef("e2_ne_lists",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          CaptionStats.neTexts(col("text")).as("ne_texts"),
-          CaptionStats.neTypes(col("text")).as("ne_types"),
-          size(CaptionStats.neTexts(col("text"))).as("num_ne"))
-        .orderBy("doc_id"),
-      Some(s"""SELECT doc_id,
-          list_filter(${toksSql("text")},
+      (s, dir) => {
+        val cap = concat(upper(substring(col("text"), 1, 1)),
+          substring(col("text"), 2, 1000000))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            CaptionStats.neTexts(cap).as("ne_texts"),
+            CaptionStats.neTypes(cap).as("ne_types"),
+            size(CaptionStats.neTexts(cap)).as("num_ne"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cap = "upper(substr(text, 1, 1)) || substr(text, 2, 1000000)"
+        s"""SELECT doc_id,
+          list_filter(${toksSql(s"($cap)")},
             t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')) AS ne_texts,
-          list_transform(list_filter(${toksSql("text")},
+          list_transform(list_filter(${toksSql(s"($cap)")},
             t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')),
             t -> CASE WHEN regexp_matches(t, '^[A-Z]+${"$"}') THEN 'ORG'
               ELSE 'MISC' END) AS ne_types,
-          CAST(len(list_filter(${toksSql("text")},
+          CAST(len(list_filter(${toksSql(s"($cap)")},
             t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}'))) AS INTEGER)
             AS num_ne
-        FROM documents ORDER BY doc_id""")),
+        FROM documents ORDER BY doc_id"""
+      }),
 
     // ---- T1: language ID --------------------------------------------
     QueryDef("t1_langid",
