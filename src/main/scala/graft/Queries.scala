@@ -431,26 +431,30 @@ object Queries {
     // The synthetic corpus is all-lowercase, which would leave every NE
     // list empty (a vacuous check) — capitalize the leading character
     // in-plan so extraction genuinely fires on every doc.
+    // The ArrayType columns are built in-plan, then array_join'ed for the
+    // comparison surface: the driver's pandas sort cannot order ndarray
+    // cells (r1: "unhashable type: numpy.ndarray"), and '|'-joined strings
+    // carry the identical information for hashing.
     QueryDef("e2_ne_lists",
       (s, dir) => {
         val cap = concat(upper(substring(col("text"), 1, 1)),
           substring(col("text"), 2, 1000000))
         t(s, dir, "documents")
           .select(col("doc_id"),
-            CaptionStats.neTexts(cap).as("ne_texts"),
-            CaptionStats.neTypes(cap).as("ne_types"),
+            array_join(CaptionStats.neTexts(cap), "|").as("ne_texts"),
+            array_join(CaptionStats.neTypes(cap), "|").as("ne_types"),
             size(CaptionStats.neTexts(cap)).as("num_ne"))
           .orderBy("doc_id")
       },
       Some {
         val cap = "upper(substr(text, 1, 1)) || substr(text, 2, 1000000)"
         s"""SELECT doc_id,
-          list_filter(${toksSql(s"($cap)")},
-            t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')) AS ne_texts,
-          list_transform(list_filter(${toksSql(s"($cap)")},
+          array_to_string(list_filter(${toksSql(s"($cap)")},
+            t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')), '|') AS ne_texts,
+          array_to_string(list_transform(list_filter(${toksSql(s"($cap)")},
             t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}')),
             t -> CASE WHEN regexp_matches(t, '^[A-Z]+${"$"}') THEN 'ORG'
-              ELSE 'MISC' END) AS ne_types,
+              ELSE 'MISC' END), '|') AS ne_types,
           CAST(len(list_filter(${toksSql(s"($cap)")},
             t -> regexp_matches(t, '^[A-Z][a-zA-Z]*${"$"}'))) AS INTEGER)
             AS num_ne
@@ -970,9 +974,12 @@ object Queries {
             FROM events)),
         sessions AS (
           SELECT user_id, value,
-            sum(new_session) OVER (PARTITION BY user_id
+            -- DuckDB sum(INTEGER) returns HUGEINT, which pandas renders as
+            -- float ("1.0") and the driver's hash then mismatches Spark's
+            -- long ("1"); BIGINT keeps both sides integral.
+            CAST(sum(new_session) OVER (PARTITION BY user_id
               ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               AS session_id
           FROM marked)
         SELECT user_id, session_id, count(*) AS n_events,

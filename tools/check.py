@@ -5,32 +5,34 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
 Reads each <verifyOutDir>/<name> parquet (Spark output) and runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views
-named after the testdata tables. Compares schema (column names), row
-count, and values (rows sorted by all columns, columns sorted by name).
+named after the testdata tables. Mimics the driver: both sides go
+through pandas (`.df()`), columns sorted by name, rows sorted by all
+columns (pandas sort_values — crashes on ndarray cells exactly like
+the driver does), every cell stringified WITHOUT numeric coercion and
+md5-hashed. A DuckDB HUGEINT that pandas renders as float ("1.0") vs
+Spark's int ("1") is therefore a FAIL here too, as it is for the
+driver.
 """
+import hashlib
 import json
-import math
 import sys
 
 import duckdb
+import pandas as pd
 
 
-def canon(rows, ncols):
-    out = []
-    for row in rows:
-        r = []
+def frame_hash(df):
+    """Driver-alike canonical hash: columns sorted by name, rows sorted by
+    all columns, str() of every cell."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    h = hashlib.md5()
+    for row in df.itertuples(index=False):
         for v in row:
-            if isinstance(v, float):
-                r.append(("f", round(v, 9) if not math.isnan(v) else "nan"))
-            elif isinstance(v, list):
-                r.append(("l", tuple(
-                    round(x, 9) if isinstance(x, float) else str(x)
-                    for x in v)))
-            else:
-                r.append((type(v).__name__, str(v)))
-        out.append(tuple(r))
-    out.sort()
-    return out
+            h.update(str(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest(), df
 
 
 def main():
@@ -47,40 +49,45 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_df = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = sorted(spark_df.columns)
-            spark_rows = con.sql(
-                f"SELECT {', '.join(spark_cols)} FROM spark_df").fetchall()
-            duck = con.sql(sql)
-            duck_cols = sorted(duck.columns)
-            duck_rows = con.sql(
-                f"SELECT {', '.join(duck_cols)} FROM duck").fetchall()
+            spark = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            duck = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: error {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if spark_cols != duck_cols:
-            print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}")
+        if sorted(spark.columns) != sorted(duck.columns):
+            print(f"FAIL {name}: cols spark={sorted(spark.columns)} "
+                  f"duck={sorted(duck.columns)}")
             n_fail += 1
             continue
-        if len(spark_rows) != len(duck_rows):
-            print(f"FAIL {name}: rows spark={len(spark_rows)} "
-                  f"duck={len(duck_rows)}")
+        if len(spark) != len(duck):
+            print(f"FAIL {name}: rows spark={len(spark)} duck={len(duck)}")
             n_fail += 1
             continue
-        a, b = canon(spark_rows, len(spark_cols)), canon(
-            duck_rows, len(duck_cols))
-        if a != b:
-            bad = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
-            print(f"FAIL {name}: values differ at sorted rows {bad}")
-            for i in bad[:2]:
-                print(f"  cols : {duck_cols}")
-                print(f"  spark: {a[i]}")
-                print(f"  duck : {b[i]}")
+        try:
+            hs, cs = frame_hash(spark)
+            hd, cd = frame_hash(duck)
+        except Exception as e:
+            print(f"FAIL {name}: hash error {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(spark_rows)} rows)")
+        if hs != hd:
+            diff = None
+            for i in range(len(cs)):
+                ra = [str(v) for v in cs.iloc[i]]
+                rb = [str(v) for v in cd.iloc[i]]
+                if ra != rb:
+                    diff = (i, ra, rb)
+                    break
+            print(f"FAIL {name}: hash mismatch")
+            if diff:
+                print(f"  cols : {list(cs.columns)}")
+                print(f"  row {diff[0]} spark: {diff[1]}")
+                print(f"  row {diff[0]} duck : {diff[2]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(spark)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
