@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("syllable_count"),
       new ExpressionInfo(classOf[SyllableCount].getName, "syllable_count"),
       (exprs: Seq[Expression]) => SyllableCount.build(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => graft.functions.DotProduct.build(exprs)))
     e.injectOptimizerRule(_ => RewriteSyllableRegex)
   }
 }
