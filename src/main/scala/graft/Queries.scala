@@ -633,11 +633,18 @@ object Queries {
             END)) AS token
           FROM base),
         sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-        bands AS ($bandSelects)
+        bands AS ($bandSelects),
+        -- skew guard mirrored from Dedup.pairsFromSignatures: buckets
+        -- larger than maxBucket are dropped before pair generation
+        ok_bands AS (
+          SELECT band_idx, band_key FROM bands
+          GROUP BY band_idx, band_key HAVING count(*) <= 10000)
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
           AND a.doc_id < b.doc_id
+        JOIN ok_bands k
+          ON k.band_idx = a.band_idx AND k.band_key = a.band_key
         ORDER BY id_a, id_b"""
       }),
 
@@ -698,23 +705,37 @@ object Queries {
         FROM embeddings e, q
         ORDER BY cos_sim DESC, vec_id LIMIT 20""")),
 
-    // ---- N2: bucketed cosine near-dup pairs -------------------------
+    // ---- N2: multi-probe bucketed cosine near-dup pairs -------------
+    // 16-bit sign buckets × 3 disjoint-dim probe tables (64-dim
+    // embeddings): within-bucket pair counts stay ~n²/2^16 per table —
+    // the 4-bit single-table config this replaces was n²/16, a
+    // scale-killer at 100×. The oracle mirrors the exact bucketing and
+    // the per-table maxBucket skew cap.
     QueryDef("n2_cosine_neardup",
       (s, dir) => Ann.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.2, nBits = 4)
+        threshold = 0.2, nBits = 16, nTables = 3)
         .orderBy("id_a", "id_b"),
       Some {
-        def bucket(e: String) = (0 until 4).map(i =>
-          s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+        def bucket(e: String, tbl: Int) = (0 until 16).map(i =>
+          s"(CASE WHEN $e[${tbl * 16 + i + 1}] >= 0 THEN '1' ELSE '0' END)")
           .mkString(" || ")
+        val tableCands = (0 until 3).map { tbl =>
+          s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM bk x JOIN bk y ON x.b$tbl = y.b$tbl AND x.vec_id < y.vec_id
+          WHERE x.b$tbl IN (SELECT b$tbl FROM bk GROUP BY b$tbl
+            HAVING count(*) <= 10000)"""
+        }.mkString(" UNION ")
         s"""WITH bk AS (
-          SELECT vec_id, embedding, ${bucket("embedding")} AS b
-          FROM embeddings)
+          SELECT vec_id, embedding,
+            ${(0 until 3).map(t => s"${bucket("embedding", t)} AS b$t")
+              .mkString(", ")}
+          FROM embeddings),
+        cand AS ($tableCands)
         SELECT id_a, id_b, cos_sim FROM (
-          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+          SELECT id_a, id_b,
             round(${cosineSql("x.embedding", "y.embedding")}, 4) AS cos_sim
-          FROM bk x JOIN bk y ON x.b = y.b AND x.vec_id < y.vec_id)
+          FROM cand JOIN bk x ON x.vec_id = id_a JOIN bk y ON y.vec_id = id_b)
         WHERE cos_sim >= 0.2 ORDER BY id_a, id_b"""
       }),
 
@@ -743,11 +764,16 @@ object Queries {
         tok AS (SELECT doc_id, unnest(s) AS token FROM shs),
         sig AS (SELECT doc_id, $mins FROM tok GROUP BY doc_id),
         bands AS ($bandSelects),
+        ok_bands AS (
+          SELECT band_idx, band_key FROM bands
+          GROUP BY band_idx, band_key HAVING count(*) <= 10000),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b
             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-            AND a.doc_id < b.doc_id),
+            AND a.doc_id < b.doc_id
+          JOIN ok_bands k
+            ON k.band_idx = a.band_idx AND k.band_key = a.band_key),
         verified AS (
           SELECT id_a, id_b FROM cand p
           JOIN shs a ON a.doc_id = p.id_a

@@ -1,0 +1,158 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact distributed quantiles (`quantile_cont` semantics: linear
+  * interpolation at position p·(n−1), matching both pandas `median` and
+  * Spark's exact `percentile`).
+  *
+  * Why not `percentile(c, p)`: Spark's exact percentile is an
+  * ObjectHashAggregate whose buffer holds EVERY value of the column and is
+  * merged onto a single final task — at 100 TB that is tens of GB in one
+  * aggregation buffer (OOM), and it was the slowest query in the r2 bench.
+  * Here instead:
+  *
+  *  - [[globalQuantiles]] (ungrouped, used by A2–A5 column stats):
+  *    range-partition + local sort of the value column, a tiny per-partition
+  *    histogram, then a targeted k-th-element lookup — the classic
+  *    distributed selection. No task ever holds more than one partition's
+  *    slice; memory is bounded by partition size, not column size.
+  *  - grouped quantiles (A10 boxplot): rank-vs-count window arithmetic
+  *    ([[withRanks]] + [[quantileCont]]) — one shuffle on the group key, the
+  *    per-group sort spills via the window operator instead of accumulating
+  *    in an agg buffer, and groups ≪ rows keeps tasks balanced.
+  *
+  * Interpolation reproduces Spark's `Percentile.getPercentile` bit-for-bit
+  * ((1−frac)·lo + frac·hi with exact frac ∈ {0, .25, .5, .75}), so results
+  * hash-match the DuckDB `quantile_cont` oracle exactly as the old
+  * `percentile` path did.
+  */
+object Quantiles {
+
+  /** Exact quantiles of several numeric columns at several fractions, fully
+    * distributed. Returns (colName, p) -> value; columns with zero non-null
+    * rows are absent from the map.
+    *
+    * One wide shuffle (range partition of the melted single-value rows) +
+    * one small aggregate (per-partition histogram, ≤ partitions×cols rows
+    * to the driver) + one filtered lookup of ≤ 2·|cols|·|ps| rows. */
+  def globalQuantiles(df: DataFrame, cols: Seq[String],
+                      ps: Seq[Double]): Map[(String, Double), Double] = {
+    require(cols.nonEmpty && ps.nonEmpty, "need at least one column and p")
+    val spark = df.sparkSession
+    // melt to (__name, __v): one scan of just the requested columns; the
+    // stack Generator sits over the scan (never over an Aggregate), so no
+    // re-execution pathology
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ") +
+      ") AS (__name, __v)"
+    val melted = df.selectExpr(stackExpr).where(col("__v").isNotNull)
+    val nParts = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // range partition on (name, value): global order across partitions,
+    // equal values co-located, so global rank = partition offset + local
+    // rank. Persisted because the histogram pass and the lookup pass must
+    // see the SAME partitioning (spark_partition_id is recompute-sensitive).
+    val sorted = melted
+      .repartitionByRange(nParts, col("__name"), col("__v"))
+      .sortWithinPartitions("__name", "__v")
+      .select(col("__name"), col("__v"), spark_partition_id().as("__pid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hist = sorted.groupBy("__pid", "__name").count().collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val counts: Map[String, Long] =
+        hist.groupBy(_._2).map { case (nm, rs) => nm -> rs.map(_._3).sum }
+      // per name: (pid, firstGlobalIndex, rowsInPid), pids ascending
+      val offsets: Map[String, Seq[(Int, Long, Long)]] =
+        hist.groupBy(_._2).map { case (nm, rs) =>
+          var off = 0L
+          nm -> rs.sortBy(_._1).toSeq.map { case (pid, _, cnt) =>
+            val o = off; off += cnt; (pid, o, cnt)
+          }
+        }
+      // 0-based global indices needed: floor and ceil of every position
+      val needed: Set[(String, Long)] = (for {
+        c <- cols if counts.getOrElse(c, 0L) > 0
+        n = counts(c)
+        p <- ps
+        lo = math.floor((n - 1) * p).toLong
+        idx <- Seq(lo, math.min(lo + 1, n - 1))
+      } yield (c, idx)).toSet
+      if (needed.isEmpty) return Map.empty
+      // global index -> (pid, 1-based local rank within (pid, name))
+      val lookups: Set[(Int, String, Long)] = needed.map { case (nm, gi) =>
+        val (pid, off, _) = offsets(nm)
+          .find { case (_, o, cnt) => gi >= o && gi < o + cnt }.get
+        (pid, nm, gi - off + 1)
+      }
+      val pids = lookups.map(_._1).toSeq
+      val w = Window.partitionBy("__pid", "__name").orderBy("__v")
+      val wanted = lookups.map { case (pid, nm, rn) =>
+        col("__pid") === pid && col("__name") === nm && col("__rn") === rn
+      }.reduce(_ || _)
+      val valueAt: Map[(String, Long), Double] = sorted
+        .filter(col("__pid").isin(pids: _*))
+        .withColumn("__rn", row_number().over(w))
+        .filter(wanted)
+        .select("__pid", "__name", "__rn", "__v")
+        .collect()
+        .map { r =>
+          val pid = r.getInt(0); val nm = r.getString(1)
+          val off = offsets(nm).find(_._1 == pid).get._2
+          (nm, off + r.getInt(2) - 1) -> r.getDouble(3) // row_number is Int
+        }.toMap
+      (for {
+        c <- cols if counts.getOrElse(c, 0L) > 0
+        p <- ps
+      } yield {
+        val n = counts(c)
+        val pos = (n - 1) * p
+        val lo = math.floor(pos).toLong
+        val frac = pos - lo
+        val vlo = valueAt((c, lo))
+        val q =
+          if (frac == 0.0) vlo
+          else {
+            val vhi = valueAt((c, math.min(lo + 1, n - 1)))
+            (1.0 - frac) * vlo + frac * vhi // Percentile.getPercentile form
+          }
+        (c, p) -> q
+      }).toMap
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Adds `__rn` (1-based rank of `valueCol` within each group) and `__n`
+    * (group size) over ONE shuffle on the group key; rows with null
+    * `valueCol` are dropped (quantile_cont/percentile ignore nulls).
+    * Follow with a groupBy on the same keys — Catalyst reuses the window's
+    * exchange, so the whole grouped-quantile computation is one shuffle. */
+  def withRanks(df: DataFrame, valueCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(gs: _*)
+    df.na.drop(Seq(valueCol))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+  }
+
+  /** Aggregation expression: exact quantile_cont of `valueCol` at `p` over
+    * a frame prepared by [[withRanks]]. Selects the two straddling ranks
+    * with conditional max() (null-skipping) and interpolates with the same
+    * (1−frac)·lo + frac·hi arithmetic as Spark's exact percentile. */
+  def quantileCont(valueCol: String, p: Double): Column = {
+    val pos = (col("__n") - 1) * lit(p)
+    val flo = floor(pos) + 1 // 1-based lower rank
+    val frac = pos - floor(pos) // constant per group
+    val v = col(valueCol).cast("double")
+    val vlo = max(when(col("__rn") === flo, v))
+    val vhi = coalesce(max(when(col("__rn") === flo + 1, v)), vlo)
+    val fracAgg = max(frac)
+    when(fracAgg === 0.0, vlo)
+      .otherwise((lit(1.0) - fracAgg) * vlo + fracAgg * vhi)
+  }
+}

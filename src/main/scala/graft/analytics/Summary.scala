@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
   * statistics, boxplot/quantile stats, unions with origin tags, clamp
   * updates, deterministic sampling.
   *
-  * All are single-pass hash aggregations (partial + final) — the per-column
-  * min/max/mean/median 16-fold loop of
+  * The per-column min/max/mean/median 16-fold loop of
   * `f30k_vs_coco_vs_wicsmmir_v2.ipynb:16515-16549` collapses into ONE
-  * aggregate over all columns, i.e. one scan of the data regardless of how
-  * many stats are requested. Median uses exact `percentile` (matches the
-  * pandas exact median and a DuckDB oracle; SURVEY.md §7.4).
+  * hash aggregate over all columns plus one distributed exact-median
+  * selection ([[Quantiles]]) — never Spark's exact `percentile`, whose
+  * aggregation buffer holds every value of the column on a single final
+  * task (an OOM at 100 TB and the slowest query of the r2 bench).
   */
 object Summary {
 
@@ -27,26 +27,35 @@ object Summary {
     * Emitted long-form (stat matrix), mirroring the notebook's compare table
     * shape (36 rows of dataset×backend×stat, ipynb:17229-17263).
     *
-    * One single-pass distributed aggregate; the single wide result row is
-    * then unpivoted on the driver. (A `stack` Generator over the Aggregate
-    * re-executes the aggregate once per emitted row — measured 4× the scan
-    * cost at sf0.1 — so the 1-row collect is the scalable shape: the data
-    * pass is distributed, only the k-stat summary crosses the driver.) */
+    * min/max/mean: one single-pass distributed aggregate (map-side partial
+    * + final; no pre-agg repartition — the input's own partitioning already
+    * parallelizes a cheap aggregate, and an extra shuffle only costs).
+    * Medians: distributed exact k-th-element selection
+    * ([[Quantiles.globalQuantiles]]) — memory bounded by partition size.
+    * The single wide agg row + the k medians are unpivoted on the driver.
+    * (A `stack` Generator over the Aggregate re-executes the aggregate once
+    * per emitted row — measured 4× the scan cost at sf0.1 — so the 1-row
+    * collect is the scalable shape: the data passes are distributed, only
+    * the k-stat summary crosses the driver.) */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        exactMean(c).as(s"${c}__mean"),
-        round(expr(s"percentile($c, 0.5)"), 4).as(s"${c}__median"))
+        exactMean(c).as(s"${c}__mean"))
     }
-    val wide = graft.util.Partitioning.spread(df)
-      .agg(aggs.head, aggs.tail: _*).head()
+    val wide = df.agg(aggs.head, aggs.tail: _*).head()
+    val medians = Quantiles.globalQuantiles(df, cols, Seq(0.5))
+    // driver-side round(x, 4), same semantics as Spark's round (shortest-
+    // repr BigDecimal, HALF_UP) — keeps parity with the DuckDB oracle's
+    // round(quantile_cont(...), 4) exactly as the old percentile path did
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = cols.sorted.map { c =>
       org.apache.spark.sql.Row(c,
         wide.getAs[Double](s"${c}__min"), wide.getAs[Double](s"${c}__max"),
         wide.getAs[Double](s"${c}__mean"),
-        wide.getAs[Double](s"${c}__median"))
+        r4(medians((c, 0.5))))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("col_name",
@@ -60,16 +69,24 @@ object Summary {
   }
 
   /** A10: boxplot stats (whis=[0,100] → min/max whiskers, ipynb:17301-17345)
-    * per group: min, q25, median, q75, max, mean. */
+    * per group: min, q25, median, q75, max, mean.
+    *
+    * Quartiles via rank-vs-count window arithmetic ([[Quantiles]]): one
+    * shuffle on the group key (the groupBy reuses the window's exchange),
+    * per-group sort spills through the window operator — no agg buffer ever
+    * holds a group's values, unlike exact `percentile`. Null values are
+    * dropped up front (percentile/quantile_cont semantics; min/max/mean
+    * ignore them anyway). */
   def boxplotStats(df: DataFrame, valueCol: String,
                    groupCols: Seq[String]): DataFrame =
-    df.groupBy(groupCols.map(col): _*).agg(
-      min(col(valueCol)).cast("double").as("lo_whisker"),
-      round(expr(s"percentile($valueCol, 0.25)"), 4).as("q25"),
-      round(expr(s"percentile($valueCol, 0.5)"), 4).as("median"),
-      round(expr(s"percentile($valueCol, 0.75)"), 4).as("q75"),
-      max(col(valueCol)).cast("double").as("hi_whisker"),
-      exactMean(valueCol).as("mean"))
+    Quantiles.withRanks(df, valueCol, groupCols)
+      .groupBy(groupCols.map(col): _*).agg(
+        min(col(valueCol)).cast("double").as("lo_whisker"),
+        round(Quantiles.quantileCont(valueCol, 0.25), 4).as("q25"),
+        round(Quantiles.quantileCont(valueCol, 0.5), 4).as("median"),
+        round(Quantiles.quantileCont(valueCol, 0.75), 4).as("q75"),
+        max(col(valueCol)).cast("double").as("hi_whisker"),
+        exactMean(valueCol).as("mean"))
       .orderBy(groupCols.map(col): _*)
 
   /** J1 + P3: union of tagged slices (`coco.ipynb:482`,

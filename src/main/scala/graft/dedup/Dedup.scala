@@ -56,26 +56,37 @@ object Dedup {
       array_distinct(when(size(toks) < n, array()).otherwise(sh))
     }
 
-  /** MinHash signature columns: for each of k hash functions, the minimum
-    * of md5(shingle || '#' || i) over the doc's distinct shingles.
-    * Using md5-of-salted-shingle as the hash family keeps the signature
-    * deterministic across engines; min-of-hash per doc is a map-side partial
-    * aggregation (shuffle carries k hashes per doc, not shingles).
-    *
-    * Inputs narrower than the session's parallelism (e.g. one small parquet
-    * file — parquet can't split below a row group) are repartitioned first:
-    * the shingle+hash work dwarfs the tiny shuffle. Wide inputs (the 100 TB
-    * case) keep their natural partitioning. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, shingleN: Int = 1): DataFrame = {
+  /** (id, shingle-array) table — the shared base of the signature path and
+    * the Jaccard-verify path. Inputs narrower than the session's
+    * parallelism (e.g. one small parquet file — parquet can't split below a
+    * row group) are repartitioned first: the shingle+hash work dwarfs the
+    * tiny shuffle. Wide inputs (the 100 TB case) keep their natural
+    * partitioning. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int): DataFrame = {
     val withToks = graft.util.Partitioning.spread(df).select(col(idCol),
       CaptionStats.tokens(lower(col(textCol))).as("__toks"))
-    val toks = withToks.select(col(idCol),
-      explode(shinglesFromToks(col("__toks"), shingleN)).as("token"))
+    withToks.select(col(idCol),
+      shinglesFromToks(col("__toks"), shingleN).as("__s"))
+  }
+
+  /** MinHash signatures from an (id, shingle-array) table. */
+  private def signaturesFrom(sh: DataFrame, idCol: String,
+                             k: Int): DataFrame = {
+    val toks = sh.select(col(idCol), explode(col("__s")).as("token"))
     val aggs = (0 until k).map(i =>
       min(md5(concat(col("token"), lit(s"#$i")))).as(s"mh$i"))
     toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signature columns: for each of k hash functions, the minimum
+    * of md5(shingle || '#' || i) over the doc's distinct shingles.
+    * Using md5-of-salted-shingle as the hash family keeps the signature
+    * deterministic across engines; min-of-hash per doc is a map-side partial
+    * aggregation (shuffle carries k hashes per doc, not shingles). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleN: Int = 1): DataFrame =
+    signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k)
 
   /** LSH banding over a minhash signature: `bands` bands of `rowsPerBand`
     * hashes each; band key = md5(concat of the band's hashes). Docs sharing
@@ -92,54 +103,85 @@ object Dedup {
       .select(col("band.band_idx"), col("band.band_key"), col(idCol))
   }
 
-  /** Candidate duplicate pairs (a < b) from shared LSH bands. The join is an
-    * equi-join on (band_idx, band_key) — shuffle width scales with bucket
-    * sizes, not n². */
+  /** Candidate pairs (a < b) from a signature table: band → group → emit
+    * the i<j pairs per bucket. Replaces the r2 band self-join — a self-join
+    * references the band subplan twice, so Spark either recomputes the
+    * whole shingle+minhash pipeline per side or the bands must be persisted
+    * (the r2 persist leak). A groupBy computes the bands ONCE; pairs come
+    * from exploding each bucket's sorted id list, which is exactly the
+    * within-bucket pair set the join produced.
+    *
+    * Skew guard: a window count on the band key (same shuffle as the
+    * groupBy — the exchange is reused) drops buckets larger than
+    * `maxBucket` BEFORE any list is collected, so one hot band key (the
+    * LSH skew failure mode: near-constant docs, template boilerplate)
+    * cannot trigger an n² pair explosion or an unbounded buffer. Dropped
+    * buckets lose recall, never precision — callers at scale should log
+    * the drop count; the oracle mirrors the same cap. */
+  private def pairsFromSignatures(sig: DataFrame, idCol: String, bands: Int,
+                                  rowsPerBand: Int,
+                                  maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lshBands(sig, idCol, bands, rowsPerBand)
+    val wBand = Window.partitionBy("band_idx", "band_key")
+    val sized = b.withColumn("__bn", count(lit(1)).over(wBand))
+      .filter(col("__bn") >= 2 && col("__bn") <= maxBucket)
+    val buckets = sized.groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    val n = size(col("__ids"))
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(col("__ids"), i + 1).as("id_a"),
+          element_at(col("__ids"), j + 1).as("id_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
+
+  /** Candidate duplicate pairs (a < b) from shared LSH bands — one
+    * shuffle chain (shingles → signatures → band buckets → pairs), no
+    * self-join, no persist; bucket sizes capped at `maxBucket`. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 12, bands: Int = 4,
-                            shingleN: Int = 3): DataFrame = {
-    val rowsPerBand = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
-    // persist: the self-join below references the band table twice, and
-    // without materialization Spark recomputes the whole shingle+minhash
-    // pipeline per side (seen in the physical plan — two full
-    // Generate→Aggregate chains). Size is (bands × docs) short rows.
-    val b = lshBands(sig, idCol, bands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = b.select(col("band_idx"), col("band_key"),
-      col(idCol).as("id_a"))
-    val r = b.select(col("band_idx"), col("band_key"),
-      col(idCol).as("id_b"))
-    l.join(r, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+                            shingleN: Int = 3,
+                            maxBucket: Int = 10000): DataFrame =
+    pairsFromSignatures(
+      signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k),
+      idCol, bands, k / bands, maxBucket)
 
   /** End-to-end near-duplicate detection: LSH candidates verified by
     * true shingle-Jaccard. Returns (id_a, id_b, jaccard) for verified
     * pairs (a < b, jaccard ≥ threshold).
     *
-    * The shingle sets are computed ONCE per doc and joined to the
-    * candidate pairs — verification work is O(candidates), never O(n²),
-    * and the Jaccard formula is the exact-int-division form that
-    * hash-matches a SQL oracle. */
+    * The (id, shingles) table is computed ONCE — persisted, shared by the
+    * signature path and both sides of the verify join (without the persist,
+    * Spark recomputes the tokenize+shingle chain three times in the one
+    * materializing job). The verified-pair result (small: O(candidates)) is
+    * materialized eagerly so the big shingle cache can be unpersisted
+    * before returning — no cache outlives the call except the pair set
+    * itself, which the ContextCleaner frees when the result is dropped.
+    * Verification work is O(candidates), never O(n²), and the Jaccard
+    * formula is the exact-int-division form that hash-matches a SQL
+    * oracle. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 12, bands: Int = 4,
-                   shingleN: Int = 3): DataFrame = {
-    val cand = minhashCandidatePairs(df, idCol, textCol, k, bands, shingleN)
-    val sh = graft.util.Partitioning.spread(df)
-      .select(col(idCol), col(textCol))
-      .withColumn("__toks", CaptionStats.tokens(lower(col(textCol))))
-      .select(col(idCol), shinglesFromToks(col("__toks"), shingleN).as("__s"))
+                   shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsFromSignatures(signaturesFrom(sh, idCol, k), idCol,
+      bands, k / bands, maxBucket)
     val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
     val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))
     val uni = size(col("__sa")) + size(col("__sb")) - inter
-    cand.join(a, "id_a").join(b, "id_b")
+    val verified = cand.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard",
         when(uni === 0, 0.0).otherwise(inter.cast("double") / uni))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize while the shingle cache is alive
+    sh.unpersist(blocking = false)
+    verified
   }
 
   /** Near-dedup: drop every doc verified near-duplicate of a lower-id
@@ -148,9 +190,9 @@ object Dedup {
     * library). */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 12, bands: Int = 4,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val losers = nearDupPairs(df, idCol, textCol, threshold, k, bands,
-      shingleN).select(col("id_b").as(idCol)).distinct()
+      shingleN, maxBucket).select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -48,13 +48,18 @@ object Ann {
       .limit(k)
   }
 
-  /** Deterministic LSH bucket: sign bits of `nBits` leading dimensions,
-    * as a '0'/'1' string. (Axis-aligned hyperplane family — deterministic
-    * stand-in for random projections; extend with seeded md5-derived
-    * rotations for more tables.) */
-  def signBucket(vec: Column, nBits: Int): Column =
+  /** Deterministic LSH bucket: sign bits of `nBits` dimensions starting at
+    * `offset` (0-based), as a '0'/'1' string. (Axis-aligned hyperplane
+    * family — deterministic stand-in for random projections; multiple probe
+    * tables use disjoint dimension blocks.) */
+  def signBucketAt(vec: Column, nBits: Int, offset: Int): Column =
     concat((0 until nBits).map(i =>
-      when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      when(element_at(vec, offset + i + 1) >= 0, lit("1"))
+        .otherwise(lit("0"))): _*)
+
+  /** Single-table bucket over the leading dimensions. */
+  def signBucket(vec: Column, nBits: Int): Column =
+    signBucketAt(vec, nBits, 0)
 
   /** Bucketed ANN: search only the query's bucket (single-probe).
     * Returns the same schema as bruteForceTopK. */
@@ -140,24 +145,54 @@ object Ann {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via shared sign-bucket
-    * (candidate generation = equi-join on bucket, verification = cosine
-    * threshold). */
+  /** Embedding-cosine near-duplicate pairs via multi-probe sign-bucket LSH.
+    *
+    * `nTables` probe tables, table t bucketing on the `nBits` sign bits of
+    * dimension block [t·nBits, (t+1)·nBits) — a near-duplicate pair missed
+    * by one block's signs is caught by another (recall ≈ 1−(1−p)^T for
+    * per-table collision probability p). 16-bit buckets keep the
+    * within-bucket pair count ~n²/2^16 per table — the r2 config (4 bits →
+    * 16 buckets) was quadratic at scale.
+    *
+    * Candidate generation groups each (table, bucket) ONCE and explodes the
+    * i<j id pairs (no self-join — same shape and skew cap as
+    * [[graft.dedup.Dedup]] LSH: a window count on the bucket key drops
+    * buckets larger than `maxBucket` before any list is collected, so a
+    * degenerate bucket — all-zero or heavily correlated embeddings — can't
+    * go quadratic). Verification joins the pairs back to the corpus by id
+    * (shuffle join; the corpus is never replicated per table) and keeps
+    * cosine ≥ threshold; norms are computed per vector, not per pair. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, nBits: Int = 8): DataFrame = {
-    // norm per VECTOR (n rows), not per pair (n²/buckets rows) — the
-    // value is identical (deterministic fold), the work is 3× less
-    val b = graft.util.Partitioning.spread(corpus)
-      .select(col(idCol), col(vecCol),
-        signBucket(col(vecCol), nBits).as("__b"),
-        l2Norm(col(vecCol)).as("__n"))
-    val l = b.select(col("__b"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val r = b.select(col("__b"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
+                         threshold: Double, nBits: Int = 16,
+                         nTables: Int = 3,
+                         maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.util.Partitioning.spread(corpus)
+      .select(col(idCol), col(vecCol))
+    val tables = array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        signBucketAt(col(vecCol), nBits, t * nBits).as("bkt"))): _*)
+    val keyed = base.select(col(idCol), explode(tables).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"), col(idCol))
+    val wB = Window.partitionBy("tbl", "bkt")
+    val sized = keyed.withColumn("__bn", count(lit(1)).over(wB))
+      .filter(col("__bn") >= 2 && col("__bn") <= maxBucket)
+    val buckets = sized.groupBy("tbl", "bkt")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    val n = size(col("__ids"))
+    val pairsOfBucket = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(col("__ids"), i + 1).as("id_a"),
+          element_at(col("__ids"), j + 1).as("id_b")))))
+    val cand = buckets.select(explode(pairsOfBucket).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val va = base.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      l2Norm(col(vecCol)).as("__na"))
+    val vb = base.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      l2Norm(col(vecCol)).as("__nb"))
     val cos = when(col("__na") === 0.0 || col("__nb") === 0.0, 0.0)
       .otherwise(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-    l.join(r, Seq("__b")).filter(col("id_a") < col("id_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos_sim", round(cos, 4))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
