@@ -118,4 +118,22 @@ class DedupSpec extends SparkSpec {
     kept should not contain 2L
     kept should contain(4L)
   }
+
+  test("maxBucket skew guard: a hot band bucket is dropped, small ones kept") {
+    import spark.implicits._
+    // 30 identical docs land in ONE band bucket per band (the LSH skew
+    // failure mode); 2 identical others form a small independent bucket
+    val hotText = "same boilerplate template text repeated across the corpus"
+    val d = ((1L to 30L).map(i => (i, hotText)) ++ Seq(
+      (101L, "rare pair of matching documents about spark shuffles"),
+      (102L, "rare pair of matching documents about spark shuffles")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+      k = 12, bands = 4, shingleN = 3).count()
+    uncapped shouldBe (30L * 29 / 2) + 1 // full quadratic bucket + the pair
+    val capped = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+      k = 12, bands = 4, shingleN = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set(101L -> 102L) // hot bucket dropped, small kept
+  }
 }

@@ -48,11 +48,43 @@ class AnnSpec extends SparkSpec {
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val pairs = Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
-      threshold = 0.2, nBits = 4).collect()
+      threshold = 0.2, nBits = 4, nTables = 1).collect()
     pairs.foreach { r =>
       r.getLong(0) should be < r.getLong(1)
       r.getDouble(2) should be >= 0.2
     }
+  }
+
+  test("multi-probe near-dup recall: every planted twin pair is found") {
+    // 20 deterministic sign-diverse base vectors, each with a perturbed
+    // twin that keeps every sign (cos ≈ 1): all 3 probe tables bucket the
+    // twins together, so recall over planted pairs must be 1.0
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 131.0 + i * 17.0).toFloat)
+    val rows = (0 until 20).flatMap { s =>
+      val v = vec(s)
+      val twin = v.map(x => x * 1.01f + (if (x >= 0) 0.001f else -0.001f))
+      Seq((s.toLong * 2, v), (s.toLong * 2 + 1, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Ann.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, nBits = 16, nTables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { s =>
+      found should contain((s * 2L, s * 2L + 1))
+    }
+  }
+
+  test("near-dup maxBucket cap drops a degenerate bucket") {
+    // 12 copies of one vector: every probe table has a single 12-wide
+    // bucket; cap 5 drops it entirely (recall loss, never precision loss)
+    val v = Array.tabulate(64)(i => math.cos(i * 3.0).toFloat)
+    val df = (1L to 12L).map(i => (i, v)).toDF("vec_id", "embedding")
+    Ann.cosineNearDupPairs(df, "vec_id", "embedding", threshold = 0.5)
+      .count() shouldBe 66L // 12 choose 2, uncapped
+    Ann.cosineNearDupPairs(df, "vec_id", "embedding", threshold = 0.5,
+      maxBucket = 5).count() shouldBe 0L
   }
 
   test("IVF: probes restrict search, self always found, subset of brute") {
