@@ -31,21 +31,39 @@ object Bench {
     Seq("lineitem", "documents", "embeddings", "orders").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // a failing query must be VISIBLE, not a phantom speedup: it is
+    // reported as -1 in "queries", named in "errors", and excluded from
+    // the total (timing the elapsed-to-throw would let a regression that
+    // breaks a query read as an improvement)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-    : Double = {
+    : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map(_ => once(fn)).sorted
-      name -> times(times.length / 2)
+      val runsOut = (1 to runs).map(_ => once(fn))
+      val ok = runsOut.collect { case Right(t) => t }.sorted
+      val firstErr = runsOut.collectFirst { case Left(m) => m }
+      // median of the successful runs; all-failed -> -1 sentinel
+      name -> (if (ok.nonEmpty) Right(ok(ok.length / 2))
+               else Left(firstErr.getOrElse("failed")))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_)) => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) =>
+      s"\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case Right(v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -439,11 +439,16 @@ object Queries {
       (s, dir) => {
         val cap = concat(upper(substring(col("text"), 1, 1)),
           substring(col("text"), 2, 1000000))
+        // NE array materialized ONCE (multi-use non-cheap alias survives
+        // CollapseProject) — inlining neTexts into all three outputs would
+        // re-run the tokenize+filter HOF tree per column (no CSE in lambdas)
         t(s, dir, "documents")
+          .withColumn("__ne", CaptionStats.neTexts(cap))
           .select(col("doc_id"),
-            array_join(CaptionStats.neTexts(cap), "|").as("ne_texts"),
-            array_join(CaptionStats.neTypes(cap), "|").as("ne_types"),
-            size(CaptionStats.neTexts(cap)).as("num_ne"))
+            array_join(col("__ne"), "|").as("ne_texts"),
+            array_join(CaptionStats.neTypesFrom(col("__ne")), "|")
+              .as("ne_types"),
+            size(col("__ne")).as("num_ne"))
           .orderBy("doc_id")
       },
       Some {

@@ -211,8 +211,19 @@ object Dedup {
     * vote over tokens of the low bit of nibble i of md5(token). Returned as
     * a 16-char '0'/'1' string (engine-independent; no 64-bit bit ops needed
     * in the oracle). Near-dup candidates share the signature or differ in
-    * few bits. */
-  def simhash16(c: Column): Column = {
+    * few bits.
+    *
+    * Implemented as the native [[graft.functions.SimHash16]] expression —
+    * one md5 per distinct token, all 16 bits in one pass. The pre-r4 form
+    * spelled one interpreted `aggregate()` HOF per bit, re-tokenizing the
+    * text 16× per row (the r3 bench's d5 hotspot); [[simhash16Reference]]
+    * keeps that formulation as the parity witness. */
+  def simhash16(c: Column): Column =
+    graft.functions.SimHash16(array_distinct(CaptionStats.tokens(lower(c))))
+
+  /** The original HOF formulation (16 interpreted passes) — semantics
+    * oracle for the native expression; test-only, never in a hot path. */
+  private[graft] def simhash16Reference(c: Column): Column = {
     val toks = array_distinct(CaptionStats.tokens(lower(c)))
     val bits = (0 until 16).map { i =>
       // +1 if nibble's low bit set ('1','3','5','7','9','b','d','f'), else -1

@@ -43,8 +43,14 @@ object CaptionStats {
 
   /** NE-type proxy: ALLCAPS → ORG else MISC (deterministic stand-in for the
     * reference's NER labels, `utils.py:251-257`). */
-  def neTypes(c: Column): Column =
-    transform(neTexts(c), t =>
+  def neTypes(c: Column): Column = neTypesFrom(neTexts(c))
+
+  /** Type mapping over an already-materialized NE array — callers that use
+    * several NE-derived columns should alias [[neTexts]] once (withColumn)
+    * and derive from it, or the tokenize+filter tree re-evaluates per use
+    * (HOF lambdas get no CSE). */
+  def neTypesFrom(ne: Column): Column =
+    transform(ne, t =>
       when(t.rlike("^[A-Z]+$"), lit("ORG")).otherwise(lit("MISC")))
 
   /** Deterministic POS-proxy cascade for one token. Mirrors the tag set the

@@ -100,6 +100,17 @@ class DedupSpec extends SparkSpec {
     hamming should be <= 4
   }
 
+  test("native simhash16 matches the 16-pass HOF reference formulation") {
+    import spark.implicits._
+    val edge = Seq((6L, ""), (7L, "   "), (8L, "one"),
+      (9L, "Mixed CASE text With 123 numbers and punct!!!")).toDF(
+      "doc_id", "text")
+    val both = docs.union(edge).select(
+      Dedup.simhash16(col("text")).as("fast"),
+      Dedup.simhash16Reference(col("text")).as("ref")).collect()
+    both.foreach(r => r.getString(0) shouldBe r.getString(1))
+  }
+
   test("nearDupPairs verifies candidates; dropNearDups keeps first") {
     import spark.implicits._
     val d = Seq(
