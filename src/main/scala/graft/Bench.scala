@@ -43,27 +43,36 @@ object Bench {
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
+          // strip quote/backslash and ALL control chars (not just \n\r\t):
+          // any cntrl in an exception message would break the JSON line
           Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160))
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runsOut = (1 to runs).map(_ => once(fn))
       val ok = runsOut.collect { case Right(t) => t }.sorted
       val firstErr = runsOut.collectFirst { case Left(m) => m }
-      // median of the successful runs; all-failed -> -1 sentinel
-      name -> (if (ok.nonEmpty) Right(ok(ok.length / 2))
+      // all successful runs, sorted; all-failed -> -1 sentinel
+      name -> (if (ok.nonEmpty) Right(ok)
                else Left(firstErr.getOrElse("failed")))
     }
+    def median(v: Seq[Double]): Double = v(v.length / 2)
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Right(v)) => s"\"" + k + "\":" + median(v)
       case (k, Left(_)) => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    // dispersion: [min,max] of the successful runs per query, so a noisy
+    // run (GC pause, page-cache miss) is self-evident in the JSON instead
+    // of masquerading as a 10x regression of an unchanged query
+    val spread = results.collect { case (k, Right(v)) =>
+      s"\"" + k + "\":[" + v.head + "," + v.last + "]"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) =>
       s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.values.collect { case Right(v) => median(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

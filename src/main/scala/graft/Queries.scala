@@ -103,6 +103,13 @@ object Queries {
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(24,6))) AS DOUBLE)"
 
+  /** min over the i-th single-digest MinHash family member: the md5 digest
+    * column `d` rotated left by i hex chars (mirrors Dedup.rotDigest —
+    * one md5 per shingle, k string rotations, not k digests). */
+  private def rotMinSql(i: Int): String =
+    if (i == 0) "min(d) AS mh0"
+    else s"min(substr(d, ${i + 1}, ${32 - i}) || substr(d, 1, $i)) AS mh$i"
+
   // ------------------------------------------------------------ queries
 
   private def dsum(c: Column): Column =
@@ -602,12 +609,12 @@ object Queries {
       (s, dir) => Dedup.minhashSignatures(
         t(s, dir, "documents"), "doc_id", "text", 6).orderBy("doc_id"),
       Some {
-        val mins = (0 until 6).map(i =>
-          s"min(md5(token || '#$i')) AS mh$i").mkString(", ")
+        val mins = (0 until 6).map(rotMinSql).mkString(", ")
         s"""SELECT doc_id, $mins FROM (
-          SELECT doc_id,
-            unnest(list_distinct(${toksSql("lower(text)")})) AS token
-          FROM documents)
+          SELECT doc_id, md5(token) AS d FROM (
+            SELECT doc_id,
+              unnest(list_distinct(${toksSql("lower(text)")})) AS token
+            FROM documents))
         GROUP BY doc_id ORDER BY doc_id"""
       }),
 
@@ -622,8 +629,7 @@ object Queries {
         shingleN = 3)
         .orderBy("id_a", "id_b"),
       Some {
-        val mins = (0 until 12).map(i =>
-          s"min(md5(token || '#$i')) AS mh$i").mkString(", ")
+        val mins = (0 until 12).map(rotMinSql).mkString(", ")
         val bandSelects = (0 until 4).map { b =>
           val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
           s"SELECT doc_id, $b AS band_idx, " +
@@ -637,7 +643,8 @@ object Queries {
               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             END)) AS token
           FROM base),
-        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        dig AS (SELECT doc_id, md5(token) AS d FROM sh),
+        sig AS (SELECT doc_id, $mins FROM dig GROUP BY doc_id),
         bands AS ($bandSelects),
         -- skew guard mirrored from Dedup.pairsFromSignatures: buckets
         -- larger than maxBucket are dropped before pair generation
@@ -752,8 +759,7 @@ object Queries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
       Some {
-        val mins = (0 until 12).map(i =>
-          s"min(md5(token || '#$i')) AS mh$i").mkString(", ")
+        val mins = (0 until 12).map(rotMinSql).mkString(", ")
         val bandSelects = (0 until 4).map { b =>
           val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
           s"SELECT doc_id, $b AS band_idx, " +
@@ -767,7 +773,8 @@ object Queries {
           SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
         shs AS (SELECT doc_id, $tri AS s FROM base),
         tok AS (SELECT doc_id, unnest(s) AS token FROM shs),
-        sig AS (SELECT doc_id, $mins FROM tok GROUP BY doc_id),
+        dig AS (SELECT doc_id, md5(token) AS d FROM tok),
+        sig AS (SELECT doc_id, $mins FROM dig GROUP BY doc_id),
         bands AS ($bandSelects),
         ok_bands AS (
           SELECT band_idx, band_key FROM bands
@@ -910,21 +917,63 @@ object Queries {
 
     // ---- X7: ordered corpus concat + boundary truncate --------------
     // The readability-corpus build (ipynb:17564-17584): concatenate
-    // captions into one bounded string. Deterministic via sorted
-    // collect_list (vs pandas implicit row order).
+    // captions into one bounded string, then `remove_caps` trims back to
+    // the last sentence end ('.') once over the length budget.
+    // Deterministic via sorted collect_list (vs pandas implicit row
+    // order). Scale shape: a running-length window keeps only the rows
+    // that START before the cutoff, so the aggregation buffer holds
+    // ~cutoff chars + one document — never a language's whole corpus
+    // (the pre-r5 unbounded collect_list).
     QueryDef("x7_corpus_concat",
-      (s, dir) => t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(substring(
-          concat_ws(" ", sort_array(collect_list(col("text")))),
-          1, 2000).as("corpus_head"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("lang"),
-      Some("""SELECT lang,
-          substr(string_agg(text, ' ' ORDER BY text), 1, 2000)
-            AS corpus_head,
-          count(*) AS n_docs
-        FROM documents GROUP BY lang ORDER BY lang""")),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cutoff = 2000
+        val w = Window.partitionBy("lang").orderBy("text", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pre = coalesce(sum(length(col("text")) + 1).over(w), lit(0L))
+        val agged = t(s, dir, "documents").withColumn("__pre", pre)
+          .groupBy("lang")
+          .agg(concat_ws(" ", sort_array(
+            collect_list(when(col("__pre") < cutoff, col("text")))))
+            .as("__full"),
+            count(lit(1)).as("n_docs"))
+        // sentence-boundary trim: within budget → unchanged (the
+        // reference's while-loop never runs); over budget → cut the first
+        // `cutoff` chars back to the last '.' in them (no '.' → keep head)
+        val head = substring(col("__full"), 1, cutoff)
+        val withHead = agged.withColumn("__head", head)
+        val rpos = instr(reverse(col("__head")), ".")
+        withHead.select(col("lang"),
+          when(length(col("__full")) <= cutoff, col("__full"))
+            .otherwise(when(rpos > 0,
+              substring(col("__head"), lit(1),
+                length(col("__head")) - rpos + 1))
+              .otherwise(col("__head"))).as("corpus_head"),
+          col("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH cum AS (
+          SELECT lang, doc_id, text,
+            coalesce(sum(length(text) + 1) OVER (PARTITION BY lang
+              ORDER BY text, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM documents),
+        agg AS (
+          SELECT lang,
+            string_agg(CASE WHEN pre < 2000 THEN text END, ' '
+              ORDER BY text, doc_id) AS full_s,
+            count(*) AS n_docs
+          FROM cum GROUP BY lang),
+        heads AS (
+          SELECT lang, full_s, substr(full_s, 1, 2000) AS head, n_docs
+          FROM agg)
+        SELECT lang,
+          CASE WHEN length(full_s) <= 2000 THEN full_s
+            WHEN instr(reverse(head), '.') > 0
+            THEN substr(head, 1, length(head) - instr(reverse(head), '.') + 1)
+            ELSE head END AS corpus_head,
+          n_docs
+        FROM heads ORDER BY lang""")),
 
     // ---- P8: pivot (wide cross-tab; the notebook compare-matrix shape
     // pivoted instead of unioned) -------------------------------------

@@ -70,20 +70,37 @@ object Dedup {
       shinglesFromToks(col("__toks"), shingleN).as("__s"))
   }
 
-  /** MinHash signatures from an (id, shingle-array) table. */
+  /** The i-th member of the single-digest hash family: the 32-hex-char md5
+    * digest rotated left by i characters. Rotation is the cheapest mix that
+    * is (a) a bijection on digests, so min-of-rotation is a well-defined
+    * MinHash, and (b) pure string ops, so the oracle reproduces it with two
+    * `substr`s. Lexicographic order under rotation i is dominated by digest
+    * nibble i — an independent uniform hex digit per i — so the k argmins
+    * are as good as independent hash draws for LSH banding. */
+  private def rotDigest(d: Column, i: Int): Column =
+    if (i == 0) d
+    else concat(substring(d, i + 1, 32 - i), substring(d, 1, i))
+
+  /** MinHash signatures from an (id, shingle-array) table. The digest is
+    * materialized in its own projection (`__d`) so md5 runs ONCE per
+    * shingle — CollapseProject won't inline a non-cheap expression used k
+    * times into the aggregate. The pre-r5 family computed k independent
+    * `md5(shingle || '#i')` digests per shingle: 12× the md5 block work,
+    * the dominant term of the r4 d3 bench (17 s = 31% of the total). */
   private def signaturesFrom(sh: DataFrame, idCol: String,
                              k: Int): DataFrame = {
     val toks = sh.select(col(idCol), explode(col("__s")).as("token"))
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(col("token"), lit(s"#$i")))).as(s"mh$i"))
+      .select(col(idCol), md5(col("token")).as("__d"))
+    val aggs = (0 until k).map(i => min(rotDigest(col("__d"), i)).as(s"mh$i"))
     toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash signature columns: for each of k hash functions, the minimum
-    * of md5(shingle || '#' || i) over the doc's distinct shingles.
-    * Using md5-of-salted-shingle as the hash family keeps the signature
-    * deterministic across engines; min-of-hash per doc is a map-side partial
-    * aggregation (shuffle carries k hashes per doc, not shingles). */
+    * over the doc's distinct shingles of rotate(md5(shingle), i) — ONE md5
+    * per shingle, k cheap string rotations (see [[rotDigest]]). The family
+    * is deterministic across engines (oracle-checkable); min-of-hash per
+    * doc is a map-side partial aggregation (shuffle carries k hashes per
+    * doc, not shingles). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleN: Int = 1): DataFrame =
     signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k)
@@ -217,9 +234,17 @@ object Dedup {
     * one md5 per distinct token, all 16 bits in one pass. The pre-r4 form
     * spelled one interpreted `aggregate()` HOF per bit, re-tokenizing the
     * text 16× per row (the r3 bench's d5 hotspot); [[simhash16Reference]]
-    * keeps that formulation as the parity witness. */
+    * keeps that formulation as the parity witness.
+    *
+    * Null text: the token array is coalesced to empty BEFORE the
+    * expression, so a null document signs as all-'0' — exactly what the
+    * HOF form (`when(null > 0, …).otherwise("0")` per bit) and the oracle
+    * (`coalesce(list_sum(…), 0)`) produce. The raw expression itself
+    * null-propagates. */
   def simhash16(c: Column): Column =
-    graft.functions.SimHash16(array_distinct(CaptionStats.tokens(lower(c))))
+    graft.functions.SimHash16(coalesce(
+      array_distinct(CaptionStats.tokens(lower(c))),
+      array().cast("array<string>")))
 
   /** The original HOF formulation (16 interpreted passes) — semantics
     * oracle for the native expression; test-only, never in a hot path. */

@@ -1,7 +1,6 @@
 package graft.etl
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,8 +25,17 @@ import graft.sources.Readers
   */
 class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
-  private def exists(p: String): Boolean =
-    Files.exists(Paths.get(p, "_SUCCESS"))
+  // checkpoint FS ops go through Hadoop FileSystem, resolved per-URI, so
+  // R3 resume detects state correctly on hdfs:///s3a:///file:// outputDirs
+  // — java.nio/java.io silently no-op on non-local URIs and would make a
+  // cluster re-run either skip fresh work or republish stale checkpoints
+  private def hfs(p: HPath) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String): Boolean = {
+    val success = new HPath(p, "_SUCCESS")
+    hfs(success).exists(success)
+  }
 
   private def out(name: String): String = s"${cfg.outputDir}/$name"
 
@@ -83,13 +91,9 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     if (cfg.transformations.isEmpty || !meta.columns.contains("image_path")) {
       // remove any stale transformed checkpoint from an earlier run with
       // a different chain, or load() would publish last run's data
-      val stale = new java.io.File(out("metadata_transformed"))
-      if (stale.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(stale)
-      }
+      val stale = new HPath(out("metadata_transformed"))
+      val fs = hfs(stale)
+      if (fs.exists(stale)) fs.delete(stale, true)
       meta
     } else {
       val done = ImageOps.transformFiles(meta, "image_path",

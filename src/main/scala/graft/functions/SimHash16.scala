@@ -24,10 +24,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * 3.4 s). Here each token is md5-digested ONCE and all 16 votes are taken
   * from that digest's leading 8 bytes in a single pass.
   *
-  * Semantics match the HOF/oracle form exactly: a null token element votes
-  * −1 on every bit (`when(instr(null…) > 0, 1).otherwise(-1)` → −1); a tie
-  * or negative vote yields '0'; an empty array yields all-'0'. Null input
-  * array → null.
+  * Semantics match the HOF/oracle form for every non-null array: a null
+  * token element votes −1 on every bit (`when(instr(null…) > 0,
+  * 1).otherwise(-1)` → −1); a tie or negative vote yields '0'; an empty
+  * array yields all-'0'. A null input ARRAY null-propagates here (standard
+  * UnaryExpression behavior) — the HOF form and the oracle's
+  * `coalesce(list_sum(…), 0)` would yield all-'0' for a null text, so the
+  * column API [[graft.dedup.Dedup.simhash16]] coalesces the token array to
+  * empty before this expression; use it rather than raw SimHash16 when
+  * null documents are possible.
   */
 case class SimHash16(child: Expression) extends UnaryExpression {
 

@@ -103,12 +103,19 @@ class DedupSpec extends SparkSpec {
   test("native simhash16 matches the 16-pass HOF reference formulation") {
     import spark.implicits._
     val edge = Seq((6L, ""), (7L, "   "), (8L, "one"),
-      (9L, "Mixed CASE text With 123 numbers and punct!!!")).toDF(
-      "doc_id", "text")
+      (9L, "Mixed CASE text With 123 numbers and punct!!!"),
+      (10L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val both = docs.union(edge).select(
       Dedup.simhash16(col("text")).as("fast"),
       Dedup.simhash16Reference(col("text")).as("ref")).collect()
     both.foreach(r => r.getString(0) shouldBe r.getString(1))
+  }
+
+  test("null text signs as all-zero, like the HOF form and the oracle") {
+    import spark.implicits._
+    val one = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    one.select(Dedup.simhash16(col("text"))).head().getString(0) shouldBe
+      "0000000000000000"
   }
 
   test("nearDupPairs verifies candidates; dropNearDups keeps first") {

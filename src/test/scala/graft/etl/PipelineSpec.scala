@@ -137,7 +137,9 @@ class PipelineSpec extends SparkSpec {
 
   test("stale metadata_transformed from an earlier run is not published") {
     import spark.implicits._
-    val outd = Files.createTempDirectory("stale").toString
+    // file:-scheme URI: proves the checkpoint exists/delete ops resolve
+    // through Hadoop FileSystem (java.nio would no-op on any URI scheme)
+    val outd = s"file:${Files.createTempDirectory("stale")}"
     Seq((1L, "keep me", "cap")).toDF("wikicaps_id", "wikimedia_file",
       "caption").write.parquet(s"$outd/metadata_filtered")
     Seq((99L, "STALE", "old")).toDF("wikicaps_id", "wikimedia_file",

@@ -83,18 +83,21 @@ class StreamsSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
-    val out = spark.sql("SELECT * FROM sessions_out").as[Streams.Session]
-      .collect()
-    // the gap-crossing event must EMIT the completed first session
-    // (the mapGroupsWithState formulation silently dropped it)
-    val u7 = out.filter(_.user_id == 7L)
-    u7.length shouldBe 1
-    u7.head.n_events shouldBe 2
-    u7.head.total shouldBe 3.0
-    u7.head.closed shouldBe true
-    // open sessions (u9, and u7's second) stay in state, not emitted
-    out.exists(_.user_id == 9L) shouldBe false
+    try {
+      q.awaitTermination(60000)
+      val out = spark.sql("SELECT * FROM sessions_out").as[Streams.Session]
+        .collect()
+      // the gap-crossing event must EMIT the completed first session
+      // (the mapGroupsWithState formulation silently dropped it)
+      val u7 = out.filter(_.user_id == 7L)
+      u7.length shouldBe 1
+      u7.head.n_events shouldBe 2
+      u7.head.total shouldBe 3.0
+      u7.head.closed shouldBe true
+      // open sessions (u9, and u7's second) stay in state, not emitted
+      out.exists(_.user_id == 9L) shouldBe false
+    } finally q.stop() // a live query would keep firing micro-batches
+                       // (and logging errors) through every later suite
   }
 
   test("cross-batch out-of-order event does not split the session") {
