@@ -110,6 +110,47 @@ object Queries {
     if (i == 0) "min(d) AS mh0"
     else s"min(substr(d, ${i + 1}, ${32 - i}) || substr(d, 1, $i)) AS mh$i"
 
+  /** Shared d6/d7 oracle CTE chain: documents → 3-gram shingles →
+    * single-digest minhash signatures → 4 bands → skew-capped buckets →
+    * candidate pairs → Jaccard-verified pairs at threshold 0.5. Mirrors
+    * Dedup.nearDupPairs(k=12, bands=4, shingleN=3, maxBucket=10000). */
+  private def lshVerifiedCtes: String = {
+    val mins = (0 until 12).map(rotMinSql).mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
+      s"SELECT doc_id, $b AS band_idx, " +
+        s"md5(concat_ws('|', ${cs.mkString(", ")})) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    val tri = """list_distinct(CASE WHEN len(toks) < 3 THEN []
+      ELSE list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"""
+    val inter = "len(list_filter(a.s, x -> list_contains(b.s, x)))"
+    s"""base AS (
+      SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+    shs AS (SELECT doc_id, $tri AS s FROM base),
+    tok AS (SELECT doc_id, unnest(s) AS token FROM shs),
+    dig AS (SELECT doc_id, md5(token) AS d FROM tok),
+    sig AS (SELECT doc_id, $mins FROM dig GROUP BY doc_id),
+    bands AS ($bandSelects),
+    ok_bands AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY band_idx, band_key HAVING count(*) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        AND a.doc_id < b.doc_id
+      JOIN ok_bands k
+        ON k.band_idx = a.band_idx AND k.band_key = a.band_key),
+    verified AS (
+      SELECT id_a, id_b FROM cand p
+      JOIN shs a ON a.doc_id = p.id_a
+      JOIN shs b ON b.doc_id = p.id_b
+      WHERE (CASE WHEN (len(a.s) + len(b.s) - $inter) = 0 THEN 0.0
+        ELSE CAST($inter AS DOUBLE)
+          / (len(a.s) + len(b.s) - $inter) END) >= 0.5)"""
+  }
+
   // ------------------------------------------------------------ queries
 
   private def dsum(c: Column): Column =
@@ -758,45 +799,34 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
-      Some {
-        val mins = (0 until 12).map(rotMinSql).mkString(", ")
-        val bandSelects = (0 until 4).map { b =>
-          val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
-          s"SELECT doc_id, $b AS band_idx, " +
-            s"md5(concat_ws('|', ${cs.mkString(", ")})) AS band_key FROM sig"
-        }.mkString(" UNION ALL ")
-        val tri = """list_distinct(CASE WHEN len(toks) < 3 THEN []
-          ELSE list_transform(range(1, len(toks) - 1),
-            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"""
-        val inter = "len(list_filter(a.s, x -> list_contains(b.s, x)))"
-        s"""WITH base AS (
-          SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
-        shs AS (SELECT doc_id, $tri AS s FROM base),
-        tok AS (SELECT doc_id, unnest(s) AS token FROM shs),
-        dig AS (SELECT doc_id, md5(token) AS d FROM tok),
-        sig AS (SELECT doc_id, $mins FROM dig GROUP BY doc_id),
-        bands AS ($bandSelects),
-        ok_bands AS (
-          SELECT band_idx, band_key FROM bands
-          GROUP BY band_idx, band_key HAVING count(*) <= 10000),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-            AND a.doc_id < b.doc_id
-          JOIN ok_bands k
-            ON k.band_idx = a.band_idx AND k.band_key = a.band_key),
-        verified AS (
-          SELECT id_a, id_b FROM cand p
-          JOIN shs a ON a.doc_id = p.id_a
-          JOIN shs b ON b.doc_id = p.id_b
-          WHERE (CASE WHEN (len(a.s) + len(b.s) - $inter) = 0 THEN 0.0
-            ELSE CAST($inter AS DOUBLE)
-              / (len(a.s) + len(b.s) - $inter) END) >= 0.5)
+      Some(s"""WITH $lshVerifiedCtes
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM verified)
-        ORDER BY doc_id"""
-      }),
+        ORDER BY doc_id""")),
+
+    // ---- D7: near-dedup, connected-components policy ----------------
+    // Same verified-pair graph as d6, but the keep rule is one
+    // representative (min id) per CONNECTED COMPONENT: label propagation
+    // in Spark (Dedup.componentLabels), a recursive reachability CTE in
+    // the oracle. Differs from greedy on docs linked only via a larger
+    // neighbor (see DedupSpec star test).
+    QueryDef("d7_cc_near_dedup",
+      (s, dir) => Dedup.dropNearDupsCC(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $lshVerifiedCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM labels WHERE lbl < id)
+        ORDER BY doc_id""")),
 
     // ---- N3: IVF top-k (probe nearest cells only) -------------------
     QueryDef("n3_ivf_topk",

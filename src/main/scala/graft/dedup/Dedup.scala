@@ -213,6 +213,71 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected-component labels over an undirected pair set: (id, label)
+    * where label = min id of the component — iterative min-label
+    * propagation, the principled alternative to greedy keep-first (a doc
+    * linked only THROUGH a dropped doc still belongs to the component).
+    *
+    * Scale shape: each iteration is one join + one groupBy on the edge
+    * set — O(E) work, shuffle on id; iterations ≤ graph diameter (labels
+    * decrease monotonically, so convergence is guaranteed; near-dup
+    * components are shallow in practice). Both frontier frames are
+    * persisted and the superseded one released per iteration; lineage
+    * depth grows with iterations, so when a SparkContext checkpoint dir
+    * is configured the labels are reliably checkpointed every 5th round
+    * (localCheckpoint is deliberately NOT used — it pins executor-local
+    * blocks and loses them on executor failure). */
+  def componentLabels(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b",
+                      maxIters: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sc = pairs.sparkSession.sparkContext
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst").agg(min("label").as("in_label"))
+        .withColumnRenamed("dst", "id")
+      var next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), least(col("label"),
+          coalesce(col("in_label"), col("label"))).as("label"))
+      if (sc.getCheckpointDir.isDefined && iter % 5 == 4)
+        next = next.checkpoint()
+      next.persist(StorageLevel.MEMORY_AND_DISK)
+      // one pass both materializes `next` and decides convergence
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-dedup, connected-components policy: one representative (the
+    * min id) survives per component of the verified-pair graph. Differs
+    * from [[dropNearDups]] (greedy) on docs that join a component only
+    * via a LARGER neighbor: greedy keeps them (they are never an id_b),
+    * components folds them in and drops them. */
+  def dropNearDupsCC(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, k: Int = 12, bands: Int = 4,
+                     shingleN: Int = 3,
+                     maxBucket: Int = 10000): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, k, bands,
+      shingleN, maxBucket)
+    val losers = componentLabels(pairs)
+      .filter(col("label") < col("id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (distinct
     * shingles; n=1 → token Jaccard). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

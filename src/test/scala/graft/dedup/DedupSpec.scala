@@ -137,6 +137,49 @@ class DedupSpec extends SparkSpec {
     kept should contain(4L)
   }
 
+  test("componentLabels: min label propagates over multiple hops") {
+    import spark.implicits._
+    // 2–7–9–11 is a 3-hop chain: the min (2) must travel three
+    // propagation rounds to reach 11, so this exercises the loop, not
+    // just the first join; 20–21 is an independent component
+    val pairs = Seq((2L, 7L), (7L, 9L), (9L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.componentLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels(7L) shouldBe 2L
+    labels(9L) shouldBe 2L
+    labels(11L) shouldBe 2L
+    labels(20L) shouldBe 20L
+    labels(21L) shouldBe 20L
+  }
+
+  test("CC policy folds star components where greedy keeps a spoke") {
+    import spark.implicits._
+    // hub 5 is near both 1 and 2 (jaccard 0.6), but 1 and 2 share only
+    // 4 of 12 tokens (0.33 < threshold): verified pairs are exactly
+    // (1,5),(2,5). Greedy drops only id_b docs → 2 survives; connected
+    // components fold {1,2,5} into one group and keep its min.
+    val t = (1 to 8).map(i => s"tok$i")
+    val d = Seq(
+      (1L, (t.take(6) ++ Seq("alpha", "bravo")).mkString(" ")),
+      (2L, (t.drop(2) ++ Seq("charlie", "delta")).mkString(" ")),
+      (5L, t.mkString(" ")),
+      (9L, "entirely unrelated words about catalyst plans and shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5,
+      k = 12, bands = 12, shingleN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set(1L -> 5L, 2L -> 5L)
+    val greedy = Dedup.dropNearDups(d, "doc_id", "text", threshold = 0.5,
+      k = 12, bands = 12, shingleN = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    greedy shouldBe Array(1L, 2L, 9L)
+    val cc = Dedup.dropNearDupsCC(d, "doc_id", "text", threshold = 0.5,
+      k = 12, bands = 12, shingleN = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    cc shouldBe Array(1L, 9L)
+  }
+
   test("maxBucket skew guard: a hot band bucket is dropped, small ones kept") {
     import spark.implicits._
     // 30 identical docs land in ONE band bucket per band (the LSH skew
