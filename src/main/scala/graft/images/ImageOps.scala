@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   * typed metadata (width/height/format/ok) alongside, paths only at the
   * edges.
   *
-  * Decode/encode is real (JDK ImageIO: PNG/JPEG/GIF/BMP — no external
-  * deps); WebP has no JDK codec, so `webpEncode` is a clearly-marked
-  * deterministic stand-in (RIFF header + raw payload) keeping the
-  * plumbing — schema, chain fold, fail-flag, path rewrite — real and
-  * tested.
+  * Decode/encode is real: JDK ImageIO for PNG/JPEG/GIF/BMP, and a
+  * from-scratch VP8L bitstream writer ([[WebpCodec]]) for WebP — the JDK
+  * ships no WebP codec and the build has no external deps, so the
+  * lossless spec is implemented directly (round-trip tested through
+  * [[WebpCodec.decode]]).
   *
   * Scale design: each transform is a scalar UDF over the binary column —
   * map-only, no shuffle, image-parallel across partitions; the chain folds
@@ -81,19 +81,42 @@ object ImageOps {
       } catch { case _: Exception => None }
     }
 
-  /** I3: WebP re-encode STUB — deterministic container (RIFF/WEBP header +
-    * PNG payload). The JDK ships no WebP codec; semantics (path rewrite
-    * `.png`→`.webp`, chain position, fail-flag) are the real part
-    * (reference `webp_transformation.py:7-24`). */
-  def webpEncode(bytes: Array[Byte]): Option[Array[Byte]] =
-    decode(bytes).flatMap(encode(_, "png")).map { png =>
-      val riff = "RIFF".getBytes ++ intLE(png.length + 4) ++ "WEBP".getBytes
-      riff ++ png
+  /** I3: WebP re-encode — a real, spec-valid VP8L lossless bitstream
+    * ([[WebpCodec]]; reference `webp_transformation.py:7-24`, PIL
+    * `save(lossless=…, quality=…, method=…)`).
+    *
+    * `lossless=true` (the reference's default) round-trips pixels
+    * exactly. `lossless=false` maps the quality knob onto a
+    * deterministic channel quantization (keep the top 8−shift bits,
+    * shift = (100−quality)/20, capped at 5) before the same lossless
+    * encode — a documented stand-in for VP8's DCT path, which has no
+    * JVM implementation; the output container is still real WebP that
+    * any conforming decoder accepts. `method` (an encoder effort knob
+    * in libwebp) has no analogue here and is ignored. */
+  def webpEncode(bytes: Array[Byte], lossless: Boolean = true,
+                 quality: Int = 50): Option[Array[Byte]] =
+    decode(bytes).flatMap { img =>
+      val src =
+        if (lossless) img
+        else {
+          val shift = math.min(5, math.max(0, (100 - quality) / 20))
+          val mask = (0xff << shift) & 0xff
+          val q = new BufferedImage(img.getWidth, img.getHeight,
+            BufferedImage.TYPE_INT_ARGB)
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+            img.getWidth)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            px(i) = (p & 0xff000000) | (((p >>> 16) & mask) << 16) |
+              (((p >>> 8) & mask) << 8) | (p & mask)
+            i += 1
+          }
+          q.setRGB(0, 0, img.getWidth, img.getHeight, px, 0, img.getWidth)
+          q
+        }
+      WebpCodec.encodeLossless(src)
     }
-
-  private def intLE(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
   /** I4: fold the configured chain over one payload; None = failure
     * (→ F4 success-mask drop, `wikicaps_etl_pipeline.py:203-210`). */
@@ -108,7 +131,9 @@ object ImageOps {
             t.params.getOrElse("max_height", "640").toInt)
           case "compress" => compressBytes(b,
             t.params.getOrElse("quality", "0.8").toFloat)
-          case "webp" => webpEncode(b)
+          case "webp" => webpEncode(b,
+            t.params.getOrElse("lossless", "true").toBoolean,
+            t.params.getOrElse("quality", "50").toInt)
           case _ => None // unknown transform = failure, never throw (R4)
         }
       }

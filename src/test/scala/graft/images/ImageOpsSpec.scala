@@ -43,10 +43,45 @@ class ImageOpsSpec extends SparkSpec {
     ImageIO.read(new java.io.ByteArrayInputStream(out)) should not be null
   }
 
-  test("I3 webp stub: RIFF/WEBP container marker") {
-    val out = ImageOps.webpEncode(Fixtures.png(16, 16)).get
+  test("I3 webp: real VP8L stream, decode round-trips pixels exactly") {
+    val src = Fixtures.png(16, 16)
+    val out = ImageOps.webpEncode(src).get
     new String(out.take(4)) shouldBe "RIFF"
     new String(out.slice(8, 12)) shouldBe "WEBP"
+    new String(out.slice(12, 16)) shouldBe "VP8L"
+    val decoded = WebpCodec.decode(out)
+    val orig = ImageIO.read(new java.io.ByteArrayInputStream(src))
+    decoded.getWidth shouldBe orig.getWidth
+    decoded.getHeight shouldBe orig.getHeight
+    for (x <- 0 until orig.getWidth; y <- 0 until orig.getHeight)
+      decoded.getRGB(x, y) shouldBe orig.getRGB(x, y)
+  }
+
+  test("I3 webp: non-square + odd payload length + alpha survive") {
+    // 7×3 → 84-byte pixel payload + headers: exercises RIFF even-padding
+    val img = new BufferedImage(7, 3, BufferedImage.TYPE_INT_ARGB)
+    for (x <- 0 until 7; y <- 0 until 3)
+      img.setRGB(x, y, ((40 * x + 13 * y + 7) << 24) | (x * 31 + y * 77))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val out = ImageOps.webpEncode(bos.toByteArray).get
+    val decoded = WebpCodec.decode(out)
+    for (x <- 0 until 7; y <- 0 until 3)
+      decoded.getRGB(x, y) shouldBe img.getRGB(x, y)
+  }
+
+  test("I3 webp lossy: quality quantizes deterministically, still decodable") {
+    val src = Fixtures.png(8, 8)
+    val out = ImageOps.webpEncode(src, lossless = false, quality = 50).get
+    val decoded = WebpCodec.decode(out)
+    val orig = ImageIO.read(new java.io.ByteArrayInputStream(src))
+    val mask = 0xfc // shift (100-50)/20 = 2
+    for (x <- 0 until 8; y <- 0 until 8) {
+      val o = orig.getRGB(x, y)
+      val expected = (o & 0xff000000) | (((o >>> 16) & mask) << 16) |
+        (((o >>> 8) & mask) << 8) | (o & mask)
+      decoded.getRGB(x, y) shouldBe expected
+    }
   }
 
   test("I4 chain: fold order, corrupt input fails without throwing") {
