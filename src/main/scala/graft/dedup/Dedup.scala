@@ -12,10 +12,11 @@ import graft.text.TextAnalysis
   *
   *  - exact:   hash-groupBy on a normalized fingerprint — one shuffle whose
   *             width is the number of *distinct* documents.
-  *  - MinHash: per-doc signature is a map-side aggregation (explode tokens →
-  *             groupBy doc), banding turns O(n²) similarity into equi-joins
-  *             on band hashes — the classic LSH trick; the only shuffles are
-  *             by doc_id then by band hash, never all-pairs.
+  *  - MinHash: per-doc signatures are MAP-ONLY (native
+  *             [[graft.functions.MinHashRot]]: one md5 per shingle, k
+  *             rotation-mins in one array pass); banding turns O(n²)
+  *             similarity into equi-joins on band hashes — the classic LSH
+  *             trick; the only shuffle is by band hash, never all-pairs.
   *  - SimHash: 16-bit majority signature, Hamming-bucket join.
   *  - n-gram Jaccard: verification on candidate pairs only.
   */
@@ -81,26 +82,48 @@ object Dedup {
     if (i == 0) d
     else concat(substring(d, i + 1, 32 - i), substring(d, 1, i))
 
-  /** MinHash signatures from an (id, shingle-array) table. The digest is
-    * materialized in its own projection (`__d`) so md5 runs ONCE per
-    * shingle — CollapseProject won't inline a non-cheap expression used k
-    * times into the aggregate. The pre-r5 family computed k independent
-    * `md5(shingle || '#i')` digests per shingle: 12× the md5 block work,
-    * the dominant term of the r4 d3 bench (17 s = 31% of the total). */
+  /** MinHash signatures from an (id, shingle-array) table — MAP-ONLY via
+    * the native [[graft.functions.MinHashRot]] expression: one md5 per
+    * shingle, all k rotation-mins in a single pass over each row's array.
+    * Docs with no shingles are filtered first (the aggregate/oracle form
+    * emits no row for them; also keeps ANSI `element_at` in bounds).
+    *
+    * History: the r4 form computed k independent `md5(shingle || '#i')`
+    * digests per shingle (12× the md5 work — 17 s of the r4 bench); the
+    * first r5 form fixed the arithmetic but still exploded shingles and
+    * shuffled them into a groupBy — [[signaturesFromAgg]] keeps that
+    * formulation as the parity witness. */
   private def signaturesFrom(sh: DataFrame, idCol: String,
                              k: Int): DataFrame = {
+    val withSig = sh.filter(size(col("__s")) > 0)
+      .select(col(idCol), graft.functions.MinHashRot(col("__s"), k)
+        .as("__sig"))
+    withSig.select(col(idCol) +: (0 until k).map(i =>
+      element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The explode → groupBy formulation of [[signaturesFrom]] (same
+    * single-digest rotation family) — semantics oracle for the native
+    * expression; test-only, never in a hot path. */
+  private[graft] def signaturesFromAgg(sh: DataFrame, idCol: String,
+                                       k: Int): DataFrame = {
     val toks = sh.select(col(idCol), explode(col("__s")).as("token"))
       .select(col(idCol), md5(col("token")).as("__d"))
     val aggs = (0 until k).map(i => min(rotDigest(col("__d"), i)).as(s"mh$i"))
     toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (id, shingle-array) table for [[signaturesFromAgg]] parity tests. */
+  private[graft] def shingleTableForTest(df: DataFrame, idCol: String,
+                                         textCol: String,
+                                         shingleN: Int): DataFrame =
+    shingleTable(df, idCol, textCol, shingleN)
+
   /** MinHash signature columns: for each of k hash functions, the minimum
     * over the doc's distinct shingles of rotate(md5(shingle), i) — ONE md5
-    * per shingle, k cheap string rotations (see [[rotDigest]]). The family
-    * is deterministic across engines (oracle-checkable); min-of-hash per
-    * doc is a map-side partial aggregation (shuffle carries k hashes per
-    * doc, not shingles). */
+    * per shingle, k rotation comparisons, computed per-row with no
+    * shuffle. The family is deterministic across engines
+    * (oracle-checkable). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleN: Int = 1): DataFrame =
     signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k)

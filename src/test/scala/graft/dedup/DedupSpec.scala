@@ -137,6 +137,24 @@ class DedupSpec extends SparkSpec {
     kept should contain(4L)
   }
 
+  test("native minhash_rot matches the explode+groupBy aggregate form") {
+    import spark.implicits._
+    val edge = Seq((6L, ""), (7L, "one two"), (8L, "one two three"),
+      (9L, "Repeated words repeated WORDS repeated words here now"))
+      .toDF("doc_id", "text")
+    val d = docs.union(edge)
+    for (n <- Seq(1, 3)) {
+      val sh = Dedup.shingleTableForTest(d, "doc_id", "text", n)
+      val fast = Dedup.minhashSignatures(d, "doc_id", "text", 8, n)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 8).map(r.getString)).toMap
+      val ref = Dedup.signaturesFromAgg(sh, "doc_id", 8)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 8).map(r.getString)).toMap
+      fast shouldBe ref // incl. which docs are absent (no shingles)
+    }
+  }
+
   test("componentLabels: min label propagates over multiple hops") {
     import spark.implicits._
     // 2–7–9–11 is a 3-hop chain: the min (2) must travel three
