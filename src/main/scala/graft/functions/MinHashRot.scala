@@ -64,6 +64,16 @@ object MinHashRot {
   /** Column API (Spark 4 ColumnNode ↔ Catalyst Expression bridge). */
   def apply(shingles: Column, k: Int): Column =
     Bridge.column(new MinHashRot(Bridge.expression(shingles), k))
+
+  /** SQL builder: `minhash_rot(shingles, k)` with a literal int k. */
+  private[graft] def build(exprs: Seq[Expression]): MinHashRot =
+    exprs match {
+      case Seq(arr, org.apache.spark.sql.catalyst.expressions.Literal(
+        k: Int, org.apache.spark.sql.types.IntegerType)) =>
+        MinHashRot(arr, k)
+      case _ => throw new IllegalArgumentException(
+        "minhash_rot requires (array<string>, literal int k)")
+    }
 }
 
 /** Plain object (not a companion) so the method compiles to a true Java

@@ -66,6 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => graft.functions.DotProduct.build(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash16"),
+      new ExpressionInfo(
+        classOf[graft.functions.SimHash16].getName, "simhash16"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash16.build(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_rot"),
+      new ExpressionInfo(
+        classOf[graft.functions.MinHashRot].getName, "minhash_rot"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashRot.build(exprs)))
     e.injectOptimizerRule(_ => RewriteSyllableRegex)
   }
 }

@@ -45,6 +45,19 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     df2.queryExecution.optimizedPlan.toString should include("syllable_count")
   }
 
+  test("simhash16 and minhash_rot SQL functions are injected") {
+    spark.sql("SELECT simhash16(array('one', 'two')) AS s")
+      .head().getString(0) should fullyMatch regex "[01]{16}"
+    val sig = spark.sql(
+      "SELECT minhash_rot(array('one', 'two', 'three'), 4) AS sig")
+      .head().getSeq[String](0)
+    sig should have size 4
+    all(sig) should fullyMatch regex "[0-9a-f]{32}"
+    // element 0 is the plain digest min; element 1 its 1-char rotation
+    // family member — distinct strings from the same digest set
+    sig.distinct.size should be > 1
+  }
+
   test("other greatest/regexp shapes are left untouched") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("docs_ext2")
