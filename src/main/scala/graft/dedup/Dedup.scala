@@ -261,23 +261,27 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = labels // the frame actually holding the persisted blocks
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy("dst").agg(min("label").as("in_label"))
         .withColumnRenamed("dst", "id")
-      var next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), least(col("label"),
-          coalesce(col("in_label"), col("label"))).as("label"))
+      // keep old + new label side by side: the SAME cached frame answers
+      // the convergence probe and carries the next frontier — no second
+      // join against the previous labels per round
+      var joined = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("label"), least(col("label"),
+          coalesce(col("in_label"), col("label"))).as("nlabel"))
       if (sc.getCheckpointDir.isDefined && iter % 5 == 4)
-        next = next.checkpoint()
-      next.persist(StorageLevel.MEMORY_AND_DISK)
-      // one pass both materializes `next` and decides convergence
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
+        joined = joined.checkpoint()
+      joined.persist(StorageLevel.MEMORY_AND_DISK)
+      val changed =
+        joined.filter(col("nlabel") < col("label")).limit(1).count()
+      cached.unpersist(blocking = false)
+      cached = joined
+      labels = joined.select(col("id"), col("nlabel").as("label"))
       converged = changed == 0
       iter += 1
     }
