@@ -828,6 +828,41 @@ object Queries {
         WHERE doc_id NOT IN (SELECT id FROM labels WHERE lbl < id)
         ORDER BY doc_id""")),
 
+    // ---- D8: benchmark decontamination ------------------------------
+    // Train/eval overlap guard: docs from the held-out source (src0,
+    // the stand-in benchmark) poison any corpus doc sharing a 5-gram
+    // with them. Benchmark digests reduce to a small broadcastable set;
+    // corpus shingles semi-join on md5 — O(shingles), no pairs.
+    QueryDef("d8_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.decontaminate(d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "doc_id", "text",
+          shingleN = 5)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some {
+        val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
+          ELSE list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
+        s"""WITH toked AS (
+          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT md5(unnest($five)) AS bd
+          FROM toked WHERE source = 'src0'),
+        corp AS (
+          SELECT doc_id, md5(unnest($five)) AS bd
+          FROM toked WHERE source <> 'src0'),
+        bad AS (
+          SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (bd))
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id"""
+      }),
+
     // ---- N3: IVF top-k (probe nearest cells only) -------------------
     QueryDef("n3_ivf_topk",
       (s, dir) => {

@@ -305,6 +305,30 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: drop from `corpus` every doc sharing at
+    * least one word n-gram shingle with `benchmark` — the standard
+    * train/eval overlap guard for LLM training corpora (n-gram collision
+    * decontamination à la GPT-3/PaLM dataset cards).
+    *
+    * Scale shape: benchmark shingles reduce to DISTINCT md5 digests
+    * (fixed 32-char keys, typically a small set that Spark auto-
+    * broadcasts); corpus shingles explode and semi-join on the digest;
+    * contaminated ids anti-join back. Work is O(total shingles), the
+    * only wide exchange is the distinct on contaminated ids — no
+    * pairwise comparison anywhere. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 5): DataFrame = {
+    val bench = shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(explode(col("__s")).as("token"))
+      .select(md5(col("token")).as("__bd")).distinct()
+    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN)
+      .select(col(idCol), explode(col("__s")).as("token"))
+      .select(col(idCol), md5(col("token")).as("__bd"))
+    val contaminated = corpusSh.join(bench, Seq("__bd"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (distinct
     * shingles; n=1 → token Jaccard). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

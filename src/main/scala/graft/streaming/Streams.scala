@@ -102,6 +102,22 @@ object Streams {
       }
   }
 
+  /** Streaming exact-dedup (dedup-on-ingest): drop re-arrivals of the
+    * same content fingerprint. `dropDuplicatesWithinWatermark` keys the
+    * state store on the md5 fingerprint (same normalization as batch D1,
+    * `TextAnalysis.fingerprint`) and — unlike plain `dropDuplicates` —
+    * EVICTS entries once the watermark passes them, so state is bounded
+    * by the dedup horizon instead of growing with the corpus forever.
+    * Exactness within the horizon, at-most-once per fingerprint across
+    * batches; duplicates older than the horizon are the batch near-dedup
+    * pass's job. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Run the windowed aggregation over all currently-available files and
     * stop (batch-equivalent backfill; reference's incremental-resume
     * analog). Returns the result read back from the sink. */

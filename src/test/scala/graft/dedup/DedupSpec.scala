@@ -198,6 +198,22 @@ class DedupSpec extends SparkSpec {
     cc shouldBe Array(1L, 9L)
   }
 
+  test("decontaminate drops docs sharing a 5-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      // shares "the quick brown fox jumps" with the benchmark doc
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely unrelated sentence about spark and catalyst"),
+      (3L, "too short to shingle") // < 5 tokens → can't be contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "we saw the quick brown fox jumps over a fence")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(2L, 3L)
+  }
+
   test("maxBucket skew guard: a hot band bucket is dropped, small ones kept") {
     import spark.implicits._
     // 30 identical docs land in ONE band bucket per band (the LSH skew

@@ -100,6 +100,34 @@ class StreamsSpec extends SparkSpec {
                        // (and logging errors) through every later suite
   }
 
+  test("streaming dedup drops cross-batch fingerprint re-arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // ids 1/3 share a fingerprint (case/whitespace-normalized dup),
+    // id 4 repeats id 2 verbatim in a later batch
+    input.addData((1L, t(0), "The quick brown fox"),
+      (2L, t(1), "an unrelated document"))
+    input.addData((3L, t(2), "the  QUICK brown fox"),
+      (4L, t(3), "an unrelated document"),
+      (5L, t(4), "a genuinely new document"))
+    val q = Streams.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val ids = spark.sql("SELECT doc_id FROM dedup_out")
+        .collect().map(_.getLong(0)).sorted
+      ids shouldBe Array(1L, 2L, 5L)
+    } finally q.stop()
+  }
+
   test("cross-batch out-of-order event does not split the session") {
     // drives the shared mergeEvent step (the exact code the streaming
     // state function folds with) in cross-batch arrival order
