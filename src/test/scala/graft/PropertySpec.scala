@@ -84,6 +84,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("webp codec round-trips arbitrary ARGB images bit-exactly") {
+    // driver-side property (no Spark): random dims + random pixels,
+    // including full alpha range and degenerate 1×1
+    val rng = new scala.util.Random(1312)
+    (0 until 25).foreach { i =>
+      val w = 1 + rng.nextInt(23)
+      val h = 1 + rng.nextInt(17)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, rng.nextInt())
+      val bytes = graft.images.WebpCodec.encodeLossless(img).get
+      val back = graft.images.WebpCodec.decode(bytes)
+      back.getWidth shouldBe w
+      back.getHeight shouldBe h
+      for (x <- 0 until w; y <- 0 until h)
+        assert(back.getRGB(x, y) == img.getRGB(x, y),
+          s"case $i pixel ($x,$y)")
+    }
+  }
+
   test("minhash signature agreement is monotone-ish in jaccard") {
     // identical docs always produce identical signatures
     val t = sample(text, 20)
