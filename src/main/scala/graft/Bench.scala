@@ -58,21 +58,29 @@ object Bench {
                else Left(firstErr.getOrElse("failed")))
     }
     def median(v: Seq[Double]): Double = v(v.length / 2)
+    // 3-decimal times: ms precision is below this box's run-to-run noise,
+    // and full double repr once overflowed the driver's line capture (the
+    // r5 total was lost to truncation — keep this line SHORT)
+    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + median(v)
+      case (k, Right(v)) => s"\"" + k + "\":" + fmt(median(v))
       case (k, Left(_)) => s"\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     // dispersion: [min,max] of the successful runs per query, so a noisy
     // run (GC pause, page-cache miss) is self-evident in the JSON instead
     // of masquerading as a 10x regression of an unchanged query
     val spread = results.collect { case (k, Right(v)) =>
-      s"\"" + k + "\":[" + v.head + "," + v.last + "]"
+      s"\"" + k + "\":[" + fmt(v.head) + "," + fmt(v.last) + "]"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) =>
       s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
     val total = results.values.collect { case Right(v) => median(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    // "value" leads so the headline survives even a truncated capture;
+    // spread is a SECOND line the driver is free to drop — it must never
+    // cost the total again
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"spread","unit":"sec","runs":$runs,"spread":$spread}""")
     spark.stop()
   }
 }

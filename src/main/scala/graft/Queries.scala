@@ -35,8 +35,10 @@ object Queries {
                             impl: (SparkSession, String) => DataFrame,
                             oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.util.OptimizerTuning.tune(s) // see OptimizerTuning scaladoc
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set in
@@ -851,10 +853,10 @@ object Queries {
           SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
           FROM documents),
         bench AS (
-          SELECT DISTINCT md5(unnest($five)) AS bd
+          SELECT DISTINCT substr(md5(unnest($five)), 1, 16) AS bd
           FROM toked WHERE source = 'src0'),
         corp AS (
-          SELECT doc_id, md5(unnest($five)) AS bd
+          SELECT doc_id, substr(md5(unnest($five)), 1, 16) AS bd
           FROM toked WHERE source <> 'src0'),
         bad AS (
           SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (bd))
@@ -993,15 +995,34 @@ object Queries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val cutoff = 2000
-        val w = Window.partitionBy("lang").orderBy("text", "doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
+        val docs = t(s, dir, "documents")
+        // n_docs counts the WHOLE language (reference semantics) — a
+        // map-side-combined groupBy, tiny output, broadcast back at the end
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        // Rank pre-prune: every prior row adds >= 1 to the running length,
+        // so row_number > cutoff implies __pre >= cutoff — those rows can
+        // never survive the `__pre < cutoff` filter. Filtering directly on
+        // row_number() compiles to WindowGroupLimit, which drops losers on
+        // the MAP side: each task ships <= cutoff rows per lang instead of
+        // all of a (skewed, low-cardinality) language's corpus to one
+        // reducer. The cumulative-length window then sorts only survivors.
+        // InsertWindowGroupLimit only fires when the rank bound is under
+        // spark.sql.optimizer.windowGroupLimitThreshold (default 1000 <
+        // our 2000) — raise it or the filter silently degrades to a
+        // post-sort filter that ships every row to the reducer again
+        s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
+        val ord = Window.partitionBy("lang").orderBy("text", "doc_id")
+        val pruned = docs.select(col("lang"), col("doc_id"), col("text"))
+          .withColumn("__rn", row_number().over(ord))
+          .filter(col("__rn") <= cutoff).drop("__rn")
+        val w = ord.rowsBetween(Window.unboundedPreceding, -1)
         val pre = coalesce(sum(length(col("text")) + 1).over(w), lit(0L))
-        val agged = t(s, dir, "documents").withColumn("__pre", pre)
+        val agged = pruned.withColumn("__pre", pre)
           .groupBy("lang")
           .agg(concat_ws(" ", sort_array(
             collect_list(when(col("__pre") < cutoff, col("text")))))
-            .as("__full"),
-            count(lit(1)).as("n_docs"))
+            .as("__full"))
+          .join(broadcast(counts), Seq("lang"))
         // sentence-boundary trim: within budget → unchanged (the
         // reference's while-loop never runs); over budget → cut the first
         // `cutoff` chars back to the last '.' in them (no '.' → keep head)

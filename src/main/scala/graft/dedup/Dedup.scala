@@ -310,23 +310,61 @@ object Dedup {
     * train/eval overlap guard for LLM training corpora (n-gram collision
     * decontamination à la GPT-3/PaLM dataset cards).
     *
-    * Scale shape: benchmark shingles reduce to DISTINCT md5 digests
-    * (fixed 32-char keys, typically a small set that Spark auto-
-    * broadcasts); corpus shingles explode and semi-join on the digest;
-    * contaminated ids anti-join back. Work is O(total shingles), the
-    * only wide exchange is the distinct on contaminated ids — no
-    * pairwise comparison anywhere. */
+    * Scale shape: benchmark shingles reduce to a small DISTINCT digest set;
+    * corpus shingles explode and semi-join on the digest; contaminated ids
+    * anti-join back. Work is O(total shingles), no pairwise comparison
+    * anywhere. Two constant-factor moves make the corpus side cheap:
+    *
+    *  - a Bloom filter over the benchmark digests (built driver-side —
+    *    the benchmark side is small by definition — and shipped as a
+    *    literal into a codegen'd [[BloomFilterMightContain]]) pre-filters
+    *    corpus shingles ON THE SCAN, so the overwhelmingly-clean corpus
+    *    never pays md5 or shuffle for non-matching shingles; exactness is
+    *    preserved because survivors still go through the real semi-join;
+    *  - the join key is the first 64 bits of the md5 digest as BINARY(8)
+    *    (not the 32-char hex string) — half the comparison work and a
+    *    quarter of the shuffle bytes for the survivors that do move.
+    *
+    * The 64-bit digest slice IS the match semantics (mirrored in the
+    * oracle via `substr(md5(..),1,16)`): at 2^64, slice collisions are
+    * ~10⁻⁹ even at 100 TB-scale shingle counts, and a collision only ever
+    * drops an extra doc — the conservative direction for decontamination. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int = 5): DataFrame = {
-    val bench = shingleTable(benchmark, idCol, textCol, shingleN)
-      .select(explode(col("__s")).as("token"))
-      .select(md5(col("token")).as("__bd")).distinct()
+                    textCol: String, shingleN: Int = 5,
+                    bloomFpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    // both sides explode HOF-built shingle arrays — without this the
+    // inferred size>0 filter re-tokenizes per element (17× on this query)
+    graft.util.OptimizerTuning.tune(corpus.sparkSession)
+    def key64(tok: Column): Column = unhex(substring(md5(tok), 1, 16))
+    val benchToks = shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(explode(col("__s")).as("token")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two driver-side jobs over the (persisted) small side: exact count to
+    // size the filter, then the bloom build itself
+    val nBench = math.max(benchToks.count(), 1L)
+    val bloom = benchToks.select(xxhash64(col("token")).as("__h"))
+      .stat.bloomFilter("__h", nBench, bloomFpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    def mightContain(tok: Column): Column = Bridge.column(
+      new BloomFilterMightContain(Literal(bloomBytes),
+        Bridge.expression(xxhash64(tok))))
+    val bench = benchToks.select(key64(col("token")).as("__bd")).distinct()
     val corpusSh = shingleTable(corpus, idCol, textCol, shingleN)
       .select(col(idCol), explode(col("__s")).as("token"))
-      .select(col(idCol), md5(col("token")).as("__bd"))
+      .filter(mightContain(col("token")))
+      .select(col(idCol), key64(col("token")).as("__bd"))
     val contaminated = corpusSh.join(bench, Seq("__bd"), "left_semi")
       .select(col(idCol)).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
+    val out = corpus.join(contaminated, Seq(idCol), "left_anti")
+    // release the build-side cache; the lazy plan recomputes the (small)
+    // benchmark side once more when the caller executes
+    benchToks.unpersist(blocking = false)
+    out
   }
 
   /** Word n-gram Jaccard similarity between two text columns (distinct
