@@ -24,7 +24,11 @@ import scala.collection.mutable.ArrayBuffer
   *  lossless stream (≈4 B/px), not rate competitiveness with libwebp.
   *  Validated against the canonical decoder: libwebp's `WebPDecodeRGBA`
   *  reproduces this encoder's output pixel-exactly (RGB and ARGB, even
-  *  and odd payload sizes).
+  *  and odd payload sizes). The evidence is committed: the `.webp` files
+  *  under `src/test/resources/golden/webp/` are this encoder's outputs
+  *  and the sibling `.rgba` files their libwebp decodes
+  *  (`tools/webp_libwebp_dump.py`); `GoldenWebpSpec` re-checks both
+  *  directions on every test run.
   *
   * The decoder reads the general literal subset of the spec — arbitrary
   * simple/normal prefix codes (incl. 16/17/18 repeats and the max_symbol

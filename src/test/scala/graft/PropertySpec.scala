@@ -105,6 +105,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lossy webp contract: quality is a monotone rate knob") {
+    // The engine's DEFINED lossy semantics (README §images): quality maps
+    // to a channel bit-quantization (shift = min(5, (100−q)/20)) before a
+    // lossless VP8L encode. Contract, checked here:
+    //  (1) error(q) is non-increasing in q — pointwise, because the
+    //      quantization residue v mod 2^s1 always dominates v mod 2^s2
+    //      when s2 ≤ s1 (2^s2 divides 2^s1);
+    //  (2) q ≥ 81 → shift 0 → bit-identical to the lossless path;
+    //  (3) per-channel error < 2^shift; alpha is never touched.
+    val rng = new scala.util.Random(77)
+    val (w, h) = (19, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rng.nextInt())
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val orig = img.getRGB(0, 0, w, h, null, 0, w)
+    def decodeAt(q: Int): Array[Int] = {
+      val webp = graft.images.ImageOps
+        .webpEncode(png, lossless = false, quality = q).get
+      graft.images.WebpCodec.decode(webp).getRGB(0, 0, w, h, null, 0, w)
+    }
+    def stats(px: Array[Int]): (Double, Int, Boolean) = {
+      var sum = 0L; var max = 0; var alphaOk = true
+      px.indices.foreach { i =>
+        val a = px(i); val b = orig(i)
+        Seq(16, 8, 0).foreach { s =>
+          val d = math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff))
+          sum += d; max = math.max(max, d)
+        }
+        alphaOk &&= (a >>> 24) == (b >>> 24)
+      }
+      (sum.toDouble / (px.length * 3), max, alphaOk)
+    }
+    val grid = Seq(0, 15, 35, 55, 75, 95, 100)
+    val shifts = grid.map(q => math.min(5, math.max(0, (100 - q) / 20)))
+    val results = grid.map(q => stats(decodeAt(q)))
+    results.foreach { case (_, _, alphaOk) => assert(alphaOk) }
+    results.zip(shifts).foreach { case ((_, max, _), s) =>
+      assert(max < (1 << s) || s == 0 && max == 0) }
+    results.map(_._1).sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo >= hi, "error must not increase with quality") }
+    // top bucket: bit-identical to the lossless path
+    graft.images.ImageOps.webpEncode(png, lossless = false, quality = 95)
+      .get shouldBe graft.images.ImageOps.webpEncode(png,
+      lossless = true).get
+  }
+
   test("minhash signature agreement is monotone-ish in jaccard") {
     // identical docs always produce identical signatures
     val t = sample(text, 20)
