@@ -53,7 +53,16 @@ object Streams {
     * `flatMapGroupsWithState`, which can emit zero-or-many sessions per
     * group per batch (a `mapGroupsWithState` fold would silently drop
     * every session but the last). The open session lives in state and is
-    * emitted closed on processing-time timeout. */
+    * emitted closed on EVENT-TIME timeout: once the watermark passes
+    * `session end + gap`, no event can extend it.
+    *
+    * Why event-time (not processing-time) timeouts: they are driven by
+    * the data's own clock, so a backfill replay emits byte-identical
+    * sessions regardless of wall-clock speed — and a `ProcessingTimeTimeout`
+    * query NEVER goes idle (every micro-batch re-registers wall-clock
+    * timers, so the engine keeps firing empty batches to check them —
+    * measured 50+ empty batches in 12 s under `AvailableNow`, which is
+    * also why such a query never self-terminates). */
   /** Pure per-event merge step shared by the streaming state function and
     * tests: returns (new open session, optionally emitted closed session).
     * Out-of-order safe: a late event must not regress the session end (or
@@ -71,14 +80,16 @@ object Streams {
           other.map(_.copy(closed = true)))
     }
 
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
-  : Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[Session]) =>
           if (state.hasTimedOut) {
             val s = state.get.copy(closed = true)
@@ -95,7 +106,11 @@ object Streams {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(s"$gapMinutes minutes")
+              // close when the watermark passes end+gap; the timestamp
+              // must sit strictly above the current watermark (a very
+              // late session's deadline may already have passed)
+              state.setTimeoutTimestamp(math.max(s.end.getTime + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             emitted.result().iterator
           }

@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
 
 class StreamsSpec extends SparkSpec {
 
+  /** Stop a (possibly still-running) streaming query without killing an
+    * in-flight micro-batch: `stop()` mid-batch aborts the task commit and
+    * sprays `DataWritingSparkTask: Aborting commit` ERRORs through the
+    * suite log, burying any real failure. Draining with
+    * `processAllAvailable()` first makes the stop a clean no-op-ish
+    * shutdown (AvailableNow queries have usually self-terminated already —
+    * the drain only matters when `awaitTermination` timed out). */
+  private def gracefulStop(q: org.apache.spark.sql.streaming.StreamingQuery)
+  : Unit = {
+    if (q.isActive) {
+      try q.processAllAvailable() catch { case _: Throwable => () }
+    }
+    q.stop()
+  }
+
   test("AvailableNow backfill: windowed counts match batch for closed windows") {
     val dir = Files.createTempDirectory("stream").toFile.getAbsolutePath
     // copy a slice of events to a standalone stream source dir
@@ -96,8 +111,9 @@ class StreamsSpec extends SparkSpec {
       u7.head.closed shouldBe true
       // open sessions (u9, and u7's second) stay in state, not emitted
       out.exists(_.user_id == 9L) shouldBe false
-    } finally q.stop() // a live query would keep firing micro-batches
-                       // (and logging errors) through every later suite
+    } finally gracefulStop(q) // a live query would keep firing micro-
+                              // batches (and logging errors) through
+                              // every later suite
   }
 
   test("streaming dedup drops cross-batch fingerprint re-arrivals") {
@@ -125,7 +141,7 @@ class StreamsSpec extends SparkSpec {
       val ids = spark.sql("SELECT doc_id FROM dedup_out")
         .collect().map(_.getLong(0)).sorted
       ids shouldBe Array(1L, 2L, 5L)
-    } finally q.stop()
+    } finally gracefulStop(q)
   }
 
   test("cross-batch out-of-order event does not split the session") {
