@@ -41,4 +41,26 @@ object Layout {
       .agg(sum(col("__psum")).cast("double").as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n"))
   }
+
+  /** Salted multi-key count — the A1 vocab shape (count per (token,pos),
+    * stopword keys carrying orders of magnitude more rows than the tail).
+    *
+    * When to reach for it, honestly: Spark's hash aggregate already runs a
+    * map-side partial aggregate, so a COUNT's reduce side receives at most
+    * one partial row per (key × map partition) and count-shaped skew is
+    * largely pre-collapsed (SCALE.md records the sf0.1 measurement). The
+    * salt earns its second shuffle when the partial aggregate CANNOT
+    * collapse — per-key `collect_list`/median-style buffers, or when a
+    * hot key's partials themselves overwhelm one reducer at extreme
+    * partition counts. Result-equality with the plain aggregate is what
+    * LayoutSpec asserts; cost is shape-dependent, not free. */
+  def saltedCount(df: DataFrame, keys: Seq[String],
+                  saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id(), lit(saltBuckets)))
+    salted.groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__pcnt")).as("count"))
+  }
 }

@@ -125,6 +125,43 @@ object Quantiles {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** At-scale variant: Spark's `percentile_approx` — a Greenwald–Khanna
+    * sketch that is MERGEABLE (map-side partial agg, constant memory per
+    * task, one tiny final merge), vs the exact path's full range-partition
+    * sort. Rank error is bounded by n/`accuracy`, so with the 10k default
+    * the reported value sits within ±0.01% of the true rank. Same return
+    * shape as [[globalQuantiles]]; columns with zero non-null rows are
+    * absent. This is the swap SCALE.md documents for 100 TB — the exact
+    * path stays the default for oracle parity. */
+  def globalQuantilesApprox(df: DataFrame, cols: Seq[String],
+                            ps: Seq[Double], accuracy: Int = 10000)
+  : Map[(String, Double), Double] = {
+    require(cols.nonEmpty && ps.nonEmpty, "need at least one column and p")
+    val aggs = cols.map { c =>
+      percentile_approx(col(c).cast("double"),
+        array(ps.map(lit): _*), lit(accuracy)).as(c)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (for {
+      (c, i) <- cols.zipWithIndex if !row.isNullAt(i)
+      (p, j) <- ps.zipWithIndex
+    } yield (c, p) -> row.getSeq[Double](i)(j)).toMap
+  }
+
+  /** Flag-dispatched entry point used by [[graft.analytics.Summary]]:
+    * exact by default (bit-for-bit oracle parity); set
+    * `spark.graft.quantiles.approx=true` (optionally
+    * `spark.graft.quantiles.accuracy=N`) to run the mergeable sketch at
+    * scale. */
+  def quantiles(df: DataFrame, cols: Seq[String],
+                ps: Seq[Double]): Map[(String, Double), Double] = {
+    val conf = df.sparkSession.conf
+    if (conf.get("spark.graft.quantiles.approx", "false").toBoolean)
+      globalQuantilesApprox(df, cols, ps,
+        conf.get("spark.graft.quantiles.accuracy", "10000").toInt)
+    else globalQuantiles(df, cols, ps)
+  }
+
   /** Adds `__rn` (1-based rank of `valueCol` within each group) and `__n`
     * (group size) over ONE shuffle on the group key; rows with null
     * `valueCol` are dropped (quantile_cont/percentile ignore nulls).

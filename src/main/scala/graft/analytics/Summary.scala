@@ -31,7 +31,9 @@ object Summary {
     * + final; no pre-agg repartition — the input's own partitioning already
     * parallelizes a cheap aggregate, and an extra shuffle only costs).
     * Medians: distributed exact k-th-element selection
-    * ([[Quantiles.globalQuantiles]]) — memory bounded by partition size.
+    * ([[Quantiles.globalQuantiles]]) — memory bounded by partition size —
+    * or the mergeable `percentile_approx` sketch when
+    * `spark.graft.quantiles.approx=true` (the documented 100 TB swap).
     * The single wide agg row + the k medians are unpivoted on the driver.
     * (A `stack` Generator over the Aggregate re-executes the aggregate once
     * per emitted row — measured 4× the scan cost at sf0.1 — so the 1-row
@@ -45,7 +47,7 @@ object Summary {
         exactMean(c).as(s"${c}__mean"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*).head()
-    val medians = Quantiles.globalQuantiles(df, cols, Seq(0.5))
+    val medians = Quantiles.quantiles(df, cols, Seq(0.5))
     // driver-side round(x, 4), same semantics as Spark's round (shortest-
     // repr BigDecimal, HALF_UP) — keeps parity with the DuckDB oracle's
     // round(quantile_cont(...), 4) exactly as the old percentile path did

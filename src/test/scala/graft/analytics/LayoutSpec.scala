@@ -33,6 +33,25 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("salted vocab count equals the plain vocab on the hot-key path") {
+    // the A1 shape: exploded tokens, stopword keys ('the', 'a', …) carry
+    // orders of magnitude more rows than the tail — the key distribution
+    // where one reducer would sit at scale
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(
+        graft.enrich.CaptionStats.tokens(col("text"))).as("token"))
+      .withColumn("pos", graft.enrich.CaptionStats.posTag(col("token")))
+    val salted = Layout.saltedCount(toks, Seq("token", "pos"), 16)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val plain = toks.groupBy("token", "pos")
+      .agg(count(lit(1)).as("count"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    salted.length should be > 10 // sf0.001 has a small vocab
+    salted shouldBe plain
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val salted = Layout.saltedSumCount(li, "l_returnflag", "l_quantity", 16)

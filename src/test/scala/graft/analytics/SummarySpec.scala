@@ -56,6 +56,43 @@ class SummarySpec extends SparkSpec {
     s1.distinct.length shouldBe 50
   }
 
+  test("percentile_approx variant tracks exact quantiles within ε at sf0.1") {
+    // the documented 100 TB swap (SCALE.md): mergeable GK sketch vs the
+    // exact range-partition selection. The sketch's guarantee is on RANK
+    // (error ≤ n/accuracy), not value — on quantized data (l_quantity is
+    // integral) one rank step is a whole unit — so the sound check is a
+    // rank band: approx(p) must lie between exact(p−δ) and exact(p+δ)
+    // with δ = 10× the sketch's 1/accuracy bound
+    val df = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val delta = 0.001 // 10 × 1/accuracy(=10000)
+    val band = ps.flatMap(p => Seq(p - delta, p, p + delta)).distinct
+    val exact = Quantiles.globalQuantiles(df, cols, band)
+    val approx = Quantiles.globalQuantilesApprox(df, cols, ps)
+    approx.keySet shouldBe
+      (for (c <- cols; p <- ps) yield (c, p)).toSet
+    for (c <- cols; p <- ps) {
+      val av = approx((c, p))
+      val lo = exact((c, p - delta)); val hi = exact((c, p + delta))
+      assert(lo <= av && av <= hi,
+        s"($c,$p): approx=$av outside exact rank band [$lo, $hi]")
+    }
+  }
+
+  test("spark.graft.quantiles.approx flag routes the dispatcher") {
+    val df = Seq.tabulate(1000)(i => i.toDouble).toDF("x")
+    val exact = Quantiles.quantiles(df, Seq("x"), Seq(0.5))(("x", 0.5))
+    spark.conf.set("spark.graft.quantiles.approx", "true")
+    try {
+      val approx = Quantiles.quantiles(df, Seq("x"), Seq(0.5))(("x", 0.5))
+      // 1000 distinct values ≪ accuracy=10k → the sketch is exact here;
+      // percentile_approx returns the lower straddling value (no
+      // interpolation), so allow one rank step
+      math.abs(approx - exact) should be <= 1.0
+    } finally spark.conf.unset("spark.graft.quantiles.approx")
+  }
+
   test("vocab: counts and descending order with tiebreak") {
     val df = Seq("the cat the dog", "the cat").toDF("text")
     val v = Vocab.generate(df, "text").collect()
