@@ -62,11 +62,24 @@ object Dedup {
     * parallelism (e.g. one small parquet file — parquet can't split below a
     * row group) are repartitioned first: the shingle+hash work dwarfs the
     * tiny shuffle. Wide inputs (the 100 TB case) keep their natural
-    * partitioning. */
+    * partitioning.
+    *
+    * Rows that cannot yield a shingle (fewer than `shingleN` tokens) are
+    * dropped HERE, as a predicate on the flat token array — NOT downstream
+    * as `size(__s) > 0`. A filter on the HOF-built `__s` gets pushed below
+    * its project with the transform substituted in, and HOF lambdas
+    * re-evaluate inlined subtrees per element — measured +2.4 s on the d3
+    * signature stage at sf0.1 (the same pathology OptimizerTuning documents
+    * for inferred generate filters, but from an explicit filter). The
+    * token-count predicate re-evaluates only the lambda-free tokenizer.
+    * Semantics are identical: size(shingles) > 0 ⇔ size(tokens) ≥ n, and
+    * every consumer (signatures, explode, candidate-verify join) ignores
+    * zero-shingle rows anyway — as does the oracle's `unnest`. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int): DataFrame = {
     val withToks = graft.util.Partitioning.spread(df).select(col(idCol),
       CaptionStats.tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= shingleN)
     withToks.select(col(idCol),
       shinglesFromToks(col("__toks"), shingleN).as("__s"))
   }
@@ -95,7 +108,11 @@ object Dedup {
     * formulation as the parity witness. */
   private def signaturesFrom(sh: DataFrame, idCol: String,
                              k: Int): DataFrame = {
-    val withSig = sh.filter(size(col("__s")) > 0)
+    // no emptiness filter here: shingleTable already dropped zero-shingle
+    // rows on the (cheap) token-count predicate — a size(__s) filter at
+    // this level would re-evaluate the shingle transform per element once
+    // pushed below the project (see shingleTable scaladoc)
+    val withSig = sh
       .select(col(idCol), graft.functions.MinHashRot(col("__s"), k)
         .as("__sig"))
     withSig.select(col(idCol) +: (0 until k).map(i =>
