@@ -269,8 +269,22 @@ object Dedup {
     * blocks and loses them on executor failure). */
   def componentLabels(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b",
-                      maxIters: Int = 100): DataFrame = {
+                      maxIters: Int = 100,
+                      localThreshold: Long = 1L << 22): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Near-dup pair graphs are usually TINY relative to the corpus (the
+    // verified duplicate pairs, not the documents). Below the threshold,
+    // shuffle-round fixed costs dwarf the data — the same size-vs-topology
+    // reasoning as a broadcast join — so solve locally with union-find
+    // (4M edges ≈ tens of MB on the driver; identical min-label result,
+    // deterministic). Above it, fall through to the distributed
+    // propagation loop, which scales to any edge count.
+    val nPairs = pairs.persist(StorageLevel.MEMORY_AND_DISK).count()
+    if (nPairs <= localThreshold) {
+      val out = componentLabelsLocal(pairs, idA, idB)
+      pairs.unpersist(blocking = false)
+      return out
+    }
     val sc = pairs.sparkSession.sparkContext
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -296,6 +310,9 @@ object Dedup {
       joined.persist(StorageLevel.MEMORY_AND_DISK)
       val changed =
         joined.filter(col("nlabel") < col("label")).limit(1).count()
+      // the probe above materialized `joined` → `edges`; the pair cache
+      // has served its purpose (count + edge build) and can go early
+      if (iter == 0) pairs.unpersist(blocking = false)
       cached.unpersist(blocking = false)
       cached = joined
       labels = joined.select(col("id"), col("nlabel").as("label"))
@@ -304,6 +321,47 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     labels
+  }
+
+  /** Driver-side union-find for sub-threshold pair graphs: same
+    * (id, label=min id of component) result as the distributed loop,
+    * computed in one collect. Path-halving + min-as-root keeps the
+    * representative exactly the component minimum; ids only need to be
+    * `Comparable` (long, string, ...). */
+  private def componentLabelsLocal(pairs: DataFrame, idA: String,
+                                   idB: String): DataFrame = {
+    import scala.collection.mutable
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent(x) != x) {
+        val gp = parent(parent(x))
+        parent(x) = gp // path halving
+        x = gp
+      }
+      x
+    }
+    pairs.select(col(idA), col(idB)).collect().foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // smaller id becomes the root so the root IS the component min
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(idA).dataType
+    val rows = parent.keys.toSeq.map { id =>
+      org.apache.spark.sql.Row(id, find(id))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("label", idType))))
   }
 
   /** Near-dedup, connected-components policy: one representative (the

@@ -171,6 +171,23 @@ class DedupSpec extends SparkSpec {
     labels(21L) shouldBe 20L
   }
 
+  test("componentLabels: local union-find equals the distributed loop") {
+    import spark.implicits._
+    // chain + star + isolated pair, ids deliberately out of insert order;
+    // localThreshold=0 forces the iterative path, default takes the
+    // driver-side union-find — both must produce identical label maps
+    val pairs = Seq((9L, 3L), (3L, 12L), (12L, 1L), (50L, 40L),
+      (40L, 60L), (40L, 70L), (100L, 99L)).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.componentLabels(pairs))
+    val dist = asMap(Dedup.componentLabels(pairs, localThreshold = 0))
+    local shouldBe dist
+    local(9L) shouldBe 1L // min travels the 3-hop chain in both paths
+    local(70L) shouldBe 40L
+    local(100L) shouldBe 99L
+  }
+
   test("CC policy folds star components where greedy keeps a spoke") {
     import spark.implicits._
     // hub 5 is near both 1 and 2 (jaccard 0.6), but 1 and 2 share only
