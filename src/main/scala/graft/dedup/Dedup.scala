@@ -45,17 +45,25 @@ object Dedup {
   def shingles(c: Column, n: Int): Column =
     shinglesFromToks(CaptionStats.tokens(lower(c)), n)
 
-  /** Shingles over an already-materialized token-array column. Keeping the
-    * array in a named column (instead of inlining the tokenizer into the
-    * lambda) matters: `slice(tokens(text), i, n)` re-runs the split per
-    * shingle index — O(len²) per doc, measured 7× slower at sf0.1. */
+  /** Shingles over an already-materialized token-array column. n ≥ 2 uses
+    * the native [[graft.functions.Shingles]] expression: one pass, hash-set
+    * distinct, and — decisively — no lambda scope for Catalyst rewrites to
+    * poison (a pushed-down predicate that references a lambda-HOF array
+    * re-evaluates inlined subtrees per element; see the Shingles scaladoc
+    * and OptimizerTuning). [[shinglesFromToksHof]] keeps the column
+    * formulation as the parity witness. */
   private def shinglesFromToks(toks: Column, n: Int): Column =
     if (n == 1) array_distinct(toks)
-    else {
-      val sh = transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(n))))
-      array_distinct(when(size(toks) < n, array()).otherwise(sh))
-    }
+    else graft.functions.Shingles(toks, n)
+
+  /** The `functions`-only HOF formulation — semantics oracle for the
+    * native expression (PropertySpec compares them on generated inputs);
+    * test-only, never in a hot path. */
+  private[graft] def shinglesFromToksHof(toks: Column, n: Int): Column = {
+    val sh = transform(sequence(lit(0), size(toks) - n), i =>
+      concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(when(size(toks) < n, array()).otherwise(sh))
+  }
 
   /** (id, shingle-array) table — the shared base of the signature path and
     * the Jaccard-verify path. Inputs narrower than the session's
@@ -440,6 +448,49 @@ object Dedup {
     // benchmark side once more when the caller executes
     benchToks.unpersist(blocking = false)
     out
+  }
+
+  /** Driver-built Bloom filter (serialized sketch bytes) over a benchmark
+    * table's distinct shingle keys (`xxhash64` of each n-gram) — the
+    * shareable half of [[decontaminate]], also consumed by the stateless
+    * streaming filter [[graft.streaming.Streams.decontaminateStream]].
+    * The benchmark side is small by definition; two driver jobs (exact
+    * distinct count to size the filter, then the bloom build) run at call
+    * time. */
+  def shingleBloom(benchmark: DataFrame, textCol: String,
+                   shingleN: Int = 5, fpp: Double = 0.01): Array[Byte] = {
+    val toks = graft.util.Partitioning.spread(benchmark)
+      .select(CaptionStats.tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(explode(shinglesFromToks(col("__toks"), shingleN)).as("token"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = math.max(toks.count(), 1L)
+    val bloom = toks.select(xxhash64(col("token")).as("__h"))
+      .stat.bloomFilter("__h", n, fpp)
+    toks.unpersist(blocking = false)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Predicate: does `text` share at least one word n-gram with the
+    * benchmark the bloom was built from? Map-only and stateless (the
+    * sketch rides along as a literal into codegen'd `might_contain`), so
+    * it composes with streaming scans. False positives at the bloom's
+    * fpp — the conservative direction for decontamination (an extra CLEAN
+    * doc flagged); never a false negative. The `exists` lambda touches
+    * only the element, and the shingle array is the native opaque
+    * [[graft.functions.Shingles]] — no lambda-scope re-evaluation hazard
+    * when this predicate is pushed into a filter. */
+  def sharesShingle(bloomBytes: Array[Byte], text: Column,
+                    shingleN: Int = 5): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sh = shinglesFromToks(CaptionStats.tokens(lower(text)), shingleN)
+    exists(sh, t => Bridge.column(
+      new BloomFilterMightContain(Literal(bloomBytes),
+        Bridge.expression(xxhash64(t)))))
   }
 
   /** Word n-gram Jaccard similarity between two text columns (distinct

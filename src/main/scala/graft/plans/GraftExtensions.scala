@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.MinHashRot].getName, "minhash_rot"),
       (exprs: Seq[Expression]) => graft.functions.MinHashRot.build(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("shingles"),
+      new ExpressionInfo(
+        classOf[graft.functions.Shingles].getName, "shingles"),
+      (exprs: Seq[Expression]) => graft.functions.Shingles.build(exprs)))
     e.injectOptimizerRule(_ => RewriteSyllableRegex)
   }
 }

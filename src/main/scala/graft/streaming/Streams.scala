@@ -133,6 +133,28 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming decontamination (filter-on-ingest): drop documents sharing
+    * any word n-gram shingle with a STATIC benchmark table. Entirely
+    * stateless — the benchmark collapses to a driver-built Bloom filter
+    * shipped as a literal ([[graft.dedup.Dedup.shingleBloom]]), so the
+    * stream side is a map-only filter: no state store, no shuffle, state
+    * size zero regardless of how long the stream runs.
+    *
+    * Probabilistic in the conservative direction only: a bloom false
+    * positive (rate `fpp`, default 1e-6) drops a CLEAN document;
+    * contaminated documents are never kept. The exact batch pass
+    * ([[graft.dedup.Dedup.decontaminate]]) remains the authority for
+    * offline sweeps. Works identically on batch frames (the predicate is
+    * an ordinary column). */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String, shingleN: Int = 5,
+                          fpp: Double = 1e-6): DataFrame = {
+    val bloom = graft.dedup.Dedup.shingleBloom(
+      benchmark, textCol, shingleN, fpp)
+    docs.filter(!graft.dedup.Dedup.sharesShingle(
+      bloom, col(textCol), shingleN))
+  }
+
   /** Run the windowed aggregation over all currently-available files and
     * stop (batch-equivalent backfill; reference's incremental-resume
     * analog). Returns the result read back from the sink. */

@@ -105,6 +105,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native shingles matches the HOF transform formulation") {
+    // order included: both keep first-occurrence order, so whole-array
+    // equality (not just set equality) must hold
+    val texts = sample(text, 120) ++ Seq("", "one", "a b", "x x x x x",
+      "ä é ß ä é ß", "w1 w2 w3 w1 w2 w3 w1 w2 w3")
+    val df = texts.toDF("text").select(
+      CaptionStats.tokens(lower(col("text"))).as("toks"))
+    Seq(2, 3, 5).foreach { n =>
+      val diff = df.select(
+        graft.functions.Shingles(col("toks"), n).as("a"),
+        Dedup.shinglesFromToksHof(col("toks"), n).as("b"))
+        .filter(!(col("a") === col("b")))
+      diff.count() shouldBe 0L
+    }
+  }
+
   test("lossy webp contract: quality is a monotone rate knob") {
     // The engine's DEFINED lossy semantics (README §images): quality maps
     // to a channel bit-quantization (shift = min(5, (100−q)/20)) before a

@@ -58,6 +58,16 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     sig.distinct.size should be > 1
   }
 
+  test("shingles SQL function is injected") {
+    val sh = spark.sql(
+      "SELECT shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS s")
+      .head().getSeq[String](0)
+    // windows in first-occurrence order, duplicates collapsed
+    sh shouldBe Seq("a b", "b c", "c b")
+    spark.sql("SELECT shingles(array('only'), 2) AS s")
+      .head().getSeq[String](0) shouldBe Seq.empty
+  }
+
   test("other greatest/regexp shapes are left untouched") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("docs_ext2")

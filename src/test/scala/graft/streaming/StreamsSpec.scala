@@ -144,6 +144,49 @@ class StreamsSpec extends SparkSpec {
     } finally gracefulStop(q)
   }
 
+  test("streaming decontaminate drops shingle-sharing docs statelessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    val benchmark = Seq(
+      (900L, "the famous benchmark question about ancient rome"),
+      (901L, "compute the sum of the first hundred primes")).toDF(
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, "a clean training document about cooking pasta dishes"),
+      // contains benchmark 901's 5-gram "sum of the first hundred"
+      (2L, "please compute the sum of the first hundred primes quickly"),
+      (3L, "another clean document mentioning rome only briefly"))
+    val q = Streams.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), benchmark, "text")
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val ids = spark.sql("SELECT doc_id FROM decon_out")
+        .collect().map(_.getLong(0)).sorted
+      ids shouldBe Array(1L, 3L)
+    } finally gracefulStop(q)
+    // batch parity: the same filter on a batch frame keeps exactly the
+    // ids the exact batch pass keeps (no false positives at fpp=1e-6 on
+    // this data; bloom build is deterministic, so this is a stable check)
+    val docs = Seq(
+      (1L, "a clean training document about cooking pasta dishes"),
+      (2L, "please compute the sum of the first hundred primes quickly"),
+      (3L, "another clean document mentioning rome only briefly"))
+      .toDF("doc_id", "text")
+    val streamFilter = Streams.decontaminateStream(docs, benchmark, "text")
+      .collect().map(_.getLong(0)).sorted
+    val exactBatch = graft.dedup.Dedup.decontaminate(
+      docs, benchmark, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    streamFilter shouldBe exactBatch
+  }
+
   test("cross-batch out-of-order event does not split the session") {
     // drives the shared mergeEvent step (the exact code the streaming
     // state function folds with) in cross-batch arrival order
