@@ -171,6 +171,24 @@ class DedupSpec extends SparkSpec {
     labels(21L) shouldBe 20L
   }
 
+  test("plan guard: shingles computed once per scan, bloom on the d8 scan") {
+    // the r6 bug class: a pushed-down predicate (inferred from a Generate,
+    // or an explicit size() filter) that references the shingle array gets
+    // the producing expression substituted in and re-evaluated — visible
+    // in the physical plan as a SECOND `shingles(` occurrence per scan.
+    // d3 has one scan → exactly one compute site; d8 has two sides → two.
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val d3plan = Dedup.minhashCandidatePairs(d, "doc_id", "text", 12, 4, 3)
+      .queryExecution.executedPlan.toString
+    "shingles\\(".r.findAllMatchIn(d3plan).size shouldBe 1
+    val corpus = d.filter(col("source") =!= "src0")
+    val bench = d.filter(col("source") === "src0")
+    val d8plan = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    d8plan should include("might_contain") // bloom pre-filter on the scan
+    "shingles\\(".r.findAllMatchIn(d8plan).size shouldBe 2
+  }
+
   test("componentLabels: local union-find equals the distributed loop") {
     import spark.implicits._
     // chain + star + isolated pair, ids deliberately out of insert order;
