@@ -76,11 +76,14 @@ object Bench {
       s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
     val total = results.values.collect { case Right(v) => median(v) }.sum
-    // "value" leads so the headline survives even a truncated capture;
-    // spread is a SECOND line the driver is free to drop — it must never
-    // cost the total again
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir","queries":$qs}""")
+    // Ordering matters: the driver keeps a 2000-CHARACTER tail of stdout
+    // (BENCH_r05.json's `tail` field is exactly 2000 chars, cut from the
+    // front — which is how round 5's total was lost from a single 4 KB
+    // line). So the headline line goes LAST, kept under ~1.5 KB by the
+    // 3-decimal times, and the droppable spread line goes first where
+    // front-truncation can only ever eat dispersion data.
     println(s"""{"metric":"spread","unit":"sec","runs":$runs,"spread":$spread}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }
