@@ -487,7 +487,13 @@ object Dedup {
                     shingleN: Int = 5): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
-    val sh = shinglesFromToks(CaptionStats.tokens(lower(text)), shingleN)
+    // null text → null shingle array → exists would return null, and a
+    // NOT-filter would silently DROP the row — diverging from the batch
+    // pass, which keeps null-text docs (they cannot be contaminated).
+    // Coalesce to empty so the predicate is false, not null.
+    val sh = coalesce(
+      shinglesFromToks(CaptionStats.tokens(lower(text)), shingleN),
+      array().cast("array<string>"))
     exists(sh, t => Bridge.column(
       new BloomFilterMightContain(Literal(bloomBytes),
         Bridge.expression(xxhash64(t)))))

@@ -177,7 +177,9 @@ class StreamsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a clean training document about cooking pasta dishes"),
       (2L, "please compute the sum of the first hundred primes quickly"),
-      (3L, "another clean document mentioning rome only briefly"))
+      (3L, "another clean document mentioning rome only briefly"),
+      (4L, null.asInstanceOf[String]), // null text: KEPT, like the batch pass
+      (5L, "too short"))               // < n tokens: cannot be contaminated
       .toDF("doc_id", "text")
     val streamFilter = Streams.decontaminateStream(docs, benchmark, "text")
       .collect().map(_.getLong(0)).sorted
