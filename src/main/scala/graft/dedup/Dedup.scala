@@ -287,10 +287,14 @@ object Dedup {
     // (4M edges ≈ tens of MB on the driver; identical min-label result,
     // deterministic). Above it, fall through to the distributed
     // propagation loop, which scales to any edge count.
-    val nPairs = pairs.persist(StorageLevel.MEMORY_AND_DISK).count()
+    // Cache ownership: only persist (and only release) when the caller
+    // hasn't — nearDupPairs already returns an eagerly-persisted frame.
+    val ownCache = pairs.storageLevel == StorageLevel.NONE
+    if (ownCache) pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
     if (nPairs <= localThreshold) {
       val out = componentLabelsLocal(pairs, idA, idB)
-      pairs.unpersist(blocking = false)
+      if (ownCache) pairs.unpersist(blocking = false)
       return out
     }
     val sc = pairs.sparkSession.sparkContext
@@ -318,9 +322,9 @@ object Dedup {
       joined.persist(StorageLevel.MEMORY_AND_DISK)
       val changed =
         joined.filter(col("nlabel") < col("label")).limit(1).count()
-      // the probe above materialized `joined` → `edges`; the pair cache
-      // has served its purpose (count + edge build) and can go early
-      if (iter == 0) pairs.unpersist(blocking = false)
+      // the probe above materialized `joined` → `edges`; a pair cache WE
+      // created has served its purpose (count + edge build) and can go
+      if (iter == 0 && ownCache) pairs.unpersist(blocking = false)
       cached.unpersist(blocking = false)
       cached = joined
       labels = joined.select(col("id"), col("nlabel").as("label"))
