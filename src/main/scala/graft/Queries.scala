@@ -103,7 +103,12 @@ object Queries {
 
   /** Exact decimal sum of a double column, back to double. */
   private def dsumSql(e: String): String =
-    s"CAST(sum(CAST($e AS DECIMAL(24,6))) AS DOUBLE)"
+    // decimal → VARCHAR → DOUBLE, not decimal → DOUBLE: DuckDB's direct
+    // decimal-to-double cast can land 1 ulp off the correctly-rounded
+    // value (observed at sf0.1: 5045798393.01230000 → ...0123005 while
+    // Spark's BigDecimal.doubleValue rounds correctly); the string path
+    // goes through strtod, which is correctly rounded in both engines
+    s"CAST(CAST(sum(CAST($e AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)"
 
   /** min over the i-th single-digest MinHash family member: the md5 digest
     * column `d` rotated left by i hex chars (mirrors Dedup.rotDigest —
@@ -338,14 +343,13 @@ object Queries {
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-          CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
-            AS sum_base_price,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_base_price,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
             (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
-            AS DOUBLE) AS sum_disc_price,
-          CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+            AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+          ${dsumSql("l_quantity")} / count(*)
             AS avg_qty,
           count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -369,9 +373,9 @@ object Queries {
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
             (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
-            AS DOUBLE) AS revenue,
+            AS VARCHAR) AS DOUBLE) AS revenue,
           count(*) AS n_lines
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
