@@ -621,6 +621,40 @@ object Queries {
             '[0-9]{6,}', '<NUM>', 'g') AS clean_text
         FROM documents ORDER BY doc_id""")),
 
+    // ---- T7: Gopher-style repetition signals ------------------------
+    // duplicate-fraction form (1 − distinct/total over sentences and
+    // word n-grams): exact int arithmetic, engine-portable, map-only.
+    QueryDef("t7_repetition",
+      (s, dir) => graft.text.TextAnalysis.repetitionSignals(
+        t(s, dir, "documents"), "text")
+        .select("doc_id", "n_sent", "dup_sent_frac", "dup_2gram_frac",
+          "dup_3gram_frac")
+        .orderBy("doc_id"),
+      Some {
+        val two = """list_distinct(CASE WHEN len(toks) < 2 THEN []
+          ELSE list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1]) END)"""
+        val three = """list_distinct(CASE WHEN len(toks) < 3 THEN []
+          ELSE list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"""
+        s"""WITH base AS (
+          SELECT doc_id, ${toksSql("lower(text)")} AS toks,
+            ${sentsSql("text")} AS sents
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(sents) AS INTEGER) AS n_sent,
+          CASE WHEN len(sents) <= 0 THEN 0.0
+            ELSE CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+              / len(sents) END AS dup_sent_frac,
+          CASE WHEN greatest(len(toks) - 1, 0) <= 0 THEN 0.0
+            ELSE CAST(greatest(len(toks) - 1, 0) - len($two) AS DOUBLE)
+              / greatest(len(toks) - 1, 0) END AS dup_2gram_frac,
+          CASE WHEN greatest(len(toks) - 2, 0) <= 0 THEN 0.0
+            ELSE CAST(greatest(len(toks) - 2, 0) - len($three) AS DOUBLE)
+              / greatest(len(toks) - 2, 0) END AS dup_3gram_frac
+        FROM base ORDER BY doc_id"""
+      }),
+
     // ---- O7: deterministic stratified sample (n per group) ----------
     // Per-language quota via md5-rank — the stratified twin of O5;
     // one shuffle on the stratum key.
@@ -868,6 +902,27 @@ object Queries {
         WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
         ORDER BY doc_id"""
       }),
+
+    // ---- D9: C4-style corpus-level sentence dedup -------------------
+    // every distinct sentence survives only at its first (doc, pos)
+    // occurrence; docs rebuilt from survivors, emptied docs drop out
+    QueryDef("d9_sentence_dedup",
+      (s, dir) => Dedup.dropRepeatedSentences(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH sents AS (
+          SELECT doc_id, u['i'] AS pos, u['s'] AS sent FROM (
+            SELECT doc_id, unnest(list_transform(${sentsSql("text")},
+              (s, i) -> {'i': i, 's': s})) AS u
+            FROM documents)),
+        first AS (
+          SELECT doc_id, pos, sent,
+            row_number() OVER (PARTITION BY md5(sent)
+              ORDER BY doc_id, pos) AS rn
+          FROM sents)
+        SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text_kept,
+          count(*) AS n_kept
+        FROM first WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- N3: IVF top-k (probe nearest cells only) -------------------
     QueryDef("n3_ivf_topk",

@@ -503,6 +503,38 @@ object Dedup {
         Bridge.expression(xxhash64(t)))))
   }
 
+  /** C4-style corpus-level sentence dedup (Raffel et al. 2020 §2.2: C4
+    * drops any repeated three-sentence span corpus-wide; here at sentence
+    * granularity): every distinct sentence survives only at its FIRST
+    * occurrence — minimal (doc id, position) — and documents are rebuilt
+    * from their surviving sentences in original order. Documents left
+    * with no sentences drop out (C4 likewise discards emptied pages).
+    * Boilerplate (cookie banners, navigation strings, license footers)
+    * repeated across millions of pages disappears everywhere but once.
+    *
+    * Scale shape: two shuffles, both on narrow keys — a window
+    * `row_number` partitioned by the sentence's md5 (first-occurrence
+    * selection; md5 keeps the exchange key fixed-width regardless of
+    * sentence length), then a groupBy on the doc id for the rebuild.
+    * No self-joins, no pairs, state linear in distinct sentences. */
+  def dropRepeatedSentences(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = df.select(col(idCol),
+      posexplode(CaptionStats.sentences(col(textCol)))
+        .as(Seq("__pos", "__sent")))
+    val w = Window.partitionBy(md5(col("__sent")))
+      .orderBy(col(idCol), col("__pos"))
+    sents.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("__pos"), col("__sent")))),
+          s => s.getField("__sent"))).as("text_kept"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (distinct
     * shingles; n=1 → token Jaccard). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

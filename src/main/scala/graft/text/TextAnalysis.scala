@@ -81,6 +81,42 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " "))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1: MassiveText removes docs dominated by repeated lines
+    * and n-grams — repetition is the strongest single predictor of
+    * low-quality scrape). Simplified to duplicate-FRACTION form,
+    * `1 − distinct/total`, over sentences and word 2-/3-grams: order-free,
+    * exact integer arithmetic (bit-identical int/int division in both
+    * engines), and map-only — at 100 TB these fuse into the scan. The
+    * paper's char-coverage-of-top-n-gram variant needs a per-doc frequency
+    * table; the duplicate fraction ranks documents near-identically and is
+    * the defined contract here (filter threshold semantics unchanged:
+    * bigger = more repetitive).
+    *
+    * Appends: `n_sent` (int), `dup_sent_frac`, `dup_2gram_frac`,
+    * `dup_3gram_frac` (double in [0,1], 0.0 for too-short docs). */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    def dupFrac(total: Column, distinct: Column): Column =
+      when(total <= 0, 0.0)
+        .otherwise((total - distinct).cast(DoubleType) / total)
+    val out = df
+      .withColumn("__toks", CaptionStats.tokens(lower(c)))
+      .withColumn("__sents", CaptionStats.sentences(c))
+    val nTok = size(col("__toks"))
+    out
+      .withColumn("n_sent", size(col("__sents")))
+      .withColumn("dup_sent_frac",
+        dupFrac(size(col("__sents")), size(array_distinct(col("__sents")))))
+      .withColumn("dup_2gram_frac",
+        dupFrac(greatest(nTok - 1, lit(0)),
+          size(graft.functions.Shingles(col("__toks"), 2))))
+      .withColumn("dup_3gram_frac",
+        dupFrac(greatest(nTok - 2, lit(0)),
+          size(graft.functions.Shingles(col("__toks"), 3))))
+      .drop("__toks", "__sents")
+  }
+
   /** Convenience: append all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -233,6 +233,23 @@ class DedupSpec extends SparkSpec {
     cc shouldBe Array(1L, 9L)
   }
 
+  test("sentence dedup keeps first occurrence, rebuilds docs in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. Common footer here. Unique line one."),
+      (2L, "Common footer here. Another thought! The cat sat."),
+      (3L, "Common footer here.")).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSentences(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array(
+      // doc 1 first-sees all three of its sentences, original order kept
+      (1L, "The cat sat Common footer here Unique line one", 3L),
+      // doc 2 keeps only its genuinely new sentence
+      (2L, "Another thought", 1L))
+    // doc 3 (nothing left) dropped entirely
+  }
+
   test("decontaminate drops docs sharing a 5-gram with the benchmark") {
     import spark.implicits._
     val corpus = Seq(

@@ -44,4 +44,27 @@ class TextAnalysisSpec extends SparkSpec {
     r.getString(0) shouldBe r.getString(1)
     r.getString(0) should not be r.getString(2)
   }
+
+  test("repetition signals: exact duplicate fractions, 0 for short docs") {
+    val df = Seq(
+      // tokens [a,a,a,a]: 3 2-grams all "a a" → dup 2/3; 2 3-grams → 1/2
+      (1L, "a a a a"),
+      // 3 sentences, one repeated → dup_sent 1/3; tokens keep their
+      // attached periods, so the 10 2-grams hold 7 distinct → dup 3/10
+      (2L, "The end is near. Something else entirely. The end is near."),
+      (3L, "one"), // 1 token, 1 sentence → every fraction 0
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text")
+      .orderBy("doc_id")
+      .select("n_sent", "dup_sent_frac", "dup_2gram_frac", "dup_3gram_frac")
+      .collect()
+    r(0).getInt(0) shouldBe 1
+    r(0).getDouble(2) shouldBe 2.0 / 3.0
+    r(0).getDouble(3) shouldBe 0.5
+    r(1).getInt(0) shouldBe 3
+    r(1).getDouble(1) shouldBe 1.0 / 3.0
+    r(1).getDouble(2) shouldBe 3.0 / 10.0
+    r(2) shouldBe org.apache.spark.sql.Row(1, 0.0, 0.0, 0.0)
+    r(3) shouldBe org.apache.spark.sql.Row(0, 0.0, 0.0, 0.0)
+  }
 }
