@@ -121,6 +121,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sentence dedup matches a sequential reference on generated corpora") {
+    // differential test: the distributed first-occurrence-wins rebuild
+    // must equal a trivially-correct sequential simulation (docs in id
+    // order, sentences in position order, global seen-set)
+    val texts = sample(text, 80)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val orig: Seq[(Long, Seq[String])] = df
+      .select(col("doc_id"),
+        graft.enrich.CaptionStats.sentences(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toSeq
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected: Map[Long, (String, Long)] = orig.flatMap {
+      case (id, sents) =>
+        val ks = sents.filter(seen.add)
+        if (ks.nonEmpty) Some(id -> (ks.mkString(" "), ks.length.toLong))
+        else None
+    }.toMap
+    val got: Map[Long, (String, Long)] = graft.dedup.Dedup
+      .dropRepeatedSentences(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    got shouldBe expected
+  }
+
   test("lossy webp contract: quality is a monotone rate knob") {
     // The engine's DEFINED lossy semantics (README §images): quality maps
     // to a channel bit-quantization (shift = min(5, (100−q)/20)) before a
