@@ -1067,11 +1067,21 @@ object Queries {
         // reducer. The cumulative-length window then sorts only survivors.
         // InsertWindowGroupLimit only fires when the rank bound is under
         // spark.sql.optimizer.windowGroupLimitThreshold (default 1000 <
-        // our 2000) — raise it or the filter silently degrades to a
-        // post-sort filter that ships every row to the reducer again
-        s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
+        // our 2000) — OptimizerTuning.tune (already run by t()) raises it
+        // as a documented standing session setting; setting it here and
+        // restoring after the build would NOT work, because the optimizer
+        // reads the conf at ACTION time, after a save/restore has undone it.
+        //
+        // The prune invariant needs non-null text: sum(length(text)+1)
+        // skips nulls (so __pre does not advance) while row_number counts
+        // them, and Spark sorts nulls FIRST ascending — enough null-text
+        // rows would consume every rank slot and wrongly evict real rows.
+        // Dropping them is semantics-preserving: null text contributes
+        // nothing to __pre or the collect_list, and n_docs comes from the
+        // separate unfiltered counts aggregate.
         val ord = Window.partitionBy("lang").orderBy("text", "doc_id")
         val pruned = docs.select(col("lang"), col("doc_id"), col("text"))
+          .filter(col("text").isNotNull)
           .withColumn("__rn", row_number().over(ord))
           .filter(col("__rn") <= cutoff).drop("__rn")
         val w = ord.rowsBetween(Window.unboundedPreceding, -1)

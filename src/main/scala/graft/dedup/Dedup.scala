@@ -274,12 +274,25 @@ object Dedup {
     * depth grows with iterations, so when a SparkContext checkpoint dir
     * is configured the labels are reliably checkpointed every 5th round
     * (localCheckpoint is deliberately NOT used — it pins executor-local
-    * blocks and loses them on executor failure). */
-  def componentLabels(pairs: DataFrame, idA: String = "id_a",
+    * blocks and loses them on executor failure).
+    *
+    * EAGER: unlike most builders in this engine, calling this runs Spark
+    * jobs immediately — a `count` to pick the local-vs-distributed path,
+    * then either a driver-side `collect` (small graphs) or the iterative
+    * propagation itself. Callers composing plans without executing them
+    * should not route through here. Pairs with a null endpoint are
+    * dropped up front (an edge needs two vertices); ids must be mutually
+    * `Comparable` (one of long/string/... — not mixed). */
+  def componentLabels(pairsRaw: DataFrame, idA: String = "id_a",
                       idB: String = "id_b",
                       maxIters: Int = 100,
                       localThreshold: Long = 1L << 22): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Null-endpoint pairs carry no edge. Dropping them HERE keeps the
+    // local union-find (which would NPE on null in compareTo) and the
+    // distributed loop (where a null join key silently never propagates,
+    // leaving a spurious (null, null) label row) in exact agreement.
+    val pairs = pairsRaw.filter(col(idA).isNotNull && col(idB).isNotNull)
     // Near-dup pair graphs are usually TINY relative to the corpus (the
     // verified duplicate pairs, not the documents). Below the threshold,
     // shuffle-round fixed costs dwarf the data — the same size-vs-topology
@@ -288,8 +301,10 @@ object Dedup {
     // deterministic). Above it, fall through to the distributed
     // propagation loop, which scales to any edge count.
     // Cache ownership: only persist (and only release) when the caller
-    // hasn't — nearDupPairs already returns an eagerly-persisted frame.
-    val ownCache = pairs.storageLevel == StorageLevel.NONE
+    // hasn't — nearDupPairs already returns an eagerly-persisted frame
+    // (reads of the filtered view then scan that cache; a second persist
+    // of the filter would just double the memory).
+    val ownCache = pairsRaw.storageLevel == StorageLevel.NONE
     if (ownCache) pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
     if (nPairs <= localThreshold) {

@@ -31,9 +31,28 @@ object OptimizerTuning {
       spark.conf.set(key, cur.map(_ + "," + rule).getOrElse(rule))
   }
 
-  /** The engine's standing exclusions — called by every query builder
+  /** The engine's standing session tunings — called by every query builder
     * ([[graft.Queries]]) and the explode-heavy dedup entry points, so any
-    * host session (driver, tests, user code) gets the fix. */
-  def tune(spark: SparkSession): Unit =
+    * host session (driver, tests, user code) gets the fix.
+    *
+    * These MUTATE the host session's runtime conf and deliberately do NOT
+    * restore it: the optimizer reads SQLConf when an ACTION runs, not when
+    * the DataFrame is built, so a save/restore around a lazy builder would
+    * silently undo the tuning before it ever applies. Both settings are
+    * monotone performance knobs, never semantics changes:
+    *
+    *  - `excludedRules` += [[InferFiltersFromGenerate]] (the 17× HOF
+    *    re-evaluation tax documented above);
+    *  - `windowGroupLimitThreshold` raised 1000 → 4096 so rank-filter
+    *    pre-prunes up to that bound (e.g. x7's `row_number() <= 2000`)
+    *    compile to map-side `WindowGroupLimit` instead of shipping every
+    *    row of a skewed partition key to one reducer. Raising the
+    *    threshold only widens when that prune FIRES; plans below the
+    *    default are untouched. */
+  def tune(spark: SparkSession): Unit = {
     excludeRule(spark, InferFiltersFromGenerate)
+    val wgl = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if (spark.conf.getOption(wgl).forall(_.toInt < 4096))
+      spark.conf.set(wgl, "4096")
+  }
 }

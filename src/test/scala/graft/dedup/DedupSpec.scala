@@ -206,6 +206,23 @@ class DedupSpec extends SparkSpec {
     local(100L) shouldBe 99L
   }
 
+  test("componentLabels: null-endpoint pairs dropped, both paths agree") {
+    import spark.implicits._
+    // a null endpoint is no edge: the local path would NPE in compareTo
+    // and the distributed path would emit a spurious (null, null) label
+    // row — both now drop it up front and must return identical maps
+    val pairs = Seq((java.lang.Long.valueOf(2L), java.lang.Long.valueOf(7L)),
+      (null: java.lang.Long, java.lang.Long.valueOf(9L)),
+      (java.lang.Long.valueOf(9L), null: java.lang.Long))
+      .toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.componentLabels(pairs))
+    val dist = asMap(Dedup.componentLabels(pairs, localThreshold = 0))
+    local shouldBe Map(2L -> 2L, 7L -> 2L) // 9 had no real edge
+    dist shouldBe local
+  }
+
   test("CC policy folds star components where greedy keeps a spoke") {
     import spark.implicits._
     // hub 5 is near both 1 and 2 (jaccard 0.6), but 1 and 2 share only
