@@ -12,6 +12,9 @@ import graft.functions.TextFunctions
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Ann
+import graft.analytics.Sketches
+import graft.ml.Clustering
+import graft.operators.Joins
 
 /** The driver-checked operator inventory: one named query per SURVEY.md §2
   * operator (plus the north-star LLM-pipeline operators), each with a DuckDB
@@ -92,6 +95,14 @@ object Queries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** squared L2 distance of two list exprs in double, fixed order —
+    * the SQL twin of Clustering.sqDist (same element order, same
+    * left-to-right association). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
   private def cosineSql(a: String, b: String): String = {
     val d = dotSql(a, b)
@@ -1239,7 +1250,114 @@ object Queries {
             row_number() OVER (PARTITION BY o_custkey
               ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders)
-        WHERE rn <= 2 ORDER BY o_custkey, rn"""))
+        WHERE rn <= 2 ORDER BY o_custkey, rn""")),
+
+    // ---- M1: count-min-sketch heavy hitters -------------------------
+    // Sublinear-space frequency estimation over the token stream: each
+    // sketch row shuffles <= 16^3 counters (map-side combined), never
+    // tokens, and every estimate join broadcasts a kilobyte counter
+    // table. The exact `true_n` rides along as the in-query witness
+    // that est >= true (CMS one-sided error).
+    QueryDef("m1_cms_topk",
+      (s, dir) => Sketches.cmsTopK(t(s, dir, "documents"), "text",
+        depth = 4, hexChars = 3, k = 20),
+      Some {
+        def b(i: Int) = s"substr(md5(tok || '|$i'), 1, 3)"
+        val rows = (0 until 4).map(i =>
+          s"r$i AS (SELECT ${b(i)} AS b, count(*) AS c FROM tk GROUP BY 1)")
+          .mkString(",\n          ")
+        val joins = (0 until 4).map(i =>
+          s"JOIN r$i ON ${b(i)} = r$i.b").mkString("\n          ")
+        s"""WITH tk AS (
+            SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+          cand AS (SELECT tok, count(*) AS true_n FROM tk GROUP BY tok),
+          $rows
+          SELECT tok, least(${(0 until 4).map(i => s"r$i.c")
+            .mkString(", ")}) AS est, true_n
+          FROM cand
+          $joins
+          ORDER BY est DESC, tok LIMIT 20"""
+      }),
+
+    // ---- M2: nearest-centroid assignment (k-means E-step) -----------
+    // Centroids broadcast (k × dim doubles — kilobytes), distances
+    // map-only, argmin as min(struct(d2, cid)): one broadcast join +
+    // one groupBy on the vector id. The full Lloyd's loop
+    // (Clustering.kmeans) is spec-covered in ClusteringSpec; this is
+    // its oracle-checkable building block.
+    QueryDef("m2_kmeans_assign",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Clustering.assign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          "cid", "ce")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH c AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        d AS (
+          SELECT e.vec_id, c.cid,
+            ${sqDistSql("e.embedding", "c.ce")} AS d2
+          FROM embeddings e CROSS JOIN c)
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+        WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- J4: as-of join (most recent prior match per key) -----------
+    // Union+window form (graft.operators.Joins): one per-key sort, zero
+    // join nodes, linear in |left| + |right| — the inequality-join
+    // alternative re-scans every candidate per left row and dies on hot
+    // keys. Right side is pre-aggregated to one row per (user, ts) so
+    // tie semantics are engine-independent; the oracle is DuckDB's
+    // native ASOF LEFT JOIN.
+    QueryDef("j4_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val right = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("r_value"))
+        val left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        Joins.asofJoin(left, right, "user_id", "ts", "ts",
+          Seq("r_value"), prefix = "")
+          .select("event_id", "user_id", "value", "r_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+          SELECT user_id, ts, max(value) AS r_value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+        l AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.value, r.r_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY event_id""")),
+
+    // ---- W4: trailing range-window count ----------------------------
+    // Range join on a trailing time window expressed as a RANGE-frame
+    // window aggregate: all in-window counts in ONE pass over a single
+    // per-key sort (WindowExec slides the frame bounds monotonically)
+    // vs. the O(matches-per-row) rescans of the join formulation.
+    QueryDef("w4_trailing_count",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+        Joins.trailingCount(ev, "user_id", "ts_us",
+          col("event_type") === "error", 3600L * 1000000L, "n_err_1h")
+          .select("event_id", "user_id", "ts_us", "n_err_1h")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events)
+        SELECT event_id, user_id, ts_us,
+          count(CASE WHEN event_type = 'error' THEN 1 END) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS n_err_1h
+        FROM ev ORDER BY event_id"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark's DataFrame API lacks as first-class operators,
+  * built scale-first.
+  *
+  * The classic as-of implementations are (a) a correlated lookup per left
+  * row or (b) an inequality join + per-left-row top-1 — both quadratic in
+  * matches per key and, in Spark, (b) plans as a sort-merge join whose
+  * range residual runs on every (left, right) key pair. Neither survives
+  * a hot key at 100 TB. The union+window form below does: tag both
+  * inputs, sort ONCE per key on (ts, side, tie), and carry the most
+  * recent right payload forward with `last(ignoreNulls)` over a running
+  * rows frame. One shuffle (the window's), zero joins, linear in
+  * |left| + |right|, and skew lands in Spark's sort machinery (spillable)
+  * instead of a pair explosion. */
+object Joins {
+
+  /** As-of join: for each left row, the right row with the greatest
+    * `tsCol <= left.tsCol` on the same `key` (ties on ts broken by the
+    * greatest `tieCol`, resolved against the RIGHT side only — pass a
+    * right-unique id for determinism; left rows don't need it, the tie
+    * never disambiguates them). Left rows with no prior right row keep
+    * null matches (left-outer semantics).
+    *
+    * Output: every `left` column, plus each `rightCols` column as
+    * `<prefix><name>` from the matched right row.
+    *
+    * `left` and `right` may share column names (e.g. two slices of the
+    * same events table) — the right side is folded into a single struct
+    * before the union so nothing collides. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               tsCol: String, tieCol: String, rightCols: Seq[String],
+               prefix: String = "r_"): DataFrame = {
+    val r = right.select(col(key), col(tsCol).as("__ts"),
+      col(tieCol).as("__tie"), lit(0).as("__side"),
+      struct(rightCols.map(col): _*).as("__rv"))
+    val l = left
+      .withColumn("__ts", col(tsCol))
+      .withColumn("__tie", lit(null).cast(r.schema("__tie").dataType))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+    // right rows sort before left rows at equal ts (side 0 < 1), so a
+    // right row AT the left row's instant matches — standard asof <=
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
+  }
+
+  /** Range join on a trailing time window, expressed as a window
+    * aggregate instead of a join: counts right-predicate rows with
+    * `ts in [left.ts - lookback, left.ts]` on the same key. The
+    * inequality-join formulation re-scans every in-range right row per
+    * left row; the RANGE frame computes all of them in one pass over a
+    * single per-key sort (Spark's WindowExec slides the frame bounds
+    * monotonically). `tsMicros` must be a LONG epoch-µs column. */
+  def trailingCount(df: DataFrame, key: String, tsMicros: String,
+                    countIf: org.apache.spark.sql.Column,
+                    lookbackMicros: Long, as: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsMicros))
+      .rangeBetween(-lookbackMicros, 0)
+    df.withColumn(as, count(when(countIf, lit(1))).over(w))
+  }
+}

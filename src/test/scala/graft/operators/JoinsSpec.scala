@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: lookups at t=5,10,20 on key a (plus a key with no right rows);
+  // right: quotes at t=3,10,15 on key a
+  private def left = Seq(
+    ("a", 5L, 100L), ("a", 10L, 101L), ("a", 20L, 102L), ("b", 7L, 103L)
+  ).toDF("k", "ts", "lid")
+  private def right = Seq(
+    ("a", 3L, 1.0, 1L), ("a", 10L, 2.0, 2L), ("a", 15L, 3.0, 3L)
+  ).toDF("k", "ts", "px", "rid")
+
+  test("asof: greatest right ts <= left ts per key; no prior -> null") {
+    val out = Joins.asofJoin(left, right, "k", "ts", "rid", Seq("px"))
+      .orderBy("lid").collect()
+    out.map(r => (r.getLong(2), Option(r.get(3)))).toSeq shouldBe Seq(
+      (100L, Some(1.0)), // t=5 -> quote at 3
+      (101L, Some(2.0)), // t=10 -> quote AT 10 (<= includes the instant)
+      (102L, Some(3.0)), // t=20 -> quote at 15
+      (103L, None))      // key b: no right rows at all
+  }
+
+  test("asof: ties on right ts break by the greatest tie column") {
+    val dupRight = right.union(
+      Seq(("a", 10L, 9.9, 9L)).toDF("k", "ts", "px", "rid"))
+    val out = Joins.asofJoin(left, dupRight, "k", "ts", "rid", Seq("px"))
+      .filter(col("lid") === 101L).first()
+    out.getDouble(3) shouldBe 9.9 // rid 9 > rid 2 at ts=10
+  }
+
+  test("asof: shared column names don't collide; plan has no join node") {
+    // both sides are slices of the same frame — every column name shared
+    val ev = Seq(("a", 1L, 10.0, 1L), ("a", 2L, 20.0, 2L),
+      ("a", 3L, 30.0, 3L)).toDF("k", "ts", "v", "id")
+    val joined = Joins.asofJoin(
+      ev.filter(col("id") =!= 2L), ev.filter(col("id") === 2L),
+      "k", "ts", "id", Seq("v", "id"))
+    val rows = joined.orderBy("id").collect()
+    rows.map(r => (r.getLong(3), Option(r.get(4)))).toSeq shouldBe Seq(
+      (1L, None), (3L, Some(20.0)))
+    // union+window form: ONE sort per key, zero join operators
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "Join"
+  }
+
+  test("trailing range count: frame is value-based [ts-w, ts]") {
+    val ev = Seq(
+      ("u", 0L, "x", 1L), ("u", 50L, "e", 2L), ("u", 100L, "e", 3L),
+      ("u", 149L, "x", 4L), ("u", 151L, "x", 5L), ("v", 100L, "e", 6L)
+    ).toDF("k", "ts", "typ", "id")
+    val out = Joins.trailingCount(ev, "k", "ts",
+      col("typ") === "e", 100L, "n")
+      .orderBy("id").collect()
+    // id4 @149: errors at 50,100 in [49,149] -> 2
+    // id5 @151: error at 50 now outside [51,151] -> 1
+    out.map(r => (r.getLong(3), r.getLong(4))).toSeq shouldBe Seq(
+      (1L, 0L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L), (6L, 1L))
+  }
+}
