@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * sampling, near-dup blocking): nearest-centroid assignment plus a
   * distributed Lloyd's k-means.
   *
-  * Scale shape: centroids are always the broadcast side (k × dim doubles
-  * — kilobytes), assignment is map-only over the vectors, and the Lloyd
+  * Scale shape: centroids are k × dim doubles — kilobytes — so they ride
+  * into the plan as a LITERAL array and assignment is a map-only fold:
+  * zero joins, zero shuffles, whole plan fuses into the scan. (The
+  * broadcast-join alternative shuffles n×k rows through the argmin
+  * groupBy — an 8× data exchange at k=8 that buys nothing.) The Lloyd
   * update is one map-side-combinable groupBy per iteration whose shuffle
-  * carries k × dim partial sums per task, never vectors. This is the
-  * same plan MLlib's KMeans lowers to, expressed in DataFrame ops so it
-  * composes with the rest of the engine (and with Catalyst pruning). */
+  * carries k × dim partial sums per task, never vectors. */
 object Clustering {
 
   /** Squared L2 distance between two array columns, computed in exact
@@ -47,27 +48,61 @@ object Clustering {
         (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** (id, cluster, d2) columns for the nearest centroid of `vecCol`
+    * among literal `centroids` (sorted by cid, so the strict-< fold
+    * breaks exact-distance ties toward the smallest cid — the same
+    * semantics as min(struct(d2, cid))). Map-only: the distances array
+    * is materialized once per row by `transform`, then reduced by a
+    * struct-compare fold — no join, no aggregate, no exchange. */
+  private def bestCentroid(vecCol: String,
+                           centroids: Seq[(Long, Seq[Double])],
+                           exact: Boolean): Column = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val cents = array(centroids.sortBy(_._1).map { case (cid, v) =>
+      struct(lit(cid).as("cid"),
+        array(v.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val dist = (cv: Column) =>
+      if (exact) sqDistDecimal(col(vecCol), cv)
+      else sqDist(col(vecCol), cv)
+    val dists = transform(cents, c =>
+      struct(dist(c.getField("cv")).as("d2"), c.getField("cid").as("cid")))
+    // head as init, fold the tail: struct comparison is lexicographic
+    // (d2, cid); strict < keeps the earlier (smaller-cid) winner on ties
+    aggregate(slice(dists, 2, centroids.size),
+      try_element_at(dists, lit(1)),
+      (acc, x) => when(x("d2") < acc("d2"), x).otherwise(acc))
+  }
+
   /** Assign each vector to its nearest centroid (squared-L2, ties to the
-    * smallest centroid id). `centroids` must be small — it is broadcast —
-    * and the argmin is a `min(struct(dist, cid))`, so the whole operator
-    * is one broadcast nested-loop + one groupBy on the vector id.
+    * smallest centroid id). `centroids` must be k × dim small — it is
+    * COLLECTED at call time (eager: building this plan runs a Spark job
+    * on the centroid frame, like Dedup.componentLabels) and folded into
+    * the plan as a literal, so assignment itself is map-only.
     * `exact = true` routes distances through [[sqDistDecimal]] for
     * cross-engine reproducibility; false keeps doubles. */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, cidCol: String, cvecCol: String,
              exact: Boolean = false): DataFrame = {
-    val dist = if (exact) sqDistDecimal(col(vecCol), col("__cv"))
-               else sqDist(col(vecCol), col("__cv"))
-    vecs.crossJoin(broadcast(
-        centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))))
-      .withColumn("__d2", dist)
-      .groupBy(idCol)
-      .agg(min(struct(col("__d2"), col("__cid"))).as("__m"))
-      .select(col(idCol), col("__m.__cid").as("cluster"))
+    val cents = centroids
+      .select(col(cidCol).cast("long"),
+        col(cvecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    assignLiteral(vecs, idCol, vecCol, cents, exact)
   }
 
+  /** [[assign]] with driver-side centroids: the form the Lloyd loop uses
+    * (its centroids already live on the driver between iterations). */
+  def assignLiteral(vecs: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Long, Seq[Double])],
+                    exact: Boolean = false): DataFrame =
+    vecs.select(col(idCol),
+      bestCentroid(vecCol, centroids, exact)("cid").as("cluster"))
+
   /** Lloyd's k-means: init = the k lowest-id vectors, `iters` rounds of
-    * (broadcast-assign, mean-update). The update explodes each vector to
+    * (map-only assign, mean-update). Assignment carries its own distance,
+    * so inertia needs no re-join; the update explodes each vector to
     * (cluster, dim, value) and aggregates — map-side combine reduces the
     * shuffle to k × dim partials per task. Empty clusters keep their
     * previous centroid. Returns (assignments, inertia-per-iteration);
@@ -75,39 +110,27 @@ object Clustering {
     * convergence witness. */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              iters: Int): (DataFrame, Seq[Double]) = {
-    val spark = vecs.sparkSession
-    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val dims = vecs.select(size(col(vecCol))).first().getInt(0)
-    val centSchema = StructType(Seq(
-      StructField("__cid", LongType),
-      StructField("__cvec", ArrayType(DoubleType))))
-    def centDf(rows: Seq[(Long, Seq[Double])]) =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          rows.map { case (i, v) => Row(i, v) }, 1), centSchema)
 
     var cents: Seq[(Long, Seq[Double])] = vecs
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast(ArrayType(DoubleType))).collect()
       .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toSeq) }.toSeq
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     for (_ <- 0 until iters) {
-      val assigned = vecs.crossJoin(broadcast(centDf(cents)))
-        .withColumn("__d2", sqDist(col(vecCol), col("__cvec")))
-        .groupBy(col(idCol))
-        .agg(min(struct(col("__d2"), col("__cid"))).as("__m"))
-        .select(col(idCol), col("__m.__cid").as("__cl"),
-          col("__m.__d2").as("__d2"))
-      val withVec = vecs.join(assigned, idCol)
-      inertias += withVec.agg(sum(col("__d2"))).first().getDouble(0)
+      val assigned = vecs.select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"),
+        bestCentroid(vecCol, cents, exact = false).as("__m"))
+        .select(col(idCol), col("__v"),
+          col("__m")("cid").as("__cl"), col("__m")("d2").as("__d2"))
+      inertias += assigned.agg(sum(col("__d2"))).first().getDouble(0)
       // mean update: explode to (cluster, dim, x) — the shuffle carries
       // k*dims partial (sum, count) pairs per map task, not vectors
-      val means = withVec
-        .select(col("__cl"), posexplode(col(vecCol).cast(
-          ArrayType(DoubleType))).as(Seq("__d", "__x")))
+      val means = assigned
+        .select(col("__cl"), posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy("__cl", "__d").agg(avg("__x").as("__m"))
         .groupBy("__cl")
         .agg(map_from_arrays(collect_list(col("__d")),
@@ -119,11 +142,6 @@ object Clustering {
         }.toMap
       cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
     }
-    val finalAssign = vecs.crossJoin(broadcast(centDf(cents)))
-      .withColumn("__d2", sqDist(col(vecCol), col("__cvec")))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("__d2"), col("__cid"))).as("__m"))
-      .select(col(idCol), col("__m.__cid").as("cluster"))
-    (finalAssign, inertias.toSeq)
+    (assignLiteral(vecs, idCol, vecCol, cents), inertias.toSeq)
   }
 }

@@ -59,12 +59,15 @@ class ClusteringSpec extends SparkSpec {
     byId(0L) should not be byId(1L)
   }
 
-  test("centroids are broadcast: assignment plan has no shuffle join") {
-    val cents = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)))
-      .toDF("cid", "cvec")
-    val plan = Clustering.assign(blobs, "id", "vec", cents, "cid", "cvec")
+  test("assignment is map-only: centroids fold in as literals — no join, " +
+    "no exchange") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val plan = Clustering.assign(vecs, "vec_id", "embedding",
+      cents, "cid", "cvec")
       .queryExecution.executedPlan.toString
-    plan should include("Broadcast")
-    plan should not include "SortMergeJoin"
+    plan should not include "Join"
+    plan should not include "Exchange"
   }
 }
