@@ -1306,6 +1306,95 @@ object Queries {
             PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
         WHERE rn = 1 ORDER BY vec_id""")),
 
+    // ---- M3: TF-IDF top terms per document --------------------------
+    // Keyword extraction for corpus curation. Weight = tf · (N+1)/(df+1)
+    // — the SMOOTHED INVERSE-FREQUENCY form, deliberately log-free: every
+    // input is an integer-valued count, so the one multiply + one divide
+    // (same association both engines) is bit-identical everywhere,
+    // whereas ln() is engine-libm-dependent in the last ulp and can flip
+    // a rank at a tie boundary. (At real use the log damping is a
+    // one-expression swap; the plan is identical.) Scale shape: tf is
+    // one shuffle on (doc, tok); df is a map-combined groupBy on tok
+    // joined in by Catalyst (broadcast while vocab is small); the top-3
+    // rank prunes map-side via WindowGroupLimit.
+    QueryDef("m3_tfidf_topterms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val tk = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("tfidf"), col("tok"))
+        tf.join(dfreq, "tok").crossJoin(broadcast(n))
+          .withColumn("tfidf", col("tf").cast("double") *
+            (col("n").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "tok", "tfidf", "rn")
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+          FROM tk GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (
+          SELECT tf.doc_id, tf.tok,
+            CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) + 1.0)
+              / (CAST(dfreq.df AS DOUBLE) + 1.0) AS tfidf
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok, tfidf, rn FROM (
+          SELECT doc_id, tok, tfidf, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+          FROM s)
+        WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ---- M4: cluster prototypes (diversity / curation sampling) -----
+    // The 5 most-central vectors per cluster: map-only assignment
+    // carrying its own distance (zero joins), then a per-cluster rank
+    // that prunes map-side via WindowGroupLimit — the standard "pick
+    // representative examples per topic bucket" curation move. d2 is
+    // rounded for display only; ranks use the unrounded value.
+    QueryDef("m4_cluster_prototypes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val w = Window.partitionBy("cluster").orderBy("d2", "vec_id")
+        Clustering.assignWithDist(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          "cid", "ce")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("cluster"), col("vec_id"),
+            round(col("d2"), 4).as("d2"), col("rn"))
+          .orderBy("cluster", "rn")
+      },
+      Some(s"""WITH c AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        d AS (
+          SELECT e.vec_id, c.cid,
+            ${sqDistSql("e.embedding", "c.ce")} AS d2
+          FROM embeddings e CROSS JOIN c),
+        best AS (
+          SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cid AS cluster, d2, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cid) AS arn FROM d)
+          WHERE arn = 1)
+        SELECT cluster, vec_id, round(d2, 4) AS d2, rn FROM (
+          SELECT cluster, vec_id, d2, row_number() OVER (
+            PARTITION BY cluster ORDER BY d2, vec_id) AS rn
+          FROM best)
+        WHERE rn <= 5 ORDER BY cluster, rn""")),
+
     // ---- J4: as-of join (most recent prior match per key) -----------
     // Union+window form (graft.operators.Joins): one per-key sort, zero
     // join nodes, linear in |left| + |right| — the inequality-join

@@ -83,14 +83,29 @@ object Clustering {
     * cross-engine reproducibility; false keeps doubles. */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, cidCol: String, cvecCol: String,
-             exact: Boolean = false): DataFrame = {
-    val cents = centroids
+             exact: Boolean = false): DataFrame =
+    assignLiteral(vecs, idCol, vecCol,
+      collectCentroids(centroids, cidCol, cvecCol), exact)
+
+  /** [[assign]] plus the winning squared distance as `d2` — the input to
+    * prototype/diversity sampling (rank within cluster by centrality).
+    * Same eager centroid collect, same map-only plan. */
+  def assignWithDist(vecs: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cidCol: String, cvecCol: String,
+                     exact: Boolean = false): DataFrame =
+    vecs.select(col(idCol),
+      bestCentroid(vecCol,
+        collectCentroids(centroids, cidCol, cvecCol), exact).as("__m"))
+      .select(col(idCol), col("__m")("cid").as("cluster"),
+        col("__m")("d2").as("d2"))
+
+  private def collectCentroids(centroids: DataFrame, cidCol: String,
+                               cvecCol: String): Seq[(Long, Seq[Double])] =
+    centroids
       .select(col(cidCol).cast("long"),
         col(cvecCol).cast("array<double>"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-    assignLiteral(vecs, idCol, vecCol, cents, exact)
-  }
 
   /** [[assign]] with driver-side centroids: the form the Lloyd loop uses
     * (its centroids already live on the driver between iterations). */
