@@ -36,6 +36,17 @@ object Sketches {
     toks.groupBy(cmsBucket(col(tokCol), row, hexChars).as("__b"))
       .agg(count(lit(1)).as(s"__c$row"))
 
+  /** Merge two sketch rows of the same row index and width: counters
+    * add per bucket. This is the defining CMS property — the sketch of a
+    * union is the elementwise sum of the shard sketches (proved in
+    * SketchesSpec), so a 1000-executor build is embarrassingly-parallel
+    * partial sketches plus one kilobyte-sized merge, and sketches of
+    * yesterday's corpus and today's delta combine without re-reading
+    * either. */
+  def mergeRow(a: DataFrame, b: DataFrame, row: Int): DataFrame =
+    a.unionByName(b).groupBy("__b")
+      .agg(sum(col(s"__c$row")).as(s"__c$row"))
+
   /** Heavy hitters by CMS estimate: whitespace-tokenize `textCol`, build
     * a depth×16^hexChars sketch, estimate every distinct token, return
     * the top `k` by (estimate desc, token asc) with the true count

@@ -117,6 +117,24 @@ object Streams {
       }
   }
 
+  /** Sliding-window per-user predicate count — the streaming twin of the
+    * batch trailing RANGE window (query `w4_trailing_count`): every
+    * `slide`, the count of matching events over the trailing `window_`
+    * per user. Partial-aggregated before the shuffle on (window, user);
+    * state is bounded by active-users × windows-per-horizon and evicted
+    * as the watermark passes — it never grows with stream length. */
+  def slidingCounts(events: DataFrame,
+                    matchIf: org.apache.spark.sql.Column,
+                    window_ : String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("user_id"))
+      .agg(count(when(matchIf, lit(1))).as("n_match"))
+      .select(col("window.start").as("ws"), col("user_id"),
+        col("n_match"))
+
   /** Streaming exact-dedup (dedup-on-ingest): drop re-arrivals of the
     * same content fingerprint. `dropDuplicatesWithinWatermark` keys the
     * state store on the md5 fingerprint (same normalization as batch D1,

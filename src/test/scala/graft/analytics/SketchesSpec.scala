@@ -41,6 +41,21 @@ class SketchesSpec extends SparkSpec {
     row.agg(sum("__c0")).first().getLong(0) shouldBe toks.count()
   }
 
+  test("sketch of a union == elementwise sum of shard sketches (merge)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val toks = docs.select(
+      explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val Array(a, b) = toks.randomSplit(Array(0.5, 0.5), seed = 42)
+    val whole = Sketches.cmsRow(toks, "tok", 1, hexChars = 2)
+      .orderBy("__b").collect().map(r => (r.getString(0), r.getLong(1)))
+    val merged = Sketches.mergeRow(
+      Sketches.cmsRow(a, "tok", 1, hexChars = 2),
+      Sketches.cmsRow(b, "tok", 1, hexChars = 2), 1)
+      .orderBy("__b").collect().map(r => (r.getString(0), r.getLong(1)))
+    merged shouldBe whole
+  }
+
   test("estimate joins are broadcasts (counter tables never shuffle)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = Sketches.cmsTopK(docs, "text")

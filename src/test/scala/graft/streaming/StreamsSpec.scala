@@ -81,6 +81,42 @@ class StreamsSpec extends SparkSpec {
     sessions.count(_.user_id == 9L) shouldBe 1
   }
 
+  test("sliding counts match batch for closed windows (w4's streaming twin)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = Files.createTempDirectory("slide").toFile.getAbsolutePath
+    val src = spark.read.parquet(s"$sf0001/events.parquet")
+    val ev = graft.util.Timestamps.nanosLongToMicros(src, "ts")
+    ev.write.parquet(s"$dir/src")
+    val q = Streams.slidingCounts(
+      Streams.eventStream(spark, s"$dir/src"),
+      col("event_type") === "error")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.sql("SELECT * FROM slide_out")
+      val batch = ev
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+        .agg(count(when(col("event_type") === "error", lit(1)))
+          .as("n_match"))
+        .select(col("window.start").as("ws"), col("user_id"),
+          col("n_match"))
+      // append emits only watermark-closed windows — a subset of batch,
+      // but every emitted row must agree exactly
+      val joined = streamed.alias("s").join(batch.alias("b"),
+        Seq("ws", "user_id"))
+      joined.count() shouldBe streamed.count()
+      joined.filter(col("s.n_match") =!= col("b.n_match"))
+        .count() shouldBe 0
+      streamed.count() should be > 0L
+      // sliding windows: multiple slide starts per hour must appear
+      streamed.select(countDistinct(col("ws"))).first().getLong(0) should
+        be > 4L
+    } finally gracefulStop(q)
+  }
+
   test("sessionize runs as a real mapGroupsWithState streaming query") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
