@@ -42,6 +42,26 @@ object Layout {
         sum(col("__pcnt")).as("n"))
   }
 
+  /** Salted skewed equi-join: the big side's rows get a deterministic
+    * salt in [0, saltBuckets) from `hash(saltBy)` (a unique row id —
+    * deterministic under task recomputation, unlike `rand()`, whose
+    * re-evaluation on a fetch-failure retry re-routes rows mid-shuffle);
+    * the small side is replicated saltBuckets× with every salt value;
+    * the join runs on (key, salt). A hot key's rows now spread over
+    * saltBuckets reducers instead of one. Exactly equal to the plain
+    * join: each big row matches precisely the one replica set carrying
+    * its salt. Use when AQE's skew-join split doesn't fire (e.g. the
+    * skew is inside a single post-aggregation partition) or when the
+    * small side is cheap to replicate but too big to broadcast. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBy: String, saltBuckets: Int): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(hash(col(saltBy)), lit(saltBuckets)))
+    val s = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted multi-key count — the A1 vocab shape (count per (token,pos),
     * stopword keys carrying orders of magnitude more rows than the tail).
     *

@@ -52,6 +52,31 @@ class LayoutSpec extends SparkSpec {
     salted shouldBe plain
   }
 
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 9 of 10 fact rows carry the same hot key — the one-reducer shape
+    val big = (1L to 200L).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i))
+      .toDF("key", "row_id")
+    val small = Seq(("hot", 1.0), ("k0", 2.0), ("k3", 3.0), ("k6", 4.0))
+      .toDF("key", "dim_v")
+    // force the shuffle-join path: salting a broadcast would be pointless
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Layout.saltedJoin(big, small, "key", "row_id", 8)
+      // the exchange must partition on (key, salt), not key alone —
+      // that's the whole point: hot-key rows spread over 8 reducers
+      val shuffles = salted.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      shuffles.foreach(_ should include("__salt"))
+      val plain = big.join(small, Seq("key"))
+        .orderBy("row_id").collect().map(_.toSeq)
+      salted.orderBy("row_id").collect().map(_.toSeq) shouldBe plain
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val salted = Layout.saltedSumCount(li, "l_returnflag", "l_quantity", 16)

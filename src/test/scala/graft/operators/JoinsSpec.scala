@@ -48,6 +48,36 @@ class JoinsSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("asof differential: equals the naive inequality-join formulation " +
+    "on seeded random data (ties, gaps, matchless keys)") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(1234)
+    for (_ <- 1 to 3) {
+      // small key/ts domains force every interesting case: equal-ts
+      // ties on the right, left rows before any right row, keys with
+      // no right rows at all (k5 appears only on the right)
+      val l = (1 to 80).map(i =>
+        (s"k${rng.nextInt(5)}", rng.nextInt(20).toLong, i.toLong))
+        .toDF("k", "ts", "lid")
+      val r = (1 to 60).map(i =>
+        (s"k${rng.nextInt(6)}", rng.nextInt(20).toLong,
+          rng.nextDouble(), i.toLong))
+        .toDF("k", "ts", "px", "rid")
+      val fast = Joins.asofJoin(l, r, "k", "ts", "rid", Seq("px", "rid"))
+        .select("lid", "r_px", "r_rid")
+        .orderBy("lid").collect().map(_.toSeq)
+      val naive = l.join(
+          r.withColumnRenamed("k", "rk").withColumnRenamed("ts", "rts"),
+          col("k") === col("rk") && col("rts") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(Window.partitionBy("lid")
+          .orderBy(desc_nulls_last("rts"), desc_nulls_last("rid"))))
+        .filter(col("rn") === 1)
+        .select(col("lid"), col("px").as("r_px"), col("rid").as("r_rid"))
+        .orderBy("lid").collect().map(_.toSeq)
+      fast shouldBe naive
+    }
+  }
+
   test("trailing range count: frame is value-based [ts-w, ts]") {
     val ev = Seq(
       ("u", 0L, "x", 1L), ("u", 50L, "e", 2L), ("u", 100L, "e", 3L),
