@@ -1361,7 +1361,11 @@ object Queries {
     // carrying its own distance (zero joins), then a per-cluster rank
     // that prunes map-side via WindowGroupLimit — the standard "pick
     // representative examples per topic bucket" curation move. d2 is
-    // rounded for display only; ranks use the unrounded value.
+    // emitted UNROUNDED (repo no-rounding discipline: Spark round() is
+    // BigDecimal HALF_UP, DuckDB's is scaled double arithmetic — values
+    // near a 1e-4 boundary could hash-mismatch even when both engines
+    // computed bit-identical d2); both engines fold the same double
+    // sequence, so the raw value is bit-identical.
     QueryDef("m4_cluster_prototypes",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1373,8 +1377,7 @@ object Queries {
           "cid", "ce")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
-          .select(col("cluster"), col("vec_id"),
-            round(col("d2"), 4).as("d2"), col("rn"))
+          .select(col("cluster"), col("vec_id"), col("d2"), col("rn"))
           .orderBy("cluster", "rn")
       },
       Some(s"""WITH c AS (
@@ -1389,7 +1392,7 @@ object Queries {
             SELECT vec_id, cid AS cluster, d2, row_number() OVER (
               PARTITION BY vec_id ORDER BY d2, cid) AS arn FROM d)
           WHERE arn = 1)
-        SELECT cluster, vec_id, round(d2, 4) AS d2, rn FROM (
+        SELECT cluster, vec_id, d2, rn FROM (
           SELECT cluster, vec_id, d2, row_number() OVER (
             PARTITION BY cluster ORDER BY d2, vec_id) AS rn
           FROM best)

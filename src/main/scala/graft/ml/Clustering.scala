@@ -48,16 +48,12 @@ object Clustering {
         (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
-  /** (id, cluster, d2) columns for the nearest centroid of `vecCol`
-    * among literal `centroids` (sorted by cid, so the strict-< fold
-    * breaks exact-distance ties toward the smallest cid — the same
-    * semantics as min(struct(d2, cid))). Map-only: the distances array
-    * is materialized once per row by `transform`, then reduced by a
-    * struct-compare fold — no join, no aggregate, no exchange. */
-  private def bestCentroid(vecCol: String,
-                           centroids: Seq[(Long, Seq[Double])],
-                           exact: Boolean): Column = {
-    require(centroids.nonEmpty, "centroids must be non-empty")
+  /** The (d2, cid) distance array of `vecCol` against literal `centroids`
+    * (sorted by cid, so the strict-< fold breaks exact-distance ties
+    * toward the smallest cid — the same semantics as
+    * min(struct(d2, cid))). */
+  private def distsCol(vecCol: String, centroids: Seq[(Long, Seq[Double])],
+                       exact: Boolean): Column = {
     val cents = array(centroids.sortBy(_._1).map { case (cid, v) =>
       struct(lit(cid).as("cid"),
         array(v.map(lit(_)): _*).as("cv"))
@@ -65,13 +61,31 @@ object Clustering {
     val dist = (cv: Column) =>
       if (exact) sqDistDecimal(col(vecCol), cv)
       else sqDist(col(vecCol), cv)
-    val dists = transform(cents, c =>
+    transform(cents, c =>
       struct(dist(c.getField("cv")).as("d2"), c.getField("cid").as("cid")))
-    // head as init, fold the tail: struct comparison is lexicographic
-    // (d2, cid); strict < keeps the earlier (smaller-cid) winner on ties
-    aggregate(slice(dists, 2, centroids.size),
-      try_element_at(dists, lit(1)),
-      (acc, x) => when(x("d2") < acc("d2"), x).otherwise(acc))
+  }
+
+  /** Append `as` = the argmin (d2, cid) struct over literal `centroids`.
+    * Map-only: no join, no aggregate, no exchange. The distances array is
+    * bound to its OWN projection before the fold: higher-order-function
+    * expressions get limited common-subexpression elimination, so a
+    * single-projection form that embeds the array twice (fold init +
+    * slice input) computes all k distances twice per row. With the array
+    * as a named column consumed twice, CollapseProject keeps the split
+    * (it never inlines a non-cheap producer with >1 consumer reference),
+    * so the k distances are evaluated exactly once. */
+  private def withBest(df: DataFrame, vecCol: String,
+                       centroids: Seq[(Long, Seq[Double])],
+                       exact: Boolean, as: String): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    df.withColumn("__dists", distsCol(vecCol, centroids, exact))
+      // head as init, fold the tail: struct comparison is lexicographic
+      // (d2, cid); strict < keeps the earlier (smaller-cid) winner on ties
+      .withColumn(as, aggregate(
+        slice(col("__dists"), 2, centroids.size - 1),
+        try_element_at(col("__dists"), lit(1)),
+        (acc, x) => when(x("d2") < acc("d2"), x).otherwise(acc)))
+      .drop("__dists")
   }
 
   /** Assign each vector to its nearest centroid (squared-L2, ties to the
@@ -93,9 +107,8 @@ object Clustering {
   def assignWithDist(vecs: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, cidCol: String, cvecCol: String,
                      exact: Boolean = false): DataFrame =
-    vecs.select(col(idCol),
-      bestCentroid(vecCol,
-        collectCentroids(centroids, cidCol, cvecCol), exact).as("__m"))
+    withBest(vecs.select(col(idCol), col(vecCol)), vecCol,
+      collectCentroids(centroids, cidCol, cvecCol), exact, "__m")
       .select(col(idCol), col("__m")("cid").as("cluster"),
         col("__m")("d2").as("d2"))
 
@@ -112,8 +125,9 @@ object Clustering {
   def assignLiteral(vecs: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[(Long, Seq[Double])],
                     exact: Boolean = false): DataFrame =
-    vecs.select(col(idCol),
-      bestCentroid(vecCol, centroids, exact)("cid").as("cluster"))
+    withBest(vecs.select(col(idCol), col(vecCol)), vecCol,
+      centroids, exact, "__m")
+      .select(col(idCol), col("__m")("cid").as("cluster"))
 
   /** Lloyd's k-means: init = the k lowest-id vectors, `iters` rounds of
     * (map-only assign, mean-update). Assignment carries its own distance,
@@ -136,9 +150,10 @@ object Clustering {
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     for (_ <- 0 until iters) {
-      val assigned = vecs.select(col(idCol),
-        col(vecCol).cast(ArrayType(DoubleType)).as("__v"),
-        bestCentroid(vecCol, cents, exact = false).as("__m"))
+      val assigned = withBest(
+        vecs.select(col(idCol),
+          col(vecCol).cast(ArrayType(DoubleType)).as("__v"), col(vecCol)),
+        vecCol, cents, exact = false, "__m")
         .select(col(idCol), col("__v"),
           col("__m")("cid").as("__cl"), col("__m")("d2").as("__d2"))
       inertias += assigned.agg(sum(col("__d2"))).first().getDouble(0)

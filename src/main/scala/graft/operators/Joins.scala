@@ -31,11 +31,19 @@ object Joins {
     *
     * `left` and `right` may share column names (e.g. two slices of the
     * same events table) — the right side is folded into a single struct
-    * before the union so nothing collides. */
+    * before the union so nothing collides.
+    *
+    * Right rows with a NULL `tsCol` are dropped: SQL as-of semantics
+    * (an inequality `right.ts <= left.ts`) never match a null ts, but
+    * ascending-nulls-first window ordering would sort such a row before
+    * every left row and make it the fallback match for left rows that
+    * should have none. Left rows with a null ts keep null matches (they
+    * sort before every non-null right row, so no prior match exists). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsCol: String, tieCol: String, rightCols: Seq[String],
                prefix: String = "r_"): DataFrame = {
-    val r = right.select(col(key), col(tsCol).as("__ts"),
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(col(key), col(tsCol).as("__ts"),
       col(tieCol).as("__tie"), lit(0).as("__side"),
       struct(rightCols.map(col): _*).as("__rv"))
     val l = left

@@ -59,6 +59,23 @@ class ClusteringSpec extends SparkSpec {
     byId(0L) should not be byId(1L)
   }
 
+  test("distances array is evaluated once per row: the fold consumes a " +
+    "named column, not two inline copies") {
+    // HOF expressions get limited common-subexpression elimination, so
+    // the argmin fold must reference ONE materialized distances array.
+    // If CollapseProject ever re-inlines it, the per-centroid `transform`
+    // shows up twice in the optimized plan (fold init + slice input) and
+    // every row pays k distances twice.
+    // parquet-backed input: ConvertToLocalRelation would constant-fold a
+    // Seq-backed frame into a LocalRelation and hide the projection shape
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val plan = Clustering.assignWithDist(vecs, "vec_id", "embedding",
+      cents, "cid", "cvec").queryExecution.optimizedPlan.toString
+    "transform\\(".r.findAllIn(plan).length shouldBe 1
+  }
+
   test("assignment is map-only: centroids fold in as literals — no join, " +
     "no exchange") {
     val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")

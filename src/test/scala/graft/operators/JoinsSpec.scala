@@ -78,6 +78,22 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asof: null right ts never matches; null left ts gets no match") {
+    // a null-ts right row must NOT become the fallback match for left
+    // rows with no prior right row (SQL inequality semantics: null ts
+    // matches nothing); a null-ts left row has no prior match either
+    val nullRight = right.union(
+      Seq(("b", Option.empty[Long], 7.7, 70L)).toDF("k", "ts", "px", "rid"))
+    val nullLeft = left.union(
+      Seq(("a", Option.empty[Long], 104L)).toDF("k", "ts", "lid"))
+    val out = Joins.asofJoin(nullLeft, nullRight, "k", "ts", "rid",
+      Seq("px")).orderBy("lid").collect()
+    out.map(r => (r.getLong(2), Option(r.get(3)))).toSeq shouldBe Seq(
+      (100L, Some(1.0)), (101L, Some(2.0)), (102L, Some(3.0)),
+      (103L, None), // key b: its only right row has null ts -> no match
+      (104L, None)) // null left ts: no prior right row by definition
+  }
+
   test("trailing range count: frame is value-based [ts-w, ts]") {
     val ev = Seq(
       ("u", 0L, "x", 1L), ("u", 50L, "e", 2L), ("u", 100L, "e", 3L),
