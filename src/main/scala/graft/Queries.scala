@@ -1449,7 +1449,181 @@ object Queries {
             PARTITION BY user_id ORDER BY ts_us
             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             AS n_err_1h
-        FROM ev ORDER BY event_id"""))
+        FROM ev ORDER BY event_id""")),
+
+    // ---- J5: interval (range) join -----------------------------------
+    // All (purchase, view) pairs on the same user within a trailing
+    // hour, via the bucketed band decomposition (graft.operators.Joins
+    // .rangeJoin): right rows duplicate into exactly 2 time cells and
+    // the join is a plain equi-join on (user, cell) + exact range
+    // filter — vs. the naive key-join-with-range-residual that re-scans
+    // every view per purchase within a hot user. The time cell in the
+    // shuffle key also spreads a hot user across its timeline.
+    QueryDef("j5_range_join",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("l_id"), col("user_id"), col("ts_us"))
+        val r = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("r_id"), col("user_id"), col("ts_us"))
+        Joins.rangeJoin(l, r, "user_id", "ts_us", 3600L * 1000000L,
+          Seq("r_id"), prefix = "")
+          .select("l_id", "user_id", "r_id")
+          .orderBy("l_id", "r_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        l AS (SELECT event_id AS l_id, user_id, ts_us FROM ev
+          WHERE event_type = 'purchase'),
+        r AS (SELECT event_id AS r_id, user_id, ts_us FROM ev
+          WHERE event_type = 'view')
+        SELECT l.l_id, l.user_id, r.r_id
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND r.ts_us >= l.ts_us - 3600000000 AND r.ts_us <= l.ts_us
+        ORDER BY l_id, r_id""")),
+
+    // ---- M5: HyperLogLog distinct-count sketch -----------------------
+    // Sublinear-space cardinality (Flajolet et al. 2007) in the engine's
+    // md5-hex hash family, fully SQL-expressible (see Sketches.scala HLL
+    // scaladoc): the only exchange is the register groupBy (<= 256
+    // counter rows per task after partial agg) vs. countDistinct's
+    // shuffle of every distinct value. Hashed outputs are exact LONGs
+    // (registers fold to a 2^50-scaled harmonic sum in integer
+    // arithmetic) plus one double computed as the identical
+    // left-associated IEEE expression in both engines. Merge = register
+    // max (SketchesSpec); accuracy vs exact count also spec-proven.
+    QueryDef("m5_hll_distinct",
+      (s, dir) => Sketches.hllSummary(
+        events(s, dir).select("event_id"), "event_id", hexChars = 2),
+      Some("""WITH h AS (
+          SELECT md5(CAST(event_id AS VARCHAR)) AS d FROM events),
+        o AS (
+          SELECT substr(d, 1, 2) AS reg,
+            max(4 * length(regexp_extract(substr(d, 3, 30), '^(0*)', 1)) +
+              (CASE substr(substr(d, 3, 30),
+                 length(regexp_extract(substr(d, 3, 30), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END) + 1) AS rho
+          FROM h GROUP BY 1),
+        dom AS (SELECT lpad(lower(to_hex(i)), 2, '0') AS reg
+          FROM range(256) t(i)),
+        r AS (SELECT dom.reg, coalesce(o.rho, 0) AS rho
+          FROM dom LEFT JOIN o USING (reg))
+        SELECT count(*) AS m_registers,
+          CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_zero,
+          CAST(sum(1::BIGINT << (50 - least(rho, 50))) AS BIGINT)
+            AS s_scaled,
+          (0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0
+            * 1125899906842624.0e0
+            / CAST(CAST(sum(1::BIGINT << (50 - least(rho, 50))) AS BIGINT)
+                AS DOUBLE) AS est_distinct
+        FROM r""")),
+
+    // ---- M6: inverted index (token -> posting list) ------------------
+    // The exact-match retrieval structure over the corpus: per token,
+    // document frequency + the first 20 doc ids sorted. ONE shuffle
+    // (groupBy tok, map-side combined); df stays exact while postings
+    // are CAPPED at 20 ids — the scale guard, since a stopword's full
+    // posting list at 100 TB is the corpus itself (production builds
+    // drop df > threshold tokens or page postings; the cap encodes that
+    // choice oracle-checkably). Postings emit as a comma-joined string:
+    // array cells crash the driver's pandas row-sort.
+    QueryDef("m6_inverted_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tk = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        tk.groupBy("tok").agg(collect_set(col("doc_id")).as("__ids"))
+          .select(col("tok"), size(col("__ids")).cast("long").as("df"),
+            array_join(transform(
+              slice(sort_array(col("__ids")), 1, 20),
+              x => x.cast("string")), ",").as("postings"))
+          .orderBy("tok")
+      },
+      Some(s"""WITH raw AS (
+          SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+          FROM documents),
+        tk AS (SELECT DISTINCT doc_id, tok FROM raw)
+        SELECT tok, CAST(count(*) AS BIGINT) AS df,
+          array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        FROM tk GROUP BY tok ORDER BY tok""")),
+
+    // ---- D10: URL-canonicalization dedup ------------------------------
+    // The web-corpus first pass: most crawl duplicates are the same page
+    // under cosmetically different URLs, so canonicalize (map-only
+    // string pass, graft.functions.UrlFunctions) and exact-dedup on the
+    // canonical form BEFORE any content-level MinHash runs. documents
+    // has no URL column, so the raw URLs derive deterministically from
+    // doc columns (as x1-x4 derive theirs): groups of 4 consecutive
+    // doc_ids share a target page under 4 cosmetic variants (case-shifted
+    // host / default port / tracking params / fragment / trailing
+    // slash); the oracle rebuilds and re-canonicalizes them in SQL.
+    QueryDef("d10_url_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val raw = docs.select(col("doc_id"), concat(
+          lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("EXAMPLE.org"))
+            .when(col("doc_id") % 3 === 1, lit("example.org:443"))
+            .otherwise(lit("example.org")),
+          lit("/wiki/"), col("source"), lit("/"),
+          expr("CAST(doc_id DIV 4 AS STRING)"),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+            .when(col("doc_id") % 4 === 2, lit("?b=2&a=1#frag"))
+            .otherwise(lit("/?a=1&b=2"))).as("url"))
+        raw.select(col("doc_id"),
+            graft.functions.UrlFunctions.canonicalizeUrl(col("url"))
+              .as("url"))
+          .groupBy("url")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+          .orderBy("url")
+      },
+      Some {
+        val scheme = "lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"
+        val hostRaw =
+          "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1))"
+        val pathRaw = raw"regexp_replace(regexp_replace(regexp_extract(" +
+          raw"url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/{2,}', '/')," +
+          raw" '/$$', '')"
+        val kept = raw"list_filter(str_split(regexp_extract(url, " +
+          raw"'\?([^#]*)', 1), '&'), x -> len(x) > 0 AND NOT " +
+          raw"regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))"
+        s"""WITH raw AS (
+          SELECT doc_id,
+            'https://' ||
+            (CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'EXAMPLE.org'
+               WHEN 1 THEN 'example.org:443'
+               ELSE 'example.org' END) ||
+            '/wiki/' || source || '/' || CAST(doc_id // 4 AS VARCHAR) ||
+            (CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN 1 THEN '?a=1&b=2'
+               WHEN 2 THEN '?b=2&a=1#frag'
+               ELSE '/?a=1&b=2' END) AS url
+          FROM documents),
+        canon AS (
+          SELECT doc_id,
+            $scheme || '://' ||
+            (CASE WHEN $scheme = 'http'
+               THEN regexp_replace($hostRaw, ':80$$', '')
+              WHEN $scheme = 'https'
+               THEN regexp_replace($hostRaw, ':443$$', '')
+              ELSE $hostRaw END) ||
+            (CASE WHEN $pathRaw = '' THEN '/' ELSE $pathRaw END) ||
+            (CASE WHEN len($kept) = 0 THEN ''
+              ELSE '?' || array_to_string(list_sort($kept), '&') END)
+              AS url
+          FROM raw)
+        SELECT url, min(doc_id) AS keep_id,
+          CAST(count(*) AS BIGINT) AS n_dupes
+        FROM canon GROUP BY url ORDER BY url"""
+      })
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

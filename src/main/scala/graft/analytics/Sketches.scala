@@ -51,19 +51,167 @@ object Sketches {
     * a depth×16^hexChars sketch, estimate every distinct token, return
     * the top `k` by (estimate desc, token asc) with the true count
     * alongside (est >= true_n always; equality whenever some row has no
-    * collision for the token). */
+    * collision for the token).
+    *
+    * ORACLE/DEMO-SHAPED: the `true_n` witness requires an exact global
+    * groupBy over every distinct token — precisely the
+    * billions-of-keys shuffle the sketch exists to avoid, so this form
+    * never realizes the sublinear-space benefit. It is the
+    * hash-checkable parity twin; production candidate generation is
+    * [[cmsTopKApprox]], whose shuffle is bounded by
+    * partitions × capacity regardless of vocabulary size. */
   def cmsTopK(df: DataFrame, textCol: String, depth: Int = 4,
               hexChars: Int = 3, k: Int = 20): DataFrame = {
     val toks = df.select(explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     val candidates = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
+    estimateTopK(toks, candidates, depth, hexChars, k)
+      .select("tok", "est", "true_n")
+  }
+
+  /** Production heavy hitters: candidates from per-partition Misra-Gries
+    * summaries instead of an exact global groupBy, then the same CMS
+    * estimate + top-k. The only token-keyed exchange carries at most
+    * `partitions × capacity` candidate rows — independent of vocabulary
+    * size — and the CMS rows stay map-side-combined counter tables (each
+    * <= 16^hexChars rows, broadcast into the estimate joins).
+    *
+    * Recall guarantee, per partition: Misra-Gries with `capacity`
+    * counters retains every token whose LOCAL count exceeds
+    * localN/(capacity+1), so any token with global count >
+    * N/(capacity+1) survives in at least one partition (it must exceed
+    * the threshold somewhere). Size `capacity` >> N/(true k-th count);
+    * the estimates themselves stay one-sided CMS overcounts. */
+  def cmsTopKApprox(df: DataFrame, textCol: String, depth: Int = 4,
+                    hexChars: Int = 3, k: Int = 20,
+                    capacity: Int = 4096): DataFrame = {
+    val toks = df.select(explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val candidates = localHeavyHitters(toks, "tok", capacity).distinct()
+    estimateTopK(toks, candidates, depth, hexChars, k)
+      .select("tok", "est")
+  }
+
+  /** Per-partition Misra-Gries (the classic "frequent" summary, Misra &
+    * Gries 1982): `capacity` counters per partition; a full summary
+    * decrements ALL counters when an untracked token arrives (amortized
+    * O(1) — every decrement is paid for by a prior increment). Emits each
+    * partition's surviving tokens, so output <= partitions × capacity
+    * rows. Genuine per-row imperative state — the one shape
+    * `mapPartitions` is for; no groupBy, no shuffle. */
+  def localHeavyHitters(toks: DataFrame, tokCol: String,
+                        capacity: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.select(col(tokCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { tok =>
+          if (counts.contains(tok)) counts(tok) += 1L
+          else if (counts.size < capacity) counts(tok) = 1L
+          else {
+            // decrement-all phase: drop every counter by 1, evict zeros
+            val dead = List.newBuilder[String]
+            counts.keysIterator.foreach { k =>
+              val v = counts(k) - 1L
+              if (v == 0L) dead += k else counts(k) = v
+            }
+            dead.result().foreach(counts.remove)
+          }
+        }
+        counts.keysIterator.toList.iterator
+      }
+      .toDF("tok")
+  }
+
+  // ---- HyperLogLog distinct-count sketch ---------------------------
+  //
+  // Flajolet et al. 2007, built on the engine's one hash family (md5,
+  // hex-string form) so the WHOLE sketch is expressible verbatim in any
+  // SQL engine: register = first `hexChars` hex chars of md5(value);
+  // rho = 1 + leading zero BITS of the remaining 30-char hex strip
+  // (4 bits per leading '0' char + a CASE on the first non-zero digit).
+  // Registers hold max(rho) — so a shard's register table merges into
+  // the global sketch by elementwise MAX, the HLL property that makes a
+  // 1000-executor build embarrassingly parallel (m counters per shard,
+  // kilobytes each, one tiny merge).
+  //
+  // Scale shape: the only exchange is a groupBy on the register id —
+  // map-side combined to <= 16^hexChars rows per task — vs. the exact
+  // countDistinct's shuffle of every distinct value.
+  //
+  // Cross-engine exactness: the hashed outputs are INTEGERS (register
+  // maxima, zero-register count, and the harmonic sum scaled by 2^50 so
+  // it sums in exact LONG arithmetic — max 16^hexChars × 2^50 << 2^63)
+  // plus one double, est = alpha·m²/Σ2^-rho, computed as the identical
+  // left-associated IEEE expression in both engines (division and
+  // multiplication are correctly rounded, so identical inputs give
+  // identical bits). rho is capped at 50 for the scaled sum; reaching 50
+  // takes ~2^50 distinct values, far beyond the sketch's bias-corrected
+  // range.
+
+  /** rho of a hex strip: 1 + number of leading zero bits. 4 bits per
+    * leading '0' hex char, plus 3/2/1/0 for a first non-zero digit of
+    * 1 / 2-3 / 4-7 / 8-f. An all-zero strip degenerates to
+    * 4·len(strip)+1 with no special case (the CASE's else-0 applies). */
+  def hllRho(strip: Column): Column = {
+    val z = length(regexp_extract(strip, "^(0*)", 1))
+    val c = strip.substr(z + lit(1), lit(1))
+    val bits = when(c === "1", 3)
+      .when(c.isin("2", "3"), 2)
+      .when(c.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    lit(4) * z + bits + lit(1)
+  }
+
+  /** The m = 16^hexChars register table of `valueCol`: (reg, max rho),
+    * INCLUDING empty registers at rho 0 (joined in from a generated
+    * domain — m rows, broadcast). Sketches of shards merge by
+    * elementwise max (proved in SketchesSpec). */
+  def hllRegisters(df: DataFrame, valueCol: String,
+                   hexChars: Int = 2): DataFrame = {
+    val m = 1 << (4 * hexChars)
+    val d = md5(col(valueCol).cast("string"))
+    val obs = df
+      .select(substring(d, 1, hexChars).as("reg"),
+        hllRho(substring(d, hexChars + 1, 32 - hexChars)).as("rho"))
+      .groupBy("reg").agg(max("rho").as("rho"))
+    val domain = df.sparkSession.range(m)
+      .select(lpad(lower(hex(col("id"))), hexChars, "0").as("reg"))
+    broadcast(domain).join(obs, Seq("reg"), "left")
+      .select(col("reg"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** One-row HLL summary: register count, zero-register count, the
+    * 2^50-scaled harmonic sum (exact LONG), and the raw HLL estimate
+    * alpha_m·m²/Σ2^-rho. Linear-counting/large-range corrections are
+    * deliberately NOT applied in-engine (they need ln(), whose last ulp
+    * is libm-dependent — callers holding v_zero can apply m·ln(m/V)
+    * driver-side when est < 2.5m). */
+  def hllSummary(df: DataFrame, valueCol: String,
+                 hexChars: Int = 2): DataFrame = {
+    val m = 1 << (4 * hexChars)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    hllRegisters(df, valueCol, hexChars)
+      .agg(count(lit(1)).as("m_registers"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr("shiftleft(1L, 50 - least(rho, 50))")).as("s_scaled"))
+      .withColumn("est_distinct",
+        alpha * lit(m.toDouble * m.toDouble) * lit(math.pow(2, 50)) /
+          col("s_scaled").cast("double"))
+  }
+
+  /** Shared estimate + top-k tail: join each candidate against the
+    * `depth` broadcast counter tables, estimate = min over rows. Keeps
+    * every candidate column (true_n for the oracle form). */
+  private def estimateTopK(toks: DataFrame, candidates: DataFrame,
+                           depth: Int, hexChars: Int, k: Int): DataFrame = {
     val estimated = (0 until depth).foldLeft(candidates) { (acc, i) =>
       acc.join(broadcast(cmsRow(toks, "tok", i, hexChars)),
         cmsBucket(col("tok"), i, hexChars) === col("__b")).drop("__b")
     }
     estimated
       .withColumn("est", least((0 until depth).map(i => col(s"__c$i")): _*))
-      .select("tok", "est", "true_n")
       .orderBy(desc("est"), asc("tok"))
       .limit(k)
   }

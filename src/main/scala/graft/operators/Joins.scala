@@ -63,6 +63,44 @@ object Joins {
         rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
   }
 
+  /** Interval (range) join: every (left, right) pair on the same `key`
+    * with `right.ts in [left.ts - lookback, left.ts]` (both ends
+    * inclusive). The naive formulation — an equi-join on key with a
+    * range residual — plans as a sort-merge join that re-scans every
+    * right row per left row within a key, O(|L_k| × |R_k|) on a hot key.
+    * This form buckets time into `lookback`-sized cells: a right row at
+    * ts can only match left rows in cell floor(ts/W) or floor(ts/W)+1,
+    * so the right side is duplicated exactly 2× into those cells and the
+    * join becomes a plain equi-join on (key, cell) + exact range filter.
+    * The shuffle key gains time granularity, which also SPLITS a hot key
+    * across its timeline instead of concentrating it in one task — the
+    * classic band-join decomposition (cf. epsilon-grid / bucket range
+    * joins in the literature). Each pair is produced exactly once (the
+    * left row's single cell meets one of the two right copies).
+    *
+    * `tsCol` must be numeric (e.g. epoch-µs LONG) on both inputs.
+    * Output: every left column plus each `rightCols` column as
+    * `<prefix><name>`; inner semantics (unmatched left rows drop). */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                tsCol: String, lookbackMicros: Long,
+                rightCols: Seq[String],
+                prefix: String = "r_"): DataFrame = {
+    require(lookbackMicros > 0, "lookback must be positive")
+    val w = lit(lookbackMicros)
+    val r = right.select(col(key).as("__rk"), col(tsCol).as("__rts"),
+        struct(rightCols.map(col): _*).as("__rv"))
+      .withColumn("__cell",
+        explode(array(floor(col("__rts") / w),
+          floor(col("__rts") / w) + 1)))
+    left
+      .withColumn("__lcell", floor(col(tsCol) / w))
+      .join(r, col(key) === col("__rk") &&
+        col("__lcell") === col("__cell") &&
+        col("__rts") >= col(tsCol) - w && col("__rts") <= col(tsCol))
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("__rv").getField(c).as(prefix + c)): _*)
+  }
+
   /** Range join on a trailing time window, expressed as a window
     * aggregate instead of a join: counts right-predicate rows with
     * `ts in [left.ts - lookback, left.ts]` on the same key. The

@@ -56,10 +56,86 @@ class SketchesSpec extends SparkSpec {
     merged shouldBe whole
   }
 
+  test("approx variant finds the exact top-k on a heavy-tailed stream") {
+    // 10 hot tokens with counts 4000..400 over a 2000-token unique tail:
+    // every hot token's count is far above N/(capacity+1), so each
+    // survives some partition's Misra-Gries summary, and CMS ordering
+    // keeps them ahead of the tail at this width
+    val rows = (0 until 10).flatMap(h =>
+      Seq.fill(4000 - 360 * h)(s"hot$h")) ++
+      (1 to 2000).map(i => s"tail$i")
+    val docs = rows.toDF("text").repartition(8)
+    val approx = Sketches.cmsTopKApprox(docs, "text", depth = 4,
+      hexChars = 3, k = 10, capacity = 256).collect()
+    approx.map(_.getString(0)).sorted shouldBe
+      (0 until 10).map(h => s"hot$h")
+    // one-sided estimates: each hot token's est >= its true count
+    val trueN = (0 until 10).map(h => s"hot$h" -> (4000 - 360 * h)).toMap
+    approx.foreach(r =>
+      r.getLong(1) should be >= trueN(r.getString(0)).toLong)
+  }
+
+  test("local heavy hitters are bounded by partitions x capacity and " +
+    "retain every token above the Misra-Gries threshold") {
+    val toks = ((1 to 500).map(_ => "alpha") ++ (1 to 300).map(_ => "beta")
+      ++ (1 to 900).map(i => s"u$i")).toDF("tok").repartition(4)
+    val out = Sketches.localHeavyHitters(toks, "tok", capacity = 64)
+    out.count() should be <= 4L * 64L
+    // alpha and beta dominate N/(capacity+1) in every split
+    val kept = out.distinct().collect().map(_.getString(0)).toSet
+    kept should contain allOf ("alpha", "beta")
+  }
+
   test("estimate joins are broadcasts (counter tables never shuffle)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = Sketches.cmsTopK(docs, "text")
       .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("HLL registers: exactly m rows, empty registers at rho 0") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"))
+    val regs = Sketches.hllRegisters(ev, "event_id", hexChars = 2)
+    regs.count() shouldBe 256L
+    regs.agg(min("rho")).first().getInt(0) should be >= 0
+    // a single-value stream fills exactly one register
+    val one = Sketches.hllRegisters(
+      Seq("x").toDF("v"), "v", hexChars = 2)
+    one.filter(col("rho") > 0).count() shouldBe 1L
+  }
+
+  test("HLL merge: sketch of a union == elementwise max of shards") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"))
+    val Array(a, b) = ev.randomSplit(Array(0.5, 0.5), seed = 7)
+    val whole = Sketches.hllRegisters(ev, "event_id")
+      .orderBy("reg").collect().map(r => (r.getString(0), r.getInt(1)))
+    val merged = Sketches.hllRegisters(a, "event_id")
+      .unionByName(Sketches.hllRegisters(b, "event_id"))
+      .groupBy("reg").agg(max("rho").as("rho"))
+      .orderBy("reg").collect().map(r => (r.getString(0), r.getInt(1)))
+    merged shouldBe whole
+  }
+
+  test("HLL estimate lands within 20% of the exact distinct count") {
+    // event_id is unique, so true n = row count (1500 at sf0.001) — well
+    // past the 2.5m linear-counting zone for m=256; the standard error
+    // at m=256 is 1.04/sqrt(256) = 6.5%
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val n = ev.count().toDouble
+    val est = Sketches.hllSummary(ev, "event_id", hexChars = 2)
+      .first().getAs[Double]("est_distinct")
+    math.abs(est - n) / n should be < 0.20
+  }
+
+  test("HLL register build shuffles counters, not values") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val plan = Sketches.hllSummary(ev, "event_id")
+      .queryExecution.executedPlan.toString
+    // the only wide exchange is the register groupBy (<= m rows per
+    // task after partial agg); the domain join must broadcast
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }

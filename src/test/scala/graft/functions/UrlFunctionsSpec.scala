@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u")
+      .select(UrlFunctions.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("case, default port, fragment, trailing slash all normalize away") {
+    canon(
+      "HTTPS://Example.ORG/wiki/Page",
+      "https://example.org:443/wiki/Page",
+      "https://example.org/wiki/Page/",
+      "https://example.org//wiki///Page",
+      "https://example.org/wiki/Page#section-3"
+    ).distinct shouldBe Seq("https://example.org/wiki/Page")
+  }
+
+  test("tracking params drop, surviving params sort, empty query folds") {
+    canon(
+      "https://example.org/p?b=2&a=1",
+      "https://example.org/p?a=1&b=2",
+      "https://example.org/p?utm_source=feed&b=2&utm_medium=x&a=1",
+      "https://example.org/p?fbclid=XYZ&a=1&b=2"
+    ).distinct shouldBe Seq("https://example.org/p?a=1&b=2")
+    canon("https://example.org/p?utm_source=feed",
+      "https://example.org/p").distinct shouldBe
+      Seq("https://example.org/p")
+  }
+
+  test("distinct pages stay distinct") {
+    canon(
+      "https://example.org/p?a=1",
+      "https://example.org/p?a=2",
+      "https://example.org/q?a=1",
+      "http://example.org/p?a=1", // scheme differs
+      "https://sub.example.org/p?a=1"
+    ).distinct.length shouldBe 5
+  }
+
+  test("non-default port and scheme-mismatched port survive") {
+    canon("https://example.org:8443/p").head shouldBe
+      "https://example.org:8443/p"
+    // :443 is only default for https, not http
+    canon("http://example.org:443/p").head shouldBe
+      "http://example.org:443/p"
+    canon("http://example.org:80/p").head shouldBe "http://example.org/p"
+  }
+
+  test("bare host and root path canonicalize to a single form") {
+    canon("https://example.org", "https://example.org/",
+      "https://example.org:443").distinct shouldBe
+      Seq("https://example.org/")
+  }
+}

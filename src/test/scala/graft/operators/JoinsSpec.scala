@@ -94,6 +94,47 @@ class JoinsSpec extends SparkSpec {
       (104L, None)) // null left ts: no prior right row by definition
   }
 
+  test("range join: inclusive [ts-w, ts] band, each pair exactly once") {
+    val l = Seq(("a", 100L, 1L), ("a", 200L, 2L), ("b", 100L, 3L))
+      .toDF("k", "ts", "lid")
+    val r = Seq(("a", 0L, 10L), ("a", 100L, 11L), ("a", 150L, 12L),
+      ("a", 201L, 13L), ("b", 5L, 14L)).toDF("k", "ts", "rid")
+    val out = Joins.rangeJoin(l, r, "k", "ts", 100L, Seq("rid"))
+      .select("lid", "r_rid").orderBy("lid", "r_rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    out.toSeq shouldBe Seq(
+      (1L, 10L),            // 0 in [0,100]  (inclusive lower bound)
+      (1L, 11L),            // 100 in [0,100] (inclusive upper bound)
+      (2L, 11L), (2L, 12L), // 100,150 in [100,200]; 201 is out
+      (3L, 14L))            // keys don't mix
+  }
+
+  test("range join differential: equals the naive inequality join on " +
+    "seeded random data, and plans as an equi-join (no nested loop)") {
+    val rng = new scala.util.Random(77)
+    val l = (1 to 120).map(i =>
+      (s"k${rng.nextInt(4)}", rng.nextInt(500).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val r = (1 to 150).map(i =>
+      (s"k${rng.nextInt(5)}", rng.nextInt(500).toLong, i.toLong))
+      .toDF("k", "ts", "rid")
+    val fast = Joins.rangeJoin(l, r, "k", "ts", 60L, Seq("rid"))
+    val got = fast.select("lid", "r_rid").orderBy("lid", "r_rid")
+      .collect().map(_.toSeq)
+    val naive = l.join(
+        r.withColumnRenamed("k", "rk").withColumnRenamed("ts", "rts"),
+        col("k") === col("rk") && col("rts") >= col("ts") - 60L &&
+          col("rts") <= col("ts"))
+      .select(col("lid"), col("rid").as("r_rid"))
+      .orderBy("lid", "r_rid").collect().map(_.toSeq)
+    got shouldBe naive
+    // the time-cell key makes it a plain equi-join: a hot key spreads
+    // across its timeline instead of one quadratic sort-merge group
+    val plan = fast.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("trailing range count: frame is value-based [ts-w, ts]") {
     val ev = Seq(
       ("u", 0L, "x", 1L), ("u", 50L, "e", 2L), ("u", 100L, "e", 3L),
