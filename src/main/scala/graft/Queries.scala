@@ -687,6 +687,30 @@ object Queries {
           FROM documents)
         WHERE rk <= 20 ORDER BY lang, rk""")),
 
+    // ---- O8: weighted (PPS) sample -----------------------------------
+    // Systematic probability-proportional-to-size selection on the md5
+    // permutation (Summary.weightedSample): inclusion probability scales
+    // with n_chars, selection is pure integer grid-crossing arithmetic
+    // (no RNG, no libm), so the identical draw reproduces in any engine.
+    // The oracle states the semantics as ONE global cumulative window;
+    // the engine computes the same cumsum distributed (md5-prefix
+    // buckets + literal offsets — no global sort, no single reducer).
+    QueryDef("o8_weighted_sample",
+      (s, dir) => Summary.weightedSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", n = 100)
+        .orderBy("doc_id"),
+      Some("""WITH o AS (
+          SELECT doc_id, n_chars,
+            sum(n_chars) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents),
+        t AS (SELECT sum(n_chars) AS total FROM documents)
+        SELECT doc_id, n_chars FROM o, t
+        WHERE (cum * 100) // total > ((cum - n_chars) * 100) // total
+        ORDER BY doc_id""")),
+
     // ---- D1: exact dedup groups -------------------------------------
     QueryDef("d1_exact_dedup",
       (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")

@@ -114,4 +114,60 @@ object Summary {
   /** A8: null count of a column. */
   def nullCount(df: DataFrame, c: String): Column =
     count(when(col(c).isNull, 1)).as(s"${c}_nulls")
+
+  /** O8: deterministic weighted sample — systematic
+    * probability-proportional-to-size selection over the engine's md5
+    * permutation. Rows are laid on a line in md5(key) order, each
+    * spanning its weight; a grid of `n` equally-spaced points picks the
+    * rows it lands on, so inclusion probability is proportional to
+    * weight and the draw is reproducible in ANY engine (selection is
+    * pure INTEGER arithmetic — `(cum·n) div total` crossing — no RNG, no
+    * libm `pow/ln` whose last ulp differs across engines; cf. the
+    * weighted-reservoir u^(1/w) keys, which are not cross-engine exact).
+    * Returns at most `n` rows; exactly `n` when no single weight exceeds
+    * total/n (a heavier row still appears once — sampling
+    * without replacement).
+    *
+    * Scale shape: NO global sort. The cumulative sum distributes by
+    * bucketing on the first `hexChars` of md5 (deterministic FROM THE
+    * DATA, so there is no recompute-sensitive spark_partition_id to
+    * persist against): one map-combined groupBy collects the 16^hexChars
+    * bucket subtotals to the driver, which folds them into literal
+    * offsets; the per-bucket cumsum is then a window on the bucket key —
+    * uniform md5 spreads load evenly, and `hexChars` scales the reducer
+    * count. Weights must be non-negative; zero-weight rows are never
+    * selected. `total × n` must fit a signed 64-bit integer (at larger
+    * scale, widen to decimal(38,0) on both engines). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, hexChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "sample size must be positive")
+    val h = md5(col(keyCol).cast("string"))
+    val withB = df
+      .withColumn("__h", h)
+      .withColumn("__b", substring(h, 1, hexChars))
+    val subtotals = withB.groupBy("__b")
+      .agg(sum(col(weightCol).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = subtotals.map(_._2).sum
+    require(total > 0, "total weight must be positive")
+    require(total <= Long.MaxValue / n,
+      s"total weight x n overflows long ($total x $n) - widen to decimal")
+    var acc = 0L
+    val offMap = subtotals.map { case (b, s) =>
+      val o = acc; acc += s; (b, o)
+    }
+    val offCol = element_at(
+      map(offMap.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
+      col("__b"))
+    val w = Window.partitionBy("__b").orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn("__cum",
+        sum(col(weightCol).cast("long")).over(w) + offCol)
+      .filter(expr(s"(__cum * $n) DIV $total > " +
+        s"((__cum - `$weightCol`) * $n) DIV $total"))
+      .drop("__h", "__b", "__cum")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,13 +87,20 @@ object Joins {
                 prefix: String = "r_"): DataFrame = {
     require(lookbackMicros > 0, "lookback must be positive")
     val w = lit(lookbackMicros)
+    // exact integer floor division: (ts - pmod(ts, W)) / W. floor(ts/W)
+    // over DOUBLE division can flip at a cell boundary once ts/W's
+    // rounding error crosses an integer (epoch-µs ÷ 1h leaves ~1e-7
+    // absolute error) — and a flipped cell on ONE side breaks the
+    // adjacent-cell guarantee and silently drops pairs. The pmod form
+    // stays exact for |ts| < 2^53 (numerator is an exact multiple of W,
+    // so the division is exact).
+    def cell(ts: Column): Column = ((ts - pmod(ts, w)) / w).cast("long")
     val r = right.select(col(key).as("__rk"), col(tsCol).as("__rts"),
         struct(rightCols.map(col): _*).as("__rv"))
       .withColumn("__cell",
-        explode(array(floor(col("__rts") / w),
-          floor(col("__rts") / w) + 1)))
+        explode(array(cell(col("__rts")), cell(col("__rts")) + 1)))
     left
-      .withColumn("__lcell", floor(col(tsCol) / w))
+      .withColumn("__lcell", cell(col(tsCol)))
       .join(r, col(key) === col("__rk") &&
         col("__lcell") === col("__cell") &&
         col("__rts") >= col(tsCol) - w && col("__rts") <= col(tsCol))

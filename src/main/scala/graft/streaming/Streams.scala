@@ -173,6 +173,31 @@ object Streams {
       bloom, col(textCol), shingleN))
   }
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * bucketed range join ([[graft.operators.Joins.rangeJoin]] / query
+    * j5): all (left, right) pairs on `key` with `right.ts` in
+    * `[left.ts - lookback, left.ts]`, both ends inclusive. Spark
+    * buffers both sides in the state store; the watermarks plus the
+    * BOTH-SIDED event-time range condition are what let it EVICT — a
+    * right row can only match left rows up to `lookback` newer, so once
+    * the watermark passes `r.ts + lookback` the row leaves state. State
+    * is bounded by rate × (watermark delay + lookback), never by stream
+    * length. Inner-join rows emit as soon as both sides arrive (the
+    * watermark gates eviction, not emission). Right columns come back
+    * `r_`-prefixed; `tsCol` must be an event-time TIMESTAMP on both
+    * sides. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         tsCol: String, lookback: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c"))
+    left.withWatermark(tsCol, watermark)
+      .join(r.withWatermark(s"r_$tsCol", watermark),
+        col(key) === col(s"r_$key") &&
+          col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+          col(s"r_$tsCol") <= col(tsCol))
+  }
+
   /** Run the windowed aggregation over all currently-available files and
     * stop (batch-equivalent backfill; reference's incremental-resume
     * analog). Returns the result read back from the sink. */

@@ -93,6 +93,37 @@ class SummarySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.quantiles.approx")
   }
 
+  test("weighted sample: exactly n rows when no weight exceeds total/n, " +
+    "and heavy rows are always included") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars")
+    // documents' n_chars are all << total/50, so the grid picks exactly n
+    val out = Summary.weightedSample(docs, "doc_id", "n_chars", n = 50)
+    out.count() shouldBe 50L
+    // a row heavier than total/n must be picked (it spans a grid point)
+    val total = docs.agg(sum("n_chars")).first().getLong(0)
+    val heavy = docs.unionByName(
+      Seq((999999L, total)).toDF("doc_id", "n_chars"))
+    Summary.weightedSample(heavy, "doc_id", "n_chars", n = 10)
+      .filter(col("doc_id") === 999999L).count() shouldBe 1L
+    // zero-weight rows never selected
+    val zeroed = docs.withColumn("n_chars",
+      when(col("doc_id") % 2 === 0, 0L).otherwise(col("n_chars")))
+    Summary.weightedSample(zeroed, "doc_id", "n_chars", n = 50)
+      .filter(col("doc_id") % 2 === 0).count() shouldBe 0L
+  }
+
+  test("weighted sample distributes: cumsum buckets by md5 prefix, no " +
+    "global single-partition sort") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars")
+    val plan = Summary.weightedSample(docs, "doc_id", "n_chars", n = 20)
+      .queryExecution.executedPlan.toString
+    // the window shuffles on the bucket key, never into one partition
+    plan should include("hashpartitioning(__b")
+    plan should not include "SinglePartition"
+  }
+
   test("vocab: counts and descending order with tiebreak") {
     val df = Seq("the cat the dog", "the cat").toDF("text")
     val v = Vocab.generate(df, "text").collect()

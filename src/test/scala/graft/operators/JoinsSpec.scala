@@ -135,6 +135,26 @@ class JoinsSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("range join: exact cells at epoch-µs magnitude (no double-division " +
+    "boundary flips)") {
+    // ts/W in doubles errs by ~1e-7 at 1.7e15 µs — enough to flip a floor
+    // at a cell boundary and break the adjacent-cell guarantee. These rows
+    // sit exactly ON hour boundaries at realistic epoch values.
+    val w = 3600L * 1000000L
+    val base = 1754000000000000L // ~2025 in epoch-µs, a multiple of 1000
+    val k = base - base % w      // exact hour boundary
+    val l = Seq(("u", k + w, 1L), ("u", k + w + 1L, 2L))
+      .toDF("k", "ts", "lid")
+    val r = Seq(("u", k, 10L), ("u", k + 1L, 11L), ("u", k + w, 12L))
+      .toDF("k", "ts", "rid")
+    val out = Joins.rangeJoin(l, r, "k", "ts", w, Seq("rid"))
+      .select("lid", "r_rid").orderBy("lid", "r_rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    out.toSeq shouldBe Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), // [k, k+w]: boundary row k included
+      (2L, 11L), (2L, 12L))            // [k+1, k+w+1]: k now excluded
+  }
+
   test("trailing range count: frame is value-based [ts-w, ts]") {
     val ev = Seq(
       ("u", 0L, "x", 1L), ("u", 50L, "e", 2L), ("u", 100L, "e", 3L),

@@ -225,6 +225,38 @@ class StreamsSpec extends SparkSpec {
     streamFilter shouldBe exactBatch
   }
 
+  test("stream-stream interval join pairs within the lookback, across " +
+    "batches (j5's streaming twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val lefts = MemoryStream[(Long, Timestamp, Long)]
+    val rights = MemoryStream[(Long, Timestamp, Long)]
+    // right rows arrive in an EARLIER batch than the left they match —
+    // the state store must hold them across the batch boundary
+    rights.addData((10L, t(20), 7L), (11L, t(35), 7L), (12L, t(60), 7L))
+    lefts.addData((1L, t(60), 7L), (2L, t(10), 9L))
+    val q = Streams.intervalJoinStream(
+      lefts.toDF().toDF("l_id", "ts", "user_id"),
+      rights.toDF().toDF("rid", "ts", "user_id"),
+      "user_id", "ts", lookback = "30 minutes")
+      .select("l_id", "r_rid")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val pairs = spark.sql("SELECT l_id, r_rid FROM ij_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // l@60 matches views at 35 and 60 (inclusive ends); 20 is outside
+      // [30, 60]; user 9 has no views at all
+      pairs.toSeq shouldBe Seq((1L, 11L), (1L, 12L))
+    } finally gracefulStop(q)
+  }
+
   test("cross-batch out-of-order event does not split the session") {
     // drives the shared mergeEvent step (the exact code the streaming
     // state function folds with) in cross-batch arrival order
