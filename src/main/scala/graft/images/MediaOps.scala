@@ -1,0 +1,122 @@
+package graft.images
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Video/audio multimodal plumbing — the same opaque-binary column model
+  * as [[ImageOps]] (payload as BinaryType, typed metadata struct
+  * alongside), for media the JVM cannot decode without native codecs.
+  *
+  * THE CODEC IS A DELIBERATE STUB: this container ships no
+  * ffmpeg/libavcodec, so `decodeContainer` below parses a tiny
+  * deterministic fake container format (magic + rational fps/rate +
+  * payload) instead of H.264/AAC. Everything AROUND the codec — the
+  * output schema, the per-partition batched iteration, null-safe fault
+  * handling, the frame-index arithmetic, and the explode-to-rows shape —
+  * is the real production plumbing: swapping in a JNI codec changes ONE
+  * function. (Mirrors the reference's attitude to heavyweight backends,
+  * SURVEY.md §7.4: deterministic stand-ins with pinned semantics.)
+  *
+  * Scale design: `mapPartitions` (genuine per-row imperative decode =
+  * the one justified use), so codec state/buffers are per-TASK, not
+  * per-row; output frames explode to (id, frame_idx, frame) rows that
+  * downstream image ops consume map-only. A 100 TB video corpus keeps
+  * payloads on object storage and carries paths + byte-ranges (see
+  * ImageOps scaladoc) — the frame-sampling arithmetic is unchanged.
+  */
+object MediaOps {
+
+  /** Fake-container layout (all big-endian ints after a 4-byte magic):
+    * "GVID" | num (fps numerator) | den (fps denominator) |
+    * nFrames | frameBytes | payload (nFrames × frameBytes).
+    * Deterministic and trivially constructible in tests. */
+  val Magic: Array[Byte] = "GVID".getBytes("US-ASCII")
+
+  final case class Container(fpsNum: Int, fpsDen: Int, nFrames: Int,
+                             frameBytes: Int, payload: Array[Byte])
+
+  /** THE STUB — replace with a real demuxer+codec to go to production.
+    * Returns None on anything malformed (never throws: per-row fault
+    * tolerance, R4 semantics). */
+  def decodeContainer(bytes: Array[Byte]): Option[Container] = {
+    if (bytes == null || bytes.length < 20) return None
+    if (!bytes.take(4).sameElements(Magic)) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes, 4, 16)
+    val (num, den, n, fb) = (bb.getInt, bb.getInt, bb.getInt, bb.getInt)
+    if (num <= 0 || den <= 0 || n < 0 || fb <= 0) return None
+    if (bytes.length < 20 + n.toLong * fb) return None
+    Some(Container(num, den, n, fb, java.util.Arrays.copyOfRange(
+      bytes, 20, 20 + n * fb)))
+  }
+
+  /** Build a fake container (test/fixture helper). */
+  def encodeContainer(c: Container): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(20 + c.payload.length)
+    bb.put(Magic).putInt(c.fpsNum).putInt(c.fpsDen)
+      .putInt(c.nFrames).putInt(c.frameBytes).put(c.payload)
+    bb.array()
+  }
+
+  /** Output schema of [[frameSample]]: one row per sampled frame. */
+  def frameSchema(idField: StructField): StructType = StructType(Seq(
+    idField,
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = true)))
+
+  /** Sample frames at `everyMs` intervals (media time, frame chosen by
+    * floor(t·fps) — the standard "nearest preceding frame" rule) from a
+    * binary media column. One output row per (input row, sampled frame);
+    * undecodable rows contribute NO rows here — pair with [[mediaMeta]]
+    * on the input to audit drops (F4 mask pattern). Frame-index math is
+    * exact integer arithmetic on the rational fps, so a backfill
+    * resamples identically.
+    *
+    * Per-partition batching via mapPartitions: codec state is per-task;
+    * rows stream through without materializing the partition. */
+  def frameSample(df: DataFrame, idCol: String, dataCol: String,
+                  everyMs: Long): DataFrame = {
+    require(everyMs > 0, "sampling interval must be positive")
+    val idField = df.schema(idCol)
+    val schema = frameSchema(idField)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val dataIdx = df.schema.fieldIndex(dataCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.get(idIdx)
+        val bytes =
+          if (row.isNullAt(dataIdx)) null else row.getAs[Array[Byte]](dataIdx)
+        decodeContainer(bytes).iterator.flatMap { c =>
+          // t = k·everyMs; frame = floor(t·num / (1000·den)), while < n.
+          // All long arithmetic — no double time base drift.
+          Iterator.from(0).map(_.toLong * everyMs)
+            .map(t => (t, t * c.fpsNum / (1000L * c.fpsDen)))
+            .takeWhile { case (_, f) => f < c.nFrames }
+            .map { case (t, f) =>
+              val fi = f.toInt
+              Row(id, fi, t, java.util.Arrays.copyOfRange(
+                c.payload, fi * c.frameBytes, (fi + 1) * c.frameBytes))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Typed metadata struct for a media column (the F4 success-mask
+    * pattern: `ok=false` rows are auditable, never exceptions). A plain
+    * column expression — fuses into the scan. */
+  def mediaMeta(df: DataFrame, dataCol: String): DataFrame = {
+    val meta = udf((bytes: Array[Byte]) =>
+      decodeContainer(bytes) match {
+        case Some(c) => (c.fpsNum.toDouble / c.fpsDen, c.nFrames,
+          c.nFrames.toLong * c.fpsDen * 1000L / c.fpsNum, true)
+        case None => (0.0, 0, 0L, false)
+      })
+    df.withColumn("media_meta",
+      meta(col(dataCol)).cast("struct<fps:double,n_frames:int," +
+        "duration_ms:bigint,ok:boolean>"))
+  }
+}
