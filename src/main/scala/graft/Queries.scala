@@ -1576,6 +1576,59 @@ object Queries {
           array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         FROM tk GROUP BY tok ORDER BY tok""")),
 
+    // ---- T8: token-window chunking ------------------------------------
+    // RAG/context-window preprocessing: 64-token chunks every 48 tokens
+    // (16-token overlap so boundary-spanning passages survive). Map-only
+    // + one Generate — sequence/slice/array_join are codegen'd built-ins,
+    // the whole op fuses into the scan; see TextAnalysis.chunkTokens.
+    QueryDef("t8_chunk_overlap",
+      (s, dir) => TextAnalysis.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+        s AS (SELECT doc_id, toks, len(toks) AS n FROM tk
+          WHERE len(toks) > 0),
+        c AS (SELECT doc_id, toks,
+            unnest(range(0, n, 48)) AS start_tok FROM s)
+        SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+          CAST(start_tok AS BIGINT) AS start_tok,
+          CAST(len(toks[start_tok + 1 : start_tok + 64]) AS BIGINT)
+            AS n_tok,
+          array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
+            AS chunk
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ---- P9: sequence packing ------------------------------------------
+    // Training-batch assembly: lay documents on the md5 permutation line
+    // (deterministic, engine-portable) and cut it into fixed 4096-char
+    // budget bins — concat-then-split packing, each doc counted in the
+    // bin where it STARTS. The oracle states the semantics as one global
+    // cumulative window; the engine computes the same cumsum distributed
+    // (md5-prefix buckets + literal offsets, analytics/Cumsum — shared
+    // with o8). Output is the per-bin manifest.
+    QueryDef("p9_sequence_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+        val (cum, _) = graft.analytics.Cumsum.mdOrderCumsum(
+          docs, "doc_id", "n_chars")
+        cum.withColumn("bin", expr("(__cum - n_chars) DIV 4096"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("bin")
+      },
+      Some("""WITH o AS (
+          SELECT doc_id, n_chars,
+            sum(n_chars) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        SELECT CAST((cum - n_chars) // 4096 AS BIGINT) AS bin,
+          count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM o GROUP BY 1 ORDER BY bin""")),
+
     // ---- D10: URL-canonicalization dedup ------------------------------
     // The web-corpus first pass: most crawl duplicates are the same page
     // under cosmetically different URLs, so canonicalize (map-only

@@ -140,34 +140,13 @@ object Summary {
     * scale, widen to decimal(38,0) on both engines). */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      n: Int, hexChars: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0, "sample size must be positive")
-    val h = md5(col(keyCol).cast("string"))
-    val withB = df
-      .withColumn("__h", h)
-      .withColumn("__b", substring(h, 1, hexChars))
-    val subtotals = withB.groupBy("__b")
-      .agg(sum(col(weightCol).cast("long")).as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val total = subtotals.map(_._2).sum
-    require(total > 0, "total weight must be positive")
+    val (cum, total) = Cumsum.mdOrderCumsum(df, keyCol, weightCol, hexChars)
     require(total <= Long.MaxValue / n,
       s"total weight x n overflows long ($total x $n) - widen to decimal")
-    var acc = 0L
-    val offMap = subtotals.map { case (b, s) =>
-      val o = acc; acc += s; (b, o)
-    }
-    val offCol = element_at(
-      map(offMap.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
-      col("__b"))
-    val w = Window.partitionBy("__b").orderBy(col("__h"), col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB
-      .withColumn("__cum",
-        sum(col(weightCol).cast("long")).over(w) + offCol)
+    cum
       .filter(expr(s"(__cum * $n) DIV $total > " +
         s"((__cum - `$weightCol`) * $n) DIV $total"))
-      .drop("__h", "__b", "__cum")
+      .drop("__cum")
   }
 }

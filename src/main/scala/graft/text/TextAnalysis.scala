@@ -117,6 +117,35 @@ object TextAnalysis {
       .drop("__toks", "__sents")
   }
 
+  /** Token-window chunking — the RAG/context-window preprocessing step:
+    * split each document into `window`-token chunks every `stride`
+    * tokens (stride < window ⇒ overlapping chunks, the standard recipe
+    * so no boundary-spanning passage is lost). One row per chunk:
+    * (id, chunk_idx, start_tok, n_tok, chunk).
+    *
+    * Map-only + a Generate (the per-row explode of chunk starts): no
+    * shuffle, no UDF — `sequence`/`slice`/`array_join` are all
+    * codegen'd built-ins, so at 100 TB chunking fuses into the scan.
+    * Empty/whitespace-only docs produce no chunks (nothing to pack). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val n = size(col("__toks"))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(n > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), n - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol), col("chunk_idx").cast("long"),
+        col("start_tok").cast("long"),
+        size(slice(col("__toks"), col("start_tok") + 1, lit(window)))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(window)),
+          " ").as("chunk"))
+  }
+
   /** Convenience: append all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -67,4 +67,35 @@ class TextAnalysisSpec extends SparkSpec {
     r(2) shouldBe org.apache.spark.sql.Row(1, 0.0, 0.0, 0.0)
     r(3) shouldBe org.apache.spark.sql.Row(0, 0.0, 0.0, 0.0)
   }
+
+  test("chunkTokens: overlapping windows, exact boundaries, empty docs " +
+    "drop") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text",
+      window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: 10 tokens, starts 0,3,6,9 → 4 chunks; last is a 1-token tail
+    val d1 = out.filter(_.getLong(0) == 1L)
+    d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq shouldBe
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L))
+    d1(0).getString(4) shouldBe "w1 w2 w3 w4"
+    d1(1).getString(4) shouldBe "w4 w5 w6 w7" // 1-token overlap at stride 3
+    d1(3).getString(4) shouldBe "w10"
+    // empty doc: no chunks; single token: one 1-token chunk
+    out.count(_.getLong(0) == 2L) shouldBe 0
+    val d3 = out.filter(_.getLong(0) == 3L)
+    d3.length shouldBe 1
+    d3(0).getString(4) shouldBe "solo"
+  }
+
+  test("chunkTokens plan is map-only: one Generate, no shuffle") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = TextAnalysis.chunkTokens(docs, "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    plan should include("Generate")
+    plan should not include "Exchange"
+  }
 }
