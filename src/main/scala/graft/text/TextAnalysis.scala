@@ -133,8 +133,15 @@ object TextAnalysis {
       "need 0 < stride <= window")
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val n = size(col("__toks"))
-    df.select(col(idCol), toks.as("__toks"))
-      .filter(n > 0)
+    df
+      // "has at least one token" as a predicate on the RAW text (a
+      // non-whitespace char exists — the exact same row set as
+      // size(tokens) > 0): a size(__toks) > 0 filter pushes below the
+      // projection and re-tokenizes every row for the predicate (HOF
+      // lambdas get no CSE — the 2× tax shows in the plan), while this
+      // one regex pushes to the scan and the tokenizer runs once.
+      .filter(col(textCol).rlike("\\S"))
+      .select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), n - 1, lit(stride)))
           .as(Seq("chunk_idx", "start_tok")))

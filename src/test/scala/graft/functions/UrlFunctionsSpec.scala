@@ -57,4 +57,36 @@ class UrlFunctionsSpec extends SparkSpec {
       "https://example.org:443").distinct shouldBe
       Seq("https://example.org/")
   }
+
+  test("canonicalization is idempotent on generated URLs (the invariant " +
+    "that licenses dedup on the canonical form)") {
+    import org.scalacheck.Gen
+    val seg = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val url: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+      host <- Gen.listOfN(2, seg).map(_.mkString("."))
+      caseHost <- Gen.oneOf(host, host.toUpperCase)
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.listOf(seg)
+      slashes <- Gen.oneOf("/", "//", "")
+      trail <- Gen.oneOf("", "/")
+      params <- Gen.listOf(for {
+        k <- Gen.oneOf("a", "b", "utm_source", "gclid", "zz")
+        v <- seg
+      } yield s"$k=$v")
+      frag <- Gen.oneOf("", "#x", "#sec-2")
+    } yield s"$scheme://$caseHost$port$slashes${segs.mkString("/")}$trail" +
+      (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+    val urls = (0 until 300).flatMap(i => url.apply(
+      Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    twice shouldBe once
+    // canonical forms never carry fragments or tracking params
+    once.foreach { u =>
+      u should not include "#"
+      u should not include "utm_"
+      u should not include "gclid"
+    }
+  }
 }

@@ -91,11 +91,15 @@ class TextAnalysisSpec extends SparkSpec {
     d3(0).getString(4) shouldBe "solo"
   }
 
-  test("chunkTokens plan is map-only: one Generate, no shuffle") {
+  test("chunkTokens plan is map-only: one Generate, no shuffle, and the " +
+    "tokenizer runs once (non-empty filter hits the raw text)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = TextAnalysis.chunkTokens(docs, "doc_id", "text", 64, 48)
       .queryExecution.executedPlan.toString
     plan should include("Generate")
     plan should not include "Exchange"
+    // a size(tokens)>0 predicate would push below the projection and
+    // re-tokenize per row — assert a single tokenize in the whole plan
+    "filter\\(split\\(".r.findAllIn(plan).length shouldBe 1
   }
 }
