@@ -58,10 +58,17 @@ object Bench {
                else Left(firstErr.getOrElse("failed")))
     }
     def median(v: Seq[Double]): Double = v(v.length / 2)
-    // 3-decimal times: ms precision is below this box's run-to-run noise,
-    // and full double repr once overflowed the driver's line capture (the
-    // r5 total was lost to truncation — keep this line SHORT)
-    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // 2-decimal times with trailing zeros trimmed: 10 ms precision is
+    // still above this box's run-to-run noise, and the headline line must
+    // stay well under the driver's 2000-char stdout tail (r5's total was
+    // lost to exactly this truncation; at 63 queries the 3-decimal line
+    // was back within ~300 chars of the cliff)
+    def fmt(d: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".") match { case "" => "0"; case t => t }
+      else s
+    }
     val qs = results.map {
       case (k, Right(v)) => s"\"" + k + "\":" + fmt(median(v))
       case (k, Left(_)) => s"\"" + k + "\":-1"
