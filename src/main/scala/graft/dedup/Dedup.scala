@@ -38,6 +38,22 @@ object Dedup {
     withFp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
+  /** URL-level dedup, keep-first (lowest id) per CANONICAL url — the
+    * web-corpus first pass (most crawl dups are the same page under
+    * cosmetically different URLs), run before any content-level pass:
+    * canonicalization ([[graft.functions.UrlFunctions.canonicalizeUrl]])
+    * is a map-only codegen'd string pass, and the dedup is one
+    * hash-groupBy — same shape as [[dropExactDups]] with the canonical
+    * string as the fingerprint. Query twin: `d10_url_dedup` (which
+    * aggregates the groups; this keeps the surviving rows). */
+  def dropUrlDups(df: DataFrame, idCol: String,
+                  urlCol: String): DataFrame = {
+    val withC = df.withColumn("__curl",
+      graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol)))
+    val keep = withC.groupBy("__curl").agg(min(col(idCol)).as(idCol))
+    withC.join(keep, Seq("__curl", idCol), "left_semi").drop("__curl")
+  }
+
   /** Distinct word n-gram shingles of a text column (n=1 → distinct
     * tokens). Shingling before MinHash is what makes LSH discriminative:
     * unigram Jaccard saturates on corpora with shared vocabulary, while

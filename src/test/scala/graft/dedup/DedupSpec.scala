@@ -300,4 +300,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     capped shouldBe Set(101L -> 102L) // hot bucket dropped, small kept
   }
+
+  test("dropUrlDups keeps the lowest id per canonical url") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://Example.org/p?b=2&a=1"),
+      (2L, "https://example.org:443/p?a=1&b=2#frag"), // same page as 1
+      (3L, "https://example.org/p?utm_source=x&a=1&b=2"), // same page
+      (4L, "https://example.org/q?a=1"), // different path
+      (5L, "http://example.org/p?a=1&b=2")) // different scheme
+      .toDF("doc_id", "url")
+    val kept = Dedup.dropUrlDups(docs, "doc_id", "url")
+      .select("doc_id").as[Long].collect().sorted
+    kept.toSeq shouldBe Seq(1L, 4L, 5L)
+  }
 }

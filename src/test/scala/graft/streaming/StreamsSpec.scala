@@ -257,6 +257,33 @@ class StreamsSpec extends SparkSpec {
     } finally gracefulStop(q)
   }
 
+  test("chunking-on-ingest: chunkTokens is stateless and runs unchanged " +
+    "on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, ""))
+    val q = graft.text.TextAnalysis.chunkTokens(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      window = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.sql("SELECT doc_id, chunk_idx, chunk FROM chunk_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(x => (x._1, x._2))
+      out.length shouldBe 4 // doc 1 only; the empty doc emits nothing
+      out.head._3 shouldBe "w1 w2 w3 w4"
+      out.last._3 shouldBe "w10"
+    } finally gracefulStop(q)
+  }
+
   test("cross-batch out-of-order event does not split the session") {
     // drives the shared mergeEvent step (the exact code the streaming
     // state function folds with) in cross-batch arrival order
