@@ -1576,6 +1576,90 @@ object Queries {
           array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         FROM tk GROUP BY tok ORDER BY tok""")),
 
+    // ---- F6: composite quality filter (Gopher-style gate) -------------
+    // The canonical training-data cut: keep documents passing ALL rule
+    // thresholds — a perfect heuristic quality score (t2's, so every
+    // component rule holds) and low repetition (t7's duplicate
+    // fractions); thresholds chosen to SPLIT the test corpus, so a
+    // broken gate cannot pass by keeping everything. Map-only: both signal
+    // families are pure column expressions, so the whole gate fuses into
+    // the scan; threshold comparisons are on exactly-reproducible
+    // doubles (t2/t7 both hash-match), so the kept row SET matches.
+    QueryDef("f6_quality_filter",
+      (s, dir) => TextAnalysis.repetitionSignals(
+        t(s, dir, "documents"), "text")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 1.0 &&
+          col("dup_2gram_frac") <= 0.04 && col("dup_sent_frac") <= 0.5)
+        .select("doc_id", "quality", "dup_sent_frac", "dup_2gram_frac")
+        .orderBy("doc_id"),
+      Some {
+        val toks = toksSql("lower(text)")
+        val allStops = sqlList(
+          TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted)
+        val two = """list_distinct(CASE WHEN len(toks) < 2 THEN []
+          ELSE list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1]) END)"""
+        s"""WITH m AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            (CAST(length(text) AS DOUBLE)
+              - CAST(len($toks) - 1 AS DOUBLE))
+              / CAST(greatest(len($toks), 1) AS DOUBLE) AS mean_word_len,
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)
+              AS alpha_ratio,
+            CAST(len(list_filter($toks, t -> t IN ($allStops))) AS DOUBLE)
+              / CAST(greatest(len($toks), 1) AS DOUBLE) AS stop_ratio
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+            ((CASE WHEN n_chars >= 20 AND n_chars <= 2000
+                THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12
+                THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio > 0.05 AND stop_ratio < 0.6
+                THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+          FROM m),
+        base AS (
+          SELECT doc_id, $toks AS toks, ${sentsSql("text")} AS sents
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+            CASE WHEN len(sents) <= 0 THEN 0.0
+              ELSE CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+                / len(sents) END AS dup_sent_frac,
+            CASE WHEN greatest(len(toks) - 1, 0) <= 0 THEN 0.0
+              ELSE CAST(greatest(len(toks) - 1, 0) - len($two) AS DOUBLE)
+                / greatest(len(toks) - 1, 0) END AS dup_2gram_frac
+          FROM base)
+        SELECT q.doc_id, q.quality, r.dup_sent_frac, r.dup_2gram_frac
+        FROM q JOIN r ON q.doc_id = r.doc_id
+        WHERE q.quality >= 1.0e0 AND r.dup_2gram_frac <= 0.04e0
+          AND r.dup_sent_frac <= 0.5e0
+        ORDER BY q.doc_id"""
+      }),
+
+    // ---- A15: salted skew-proof vocabulary count -----------------------
+    // The two-level salted aggregate (Layout.saltedCount) proven EXACT
+    // against the plain-groupBy oracle: level 1 splits each hot key over
+    // (key, salt) partial groups, level 2 merges — the 100 TB recipe for
+    // aggregation buffers a partial agg can't collapse. The oracle is the
+    // plain exact count, so the hash-match IS the equivalence proof.
+    QueryDef("a15_salted_vocab",
+      (s, dir) => {
+        val tk = t(s, dir, "documents").select(
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        graft.analytics.Layout.saltedCount(tk, Seq("tok"), saltBuckets = 8)
+          .withColumnRenamed("count", "n")
+          .orderBy("tok")
+      },
+      Some(s"""WITH tk AS (
+          SELECT unnest(${toksSql("lower(text)")}) AS tok FROM documents)
+        SELECT tok, count(*) AS n FROM tk GROUP BY tok ORDER BY tok""")),
+
     // ---- T8: token-window chunking ------------------------------------
     // RAG/context-window preprocessing: 64-token chunks every 48 tokens
     // (16-token overlap so boundary-spanning passages survive). Map-only
