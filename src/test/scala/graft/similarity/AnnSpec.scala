@@ -103,4 +103,35 @@ class AnnSpec extends SparkSpec {
     assigned.count() shouldBe emb.count()
     assigned.select("cid").distinct().count() should be <= 8L
   }
+
+  test("int8 quantization: values in [-127,127], integral, zero-safe") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .union(Seq((-1L, Array.fill(64)(0f), 0)).toDF(
+        "vec_id", "embedding", "label")) // all-zero vector: no div-by-0
+    val q = Ann.quantizeInt8(emb, "embedding", "q")
+    val bad = q.select(explode(col("q")).as("x"))
+      .filter(abs(col("x")) > 127.0 || col("x") =!= floor(col("x")))
+    bad.count() shouldBe 0L
+    // max-abs element always maps to ±127 (scale is per-vector)
+    val noMax = q.filter(
+      org.apache.spark.sql.functions.size(col("embedding")) > 0 &&
+      array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))) > 0.0)
+      .filter(array_max(transform(col("q"), x => abs(x))) =!= 127.0)
+    noMax.count() shouldBe 0L
+  }
+
+  test("quantized top-k: self first with exact integer dot of ±127 scale") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val top = Ann.quantizedTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0), "embedding", 5).collect()
+    top.length shouldBe 5
+    top.head.getLong(0) shouldBe 0L // self-dot is the max
+    // qdot non-increasing, long-typed (exact integer math)
+    top.map(_.getLong(1)).sliding(2).foreach(w => w(0) should be >= w(1))
+    // quantized ranking agrees with full-precision on the easy top-1
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0), "embedding", 1).collect()
+    brute.head.getLong(0) shouldBe top.head.getLong(0)
+  }
 }

@@ -102,4 +102,23 @@ class TextAnalysisSpec extends SparkSpec {
     // re-tokenize per row — assert a single tokenize in the whole plan
     "filter\\(split\\(".r.findAllIn(plan).length shouldBe 1
   }
+
+  test("bigramLift: hand-checked lift, minCount cut, tie order") {
+    import spark.implicits._
+    // corpus: "a b" ×3, "a c" ×1, tokens: a×4 b×3 c×1 d×2 (via "d d" doc)
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "d d"), (6L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLift(df, "text", minCount = 1L, k = 10)
+      .collect()
+    // totals: n_tok = 10, n_bi = 5
+    val lifts = out.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    lifts("a b") shouldBe ((3L, (3.0 / 5.0) / ((4.0 / 10.0) * (3.0 / 10.0))))
+    lifts("a c") shouldBe ((1L, (1.0 / 5.0) / ((4.0 / 10.0) * (1.0 / 10.0))))
+    lifts("d d") shouldBe ((1L, (1.0 / 5.0) / ((2.0 / 10.0) * (2.0 / 10.0))))
+    // order: lift desc then bigram asc; minCount=2 cuts the singletons
+    out.map(_.getString(0)).toSeq shouldBe Seq("a b", "a c", "d d")
+    TextAnalysis.bigramLift(df, "text", minCount = 2L, k = 10)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("a b")
+  }
 }
