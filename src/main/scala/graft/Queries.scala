@@ -1982,7 +1982,80 @@ object Queries {
           FROM documents)
         SELECT split, lang, count(*) AS n_docs,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM a GROUP BY split, lang ORDER BY split, lang"""))
+        FROM a GROUP BY split, lang ORDER BY split, lang""")),
+
+    // ---- M8: feature hashing (hashing-trick vectorizer) ----------------
+    // HashingTF restated oracle-checkably: token → md5 first hex char →
+    // one of 16 buckets; per-document bucket term frequencies are the
+    // hashed feature vector (sparse row form). All-integer, no
+    // collision-dependent floats; ONE map-side-combined shuffle on
+    // (doc_id, bucket) — at 100 TB the reduce side is bounded by
+    // docs × 16 rows no matter how large the vocabulary grows, which is
+    // the entire point of the hashing trick (no vocab dictionary, no
+    // second pass, no driver state).
+    QueryDef("m8_feature_hash",
+      (s, dir) => {
+        val tk = t(s, dir, "documents").select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        tk.groupBy(col("doc_id"),
+            substring(md5(col("tok")), 1, 1).as("bucket"))
+          .agg(count(lit(1)).as("tf"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+          FROM documents)
+        SELECT doc_id, substr(md5(tok), 1, 1) AS bucket, count(*) AS tf
+        FROM tk GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
+
+    // ---- N5: per-dimension embedding stats (feature scaling) -----------
+    // The min-max-normalization prerequisite: per dimension, exact min /
+    // max / sign counts over the corpus (comparisons and integer counts
+    // only — no order-dependent float summation anywhere). Generate +
+    // one 64-key map-combined groupBy: the shuffle carries
+    // dims × partitions partial rows, independent of corpus size.
+    QueryDef("n5_dim_minmax",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          sum(when(col("x") >= 0.0, 1L).otherwise(0L)).as("n_nonneg"))
+        .orderBy("dim"),
+      Some("""WITH d AS (
+          SELECT unnest(list_transform(embedding,
+            (x, i) -> {'dim': i, 'x': CAST(x AS DOUBLE)})) AS u
+          FROM embeddings)
+        SELECT u['dim'] AS dim, count(*) AS n,
+          min(u['x']) AS min_x, max(u['x']) AS max_x,
+          CAST(sum(CASE WHEN u['x'] >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nonneg
+        FROM d GROUP BY 1 ORDER BY dim""")),
+
+    // ---- P10: Z-order (Morton) layout key ------------------------------
+    // The multi-dimensional clustering key (Layout.zOrderKey): interleave
+    // 12 bits of two columns so sorting by the key gives every file tight
+    // min/max envelopes on BOTH dimensions — what parquet row-group
+    // pruning needs for 2-d range predicates. Pure integer bit
+    // arithmetic, bit-identical in any engine; map-only here (the
+    // clustering itself is Layout.clusterByZ's range partition).
+    QueryDef("p10_zorder_key",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), graft.analytics.Layout.zOrderKey(
+          pmod(col("doc_id"), lit(4096L)),
+          pmod(col("n_chars"), lit(4096L)), 12).as("zkey"))
+        .orderBy("doc_id"),
+      Some {
+        def z(a: String, b: String, bits: Int) = (0 until bits).map(i =>
+          s"((($a >> $i) & 1) << ${2 * i}) + " +
+            s"((($b >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        s"""SELECT doc_id,
+            ${z("(doc_id % 4096)", "(n_chars % 4096)", 12)} AS zkey
+          FROM documents ORDER BY doc_id"""
+      })
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

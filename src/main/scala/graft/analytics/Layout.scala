@@ -83,4 +83,38 @@ object Layout {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__pcnt")).as("count"))
   }
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative long columns — bit i of `a` lands at position 2i, bit i
+    * of `b` at 2i+1. Pure integer bit arithmetic (no hashing, no floats):
+    * deterministic, engine-portable, and ORDER-MEANINGFUL — sorting by
+    * the key places rows close in BOTH dimensions close in the file.
+    *
+    * This is the multi-dimensional clustering move parquet min/max
+    * pruning needs: a range-partition + sort on one column prunes scans
+    * on that column only; range-partition + sort on the z-key gives every
+    * participating dimension tight per-row-group min/max envelopes, so a
+    * 2-d range predicate skips row groups on BOTH predicates (the
+    * Delta/Iceberg OPTIMIZE ZORDER recipe, stated as a plain column
+    * expression). */
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Cluster a table for 2-d locality: global range partition on the
+    * z-key, rows sorted by it within each partition. Written as parquet,
+    * each file covers a compact z-range ⇒ tight min/max on BOTH source
+    * columns per row group. */
+  def clusterByZ(df: DataFrame, colA: String, colB: String,
+                 partitions: Int, bits: Int = 16): DataFrame = {
+    val z = zOrderKey(col(colA), col(colB), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

@@ -68,6 +68,22 @@ object Readers {
           header: Boolean = true): DataFrame =
     spark.read.option("sep", sep).option("header", header.toString).csv(path)
 
+  /** Binary-file ingest — the multimodal corpus entry point: every file
+    * under `path` (optionally glob-filtered) becomes one row of
+    * (path, modificationTime, length, content BINARY). This is Spark's
+    * `binaryFile` source: a distributed scan (files split across tasks,
+    * no driver listing bottleneck beyond the initial index) that pairs
+    * with `ImageOps`/`MediaOps` — decode stays per-row in executors,
+    * payloads never visit the driver. Partition sizing note for 100 TB:
+    * binary rows can't be split mid-file, so `maxPartitionBytes` governs
+    * files-per-task, not bytes-per-task; co-locate small files first
+    * (or bundle with `spark.sql.files.openCostInBytes`). */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** S4: COCO-style nested JSON `{"annotations": [{image_id,id,caption}]}` →
     * one row per annotation with an `origin` literal
     * (`notebooks/coco.ipynb:231-241,340,465`). */

@@ -198,6 +198,19 @@ object Streams {
           col(s"r_$tsCol") <= col(tsCol))
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * BROADCAST static dimension — no streaming state, no watermark, and
+    * the stream side never shuffles (the dim ships to executors once per
+    * batch). The static plan re-resolves per trigger, so a slowly-
+    * changing dimension picks up changes at the next batch without
+    * restarting the query. This is how an ingest stream gets tagged with
+    * catalog/config attributes at 100 TB/day: per-row work, zero state
+    * growth. Left join: events with no dim row pass through with nulls
+    * (R4 fault-tolerance discipline, not silent drops). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   key: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), key, "left")
+
   /** Run the windowed aggregation over all currently-available files and
     * stop (batch-equivalent backfill; reference's incremental-resume
     * analog). Returns the result read back from the sink. */

@@ -88,4 +88,45 @@ class LayoutSpec extends SparkSpec {
     salted.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))) shouldBe
       plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
   }
+
+  test("zOrderKey: hand-checked interleave, axis embeddings, monotone box") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 0L), (0L, 7L), (4095L, 4095L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zOrderKey(col("x"), col("y"), 12).as("z"))
+      .collect().map(_.getLong(0))
+    // x=3 (011), y=5 (101) → y2x2 y1x1 y0x0 = 100111₂ = 39
+    got(0) shouldBe 39L
+    got(1) shouldBe 0L
+    // one axis zero: x bits land at even positions (1+4+16), y at odd
+    got(2) shouldBe 21L
+    got(3) shouldBe 42L
+    got(4) shouldBe (1L << 24) - 1 // all 24 bits set
+    // locality: any point inside the 2^k-aligned box [0,4)² sorts before
+    // any point outside it on both axes — high interleaved bits dominate
+    val inside = for { x <- 0L until 4L; y <- 0L until 4L } yield (x, y)
+    val zs = inside.toDF("x", "y")
+      .select(Layout.zOrderKey(col("x"), col("y"), 12))
+      .collect().map(_.getLong(0))
+    zs.max should be < 16L // box [0,4)² occupies exactly z ∈ [0,16)
+  }
+
+  test("clusterByZ: range partitions cover disjoint sorted z-ranges") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val clustered = Layout.clusterByZ(
+      docs.withColumn("a", col("doc_id") % 4096)
+        .withColumn("b", col("n_chars") % 4096), "a", "b",
+      partitions = 4, bits = 12)
+    // per-partition z ranges must not overlap (global range partition)
+    val ranges = clustered
+      .select(spark_partition_id().as("pid"),
+        Layout.zOrderKey(col("a"), col("b"), 12).as("z"))
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be <= lo2
+      case _ =>
+    }
+  }
 }

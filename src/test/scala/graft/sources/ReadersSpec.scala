@@ -54,4 +54,29 @@ class ReadersSpec extends SparkSpec {
     rows.length shouldBe 1
     rows(0).isNullAt(2) shouldBe true
   }
+
+  test("binaryFiles: opaque payloads byte-exact, glob filters, no driver " +
+    "decode") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("binfiles").toFile
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3)
+    val txt = "not an image".getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "a.png").toPath, png)
+    Files.write(new java.io.File(dir, "b.png").toPath, png ++ png)
+    Files.write(new java.io.File(dir, "c.txt").toPath, txt)
+    val all = Readers.binaryFiles(spark, dir.getAbsolutePath)
+    all.count() shouldBe 3
+    all.schema.fieldNames should contain allOf ("path", "length", "content")
+    // glob: only the image payloads, lengths match the file bytes
+    val pngs = Readers.binaryFiles(spark, dir.getAbsolutePath,
+      Some("*.png")).orderBy("length").collect()
+    pngs.length shouldBe 2
+    pngs(0).getAs[Array[Byte]]("content") shouldBe png
+    pngs(1).getLong(pngs(1).fieldIndex("length")) shouldBe 2L * png.length
+    // pairs with ImageOps-style per-row work without collecting payloads
+    Readers.binaryFiles(spark, dir.getAbsolutePath, Some("*.png"))
+      .select(sum(org.apache.spark.sql.functions.length(col("content"))))
+      .head().getLong(0) shouldBe
+      3L * png.length
+  }
 }

@@ -284,6 +284,34 @@ class StreamsSpec extends SparkSpec {
     } finally gracefulStop(q)
   }
 
+  test("stream-static enrichment: broadcast dim tags the stream, misses " +
+    "pass through as nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    val dim = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select(col("n_nationkey").as("key"), col("n_name"))
+    val input = MemoryStream[(Long, Long)]
+    input.addData((1L, 0L), (2L, 3L), (3L, 9999L)) // 9999: no dim row
+    val q = Streams.enrichStream(
+      input.toDF().toDF("event_id", "key"), dim, Seq("key"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.sql("SELECT event_id, n_name FROM enrich_out")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+        .sortBy(_._1)
+      out.length shouldBe 3
+      out(0)._2.isDefined shouldBe true
+      out(1)._2.isDefined shouldBe true
+      out(2)._2 shouldBe None // left join keeps the miss, null-tagged
+    } finally gracefulStop(q)
+  }
+
   test("cross-batch out-of-order event does not split the session") {
     // drives the shared mergeEvent step (the exact code the streaming
     // state function folds with) in cross-batch arrival order
