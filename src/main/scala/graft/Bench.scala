@@ -69,10 +69,20 @@ object Bench {
         .stripSuffix(".") match { case "" => "0"; case t => t }
       else s
     }
-    val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + fmt(median(v))
+    def fmt1(d: Double): String = {
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    def qsAt(f: Double => String): String = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + f(median(v))
       case (k, Left(_)) => s"\"" + k + "\":-1"
     }.mkString("{", ",", "}")
+    // adaptive precision: 2 decimals while the headline line has slack,
+    // 1 decimal once the query count would push it toward the driver's
+    // 2000-char stdout-tail cliff (total line + sbt's [success] trailer
+    // must fit; see ordering note below)
+    val qs2 = qsAt(fmt)
+    val qs = if (qs2.length <= 1600) qs2 else qsAt(fmt1)
     // dispersion: [min,max] of the successful runs per query, so a noisy
     // run (GC pause, page-cache miss) is self-evident in the JSON instead
     // of masquerading as a 10x regression of an unchanged query

@@ -2055,7 +2055,87 @@ object Queries {
         s"""SELECT doc_id,
             ${z("(doc_id % 4096)", "(n_chars % 4096)", 12)} AS zkey
           FROM documents ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- T9: edit-distance-1 fuzzy pairs (SymSpell blocking) -----------
+    // Typo-level vocabulary dedup with EXACT deletion-neighborhood
+    // blocking: recall 1.0 by construction (see Dedup.editDistancePairs),
+    // candidate generation is one equi-join on deletion keys, verification
+    // is the codegen'd levenshtein built-in — same generate→join→verify
+    // shape as the LSH family but with a proof instead of a probability.
+    QueryDef("t9_fuzzy_pairs",
+      (s, dir) => Dedup.editDistancePairs(
+        t(s, dir, "supplier"), "s_name", minTokenLen = 4, maxTokenLen = 20)
+        .orderBy("tok_a", "tok_b"),
+      Some(s"""WITH tk AS (
+          SELECT DISTINCT unnest(${toksSql("lower(s_name)")}) AS tok
+          FROM supplier),
+        tk2 AS (SELECT tok FROM tk WHERE length(tok) BETWEEN 4 AND 20),
+        keyed AS (
+          SELECT tok, unnest(list_append(
+            list_transform(range(0, length(tok)),
+              i -> substr(tok, 1, i) || substr(tok, i + 2)),
+            tok)) AS bkey
+          FROM tk2),
+        cand AS (
+          SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+          FROM keyed a JOIN keyed b USING (bkey)
+          WHERE a.tok < b.tok)
+        SELECT tok_a, tok_b, levenshtein(tok_a, tok_b) AS dist
+        FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+        ORDER BY tok_a, tok_b""")),
+
+    // ---- P11: unpivot / melt -------------------------------------------
+    // The inverse of p8's pivot: three measure columns melt to
+    // (measure, value) rows — Spark's native unpivot (Expand: each input
+    // row emits 3, no join, no shuffle beyond the following aggregate);
+    // the oracle states the same op as the textbook UNION ALL.
+    QueryDef("p11_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")), "measure", "value")
+        .groupBy("l_returnflag", "measure")
+        .agg(dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "measure"),
+      Some(s"""WITH m AS (
+          SELECT l_returnflag, 'l_quantity' AS measure,
+            l_quantity AS value FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+          FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+          FROM lineitem)
+        SELECT l_returnflag, measure, ${dsumSql("value")} AS sum_value,
+          count(*) AS n
+        FROM m GROUP BY l_returnflag, measure
+        ORDER BY l_returnflag, measure""")),
+
+    // ---- J7: salted skewed equi-join, oracle-proven exact --------------
+    // Layout.saltedJoin's equivalence claim as a hash-checked fact (the
+    // a15 treatment for joins): the big side salts on a deterministic
+    // unique row id, the small side replicates saltBuckets×, the join
+    // runs on (key, salt) — and the aggregate over it must equal the
+    // plain-join oracle bit for bit. The recipe for hot keys AQE's
+    // skew split can't reach (skew inside one post-agg partition).
+    QueryDef("j7_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_quantity"),
+            expr("l_orderkey * 8 + l_linenumber").as("rid"))
+        val supp = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_name"))
+        graft.analytics.Layout.saltedJoin(li, supp, "suppkey", "rid", 8)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("s_name")
+      },
+      Some(s"""SELECT s_name, count(*) AS n,
+          ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY s_name"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

@@ -599,6 +599,44 @@ object Dedup {
       array_distinct(CaptionStats.tokens(lower(c))),
       array().cast("array<string>")))
 
+  /** Edit-distance-1 fuzzy pairs over a token vocabulary — typo-level
+    * dedup via EXACT deletion-neighborhood blocking (the FastSS/SymSpell
+    * scheme): every token generates its single-character-deletion
+    * variants plus itself as join keys; any pair at Levenshtein ≤ 1
+    * PROVABLY shares a key (substitution ⇒ both delete the differing
+    * position; insert/delete ⇒ the shorter IS a deletion variant of the
+    * longer), so recall is 1.0 — no LSH-style miss probability — while
+    * candidate generation stays an equi-join.
+    *
+    * Scale shape: keys per token = len+1 (bounded by `maxTokenLen`), and
+    * deletion neighborhoods are sparse (a key matches only tokens within
+    * one edit of each other), so bucket sizes stay small without a skew
+    * cap; the one shuffle is the key join, candidates then verify with
+    * the codegen'd `levenshtein` built-in. Tokens outside
+    * [`minTokenLen`, `maxTokenLen`] are dropped — 1-edit neighborhoods of
+    * 1–3-char tokens are mostly noise, and unbounded tokens would
+    * unbound the key fan-out. */
+  def editDistancePairs(df: DataFrame, textCol: String,
+                        minTokenLen: Int = 4,
+                        maxTokenLen: Int = 20): DataFrame = {
+    val toks = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")).between(minTokenLen, maxTokenLen))
+      .distinct()
+    val keyed = toks.select(col("tok"), explode(array_union(
+      array(col("tok")),
+      expr("transform(sequence(0, length(tok) - 1), i -> " +
+        "concat(substring(tok, 1, i), substring(tok, i + 2)))")))
+      .as("bkey"))
+    val a = keyed.select(col("bkey"), col("tok").as("tok_a"))
+    val b = keyed.select(col("bkey"), col("tok").as("tok_b"))
+    a.join(b, "bkey")
+      .filter(col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b").distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 1)
+  }
+
   /** The original HOF formulation (16 interpreted passes) — semantics
     * oracle for the native expression; test-only, never in a hot path. */
   private[graft] def simhash16Reference(c: Column): Column = {

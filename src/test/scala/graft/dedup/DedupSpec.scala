@@ -314,4 +314,28 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     kept.toSeq shouldBe Seq(1L, 4L, 5L)
   }
+
+  test("editDistancePairs: every lev<=1 class found (exact recall), " +
+    "lev-2 pairs excluded, bounds enforced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "color colour"),       // insertion pair
+      (2L, "spark spork spark"),  // substitution pair (dup token ok)
+      (3L, "table tables fable"), // table~tables (ins), table~fable (sub)
+      (4L, "tablet"),             // lev 2 from table? no: 1 ins → pair!
+      (5L, "zebra quartz"),       // no neighbors
+      (6L, "ab xy"))              // under minTokenLen: dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", 4, 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    val pairs = got.map(t => (t._1, t._2))
+    pairs shouldBe Set(
+      ("color", "colour"), ("spark", "spork"),
+      ("fable", "table"), ("table", "tables"), ("table", "tablet"),
+      ("tables", "tablet")) // tables~tablet: substitute s→t, lev 1
+    got.foreach(_._3 should be <= 1)
+    // deterministic orientation: always tok_a < tok_b
+    pairs.foreach { case (a, b) => a should be < b }
+  }
 }
