@@ -2135,7 +2135,174 @@ object Queries {
       Some(s"""SELECT s_name, count(*) AS n,
           ${dsumSql("l_quantity")} AS sum_qty
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY s_name ORDER BY s_name"""))
+        GROUP BY s_name ORDER BY s_name""")),
+
+    // ---- D11: CDC latest-wins compaction -------------------------------
+    // The upsert/merge primitive for append-only ingest: replay the event
+    // log, keep the newest row per (user, event_type). Rank window
+    // compiles to map-side WindowGroupLimit — each task forwards ≤ 1 row
+    // per key to the shuffle, so compaction input is bounded by
+    // keys × tasks, not log length. event_id breaks timestamp ties
+    // (nondeterministic compaction would break replayability).
+    QueryDef("d11_latest_wins",
+      (s, dir) => Dedup.keepLatest(events(s, dir),
+        Seq("user_id", "event_type"), "ts", "event_id")
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, event_id, value
+        FROM (SELECT user_id, event_type, event_id, value,
+            row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // ---- K6: bucketed catalog roundtrip --------------------------------
+    // Layout.writeBucketed driven end to end through the session catalog:
+    // both join sides land bucketed+sorted on the key, read back as
+    // tables, and the co-located join's aggregate must hash-match the
+    // plain-join oracle. (The no-Exchange plan property is LayoutSpec's
+    // assertion; this query proves the bucketed STORAGE is lossless.)
+    QueryDef("k6_bucketed_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}"
+        t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+            col("l_quantity"))
+          .write.mode("overwrite").option("path", s"$out/li_bucketed")
+          .bucketBy(8, "suppkey").sortBy("suppkey")
+          .format("parquet").saveAsTable("graft_li_bucketed")
+        t(s, dir, "supplier").select(col("s_suppkey").as("suppkey"),
+            col("s_name"))
+          .write.mode("overwrite").option("path", s"$out/supp_bucketed")
+          .bucketBy(8, "suppkey").sortBy("suppkey")
+          .format("parquet").saveAsTable("graft_supp_bucketed")
+        s.table("graft_li_bucketed").hint("merge")
+          .join(s.table("graft_supp_bucketed"), "suppkey")
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("s_name")
+      },
+      Some(s"""SELECT s_name, count(*) AS n,
+          ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY s_name""")),
+
+    // ---- A17: equi-width histogram -------------------------------------
+    // Fixed-width value binning (floor of an exact power-of-ten division
+    // — deterministic IEEE in any engine): the profiling primitive behind
+    // every "distribution of X" dashboard. One map-combined groupBy whose
+    // reduce side is the bin count, independent of row count.
+    QueryDef("a17_histogram",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bin"),
+      Some(s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT)
+            AS bin,
+          count(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+        FROM lineitem GROUP BY bin ORDER BY bin""")),
+
+    // ---- Q3: shipping-priority flagship (TPC-H Q3 shape) ---------------
+    // The canonical 3-way join + aggregate + top-k: segment-filtered
+    // customers × date-bounded orders × post-cutoff lineitems. Filters
+    // push to all three scans; the customer dim broadcasts; revenue is
+    // the exact decimal product-sum (q1 discipline); top-10 is
+    // TakeOrderedAndProject — k rows per partition, never a full sort.
+    QueryDef("q3_shipping_priority",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(expr("o_orderdate < TIMESTAMP '1998-06-01 00:00:00'"))
+          .select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_orderpriority")
+        val l = t(s, dir, "lineitem")
+          .filter(expr("l_shipdate > TIMESTAMP '1998-06-01 00:00:00'"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(8,6)") -
+              col("l_discount").cast("decimal(8,6)")))
+            .cast("double").as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
+            AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- S7: robust JSON field extraction ------------------------------
+    // Semi-structured sidecar parsing: `props` holds JSON strings;
+    // get_json_object extracts per-row fields NULL-on-malformed (never
+    // task-fatal — the R4 discipline for dirty data), summed exactly as
+    // integers. Map-only + one tiny map-combined groupBy.
+    QueryDef("s7_json_props",
+      (s, dir) => events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+          CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- M9: MinHash estimator quality ---------------------------------
+    // The estimate the MinHash theory promises, emitted as data: for
+    // every LSH candidate pair, est_jaccard = (# agreeing signature
+    // components)/k — an exact integer/integer division over md5-derived
+    // strings, so the estimator itself is oracle-checkable. At 100 TB
+    // this is the cheap pre-verify score: candidates whose estimate
+    // clears the bar skip the exact shingle intersection entirely.
+    QueryDef("m9_minhash_estimate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          k = 12, bands = 4, shingleN = 3, maxBucket = 10000)
+        val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 12,
+          shingleN = 3)
+        val a = (0 until 12).foldLeft(
+          sig.withColumnRenamed("doc_id", "id_a"))(
+          (d, i) => d.withColumnRenamed(s"mh$i", s"a$i"))
+        val b = (0 until 12).foldLeft(
+          sig.withColumnRenamed("doc_id", "id_b"))(
+          (d, i) => d.withColumnRenamed(s"mh$i", s"b$i"))
+        val agree = (0 until 12).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            (agree.cast("double") / lit(12).cast("double"))
+              .as("est_jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val agree = (0 until 12).map(i =>
+          s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $lshVerifiedCtes
+          SELECT c.id_a, c.id_b,
+            CAST($agree AS DOUBLE) / CAST(12 AS DOUBLE) AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+          ORDER BY c.id_a, c.id_b"""
+      })
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

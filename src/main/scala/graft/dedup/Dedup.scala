@@ -599,6 +599,23 @@ object Dedup {
       array_distinct(CaptionStats.tokens(lower(c))),
       array().cast("array<string>")))
 
+  /** CDC latest-wins compaction: one surviving row per key set — the row
+    * with the greatest (`tsCol`, `tieCol`) — implemented as a rank
+    * window, which compiles to map-side `WindowGroupLimit` (each task
+    * forwards at most one row per key before the shuffle-side sort). The
+    * upsert/merge primitive for append-only parquet ingest: replay the
+    * change log, keep the newest version per entity. `tieCol` must be
+    * unique per key (deterministic winner under equal timestamps —
+    * nondeterministic compaction would break replayability). */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Edit-distance-1 fuzzy pairs over a token vocabulary — typo-level
     * dedup via EXACT deletion-neighborhood blocking (the FastSS/SymSpell
     * scheme): every token generates its single-character-deletion

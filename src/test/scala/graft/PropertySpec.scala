@@ -209,4 +209,28 @@ class PropertySpec extends SparkSpec {
       sig(i.toLong) shouldBe sig(i + 1000L)
     }
   }
+
+  test("editDistancePairs finds every generated single-edit typo pair") {
+    val base = Gen.listOfN(10, Gen.alphaLowerChar).map(_.mkString)
+    val words = sample(base, 60).distinct
+    val rng = new scala.util.Random(7)
+    val typos = words.map { w =>
+      val i = rng.nextInt(w.length)
+      rng.nextInt(3) match {
+        case 0 => // substitution: guaranteed != original char
+          w.updated(i, if (w(i) == 'z') 'a' else (w(i) + 1).toChar)
+        case 1 => w.substring(0, i) + w.substring(i + 1) // deletion
+        case _ => w.substring(0, i) + "q" + w.substring(i) // insertion
+      }
+    }
+    val docs = words.zip(typos).zipWithIndex
+      .map { case ((w, t), i) => (i.toLong, s"$w $t") }
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "text", 4, 20)
+      .collect().map(r => Set(r.getString(0), r.getString(1)))
+    // exact recall: every (word, typo) pair with one real edit is found
+    words.zip(typos).foreach { case (w, t) =>
+      pairs should contain(Set(w, t))
+    }
+  }
 }
