@@ -2302,7 +2302,90 @@ object Queries {
           JOIN sig sa ON sa.doc_id = c.id_a
           JOIN sig sb ON sb.doc_id = c.id_b
           ORDER BY c.id_a, c.id_b"""
-      })
+      }),
+
+    // ---- W6: conversion funnel (view → click → purchase) ---------------
+    // Ordered event-sequence matching, the product-analytics flagship.
+    // Spark shape: ONE shuffle (events group to their user), then a
+    // per-user time-ordered fold advances the stage machine — linear in
+    // events, state is one int, no self-joins. The oracle states the same
+    // semantics as the min-timestamp chain (first view, first click after
+    // it, first purchase after that); the fold and the chain provably
+    // agree when timestamps are distinct per user (they are: µs event
+    // times), and the hash-match is the witness.
+    QueryDef("w6_funnel",
+      (s, dir) => {
+        // first 36 h only: with the full month every user converts and
+        // the distribution collapses to one row — a window the funnel
+        // does NOT saturate is what makes the stage machine observable
+        val ev = events(s, dir)
+          .filter(expr("ts < TIMESTAMP '2024-01-02 12:00:00'"))
+          .select(col("user_id"), col("ts"), col("event_type"))
+        ev.groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_type")))).as("evs"))
+          .select(col("user_id"), expr("""aggregate(evs, 0, (st, e) -> CASE
+              WHEN st = 0 AND e.event_type = 'view' THEN 1
+              WHEN st = 1 AND e.event_type = 'click' THEN 2
+              WHEN st = 2 AND e.event_type = 'purchase' THEN 3
+              ELSE st END)""").as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH evw AS (
+          SELECT * FROM events
+          WHERE ts < TIMESTAMP '2024-01-02 12:00:00'),
+        v AS (
+          SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS vt
+          FROM evw GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS ct
+          FROM evw e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.vt
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS pt
+          FROM evw e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ct
+          GROUP BY e.user_id),
+        st AS (
+          SELECT v.user_id,
+            CASE WHEN p.pt IS NOT NULL THEN 3
+              WHEN c.ct IS NOT NULL THEN 2
+              WHEN v.vt IS NOT NULL THEN 1 ELSE 0 END AS stage
+          FROM v
+          LEFT JOIN c ON v.user_id = c.user_id
+          LEFT JOIN p ON v.user_id = p.user_id)
+        SELECT stage, count(*) AS n_users
+        FROM st GROUP BY stage ORDER BY stage""")),
+
+    // ---- W7: cohort retention matrix -----------------------------------
+    // Users bucketed by first-active day; the matrix counts users active
+    // `offset` days after their cohort day. (user, day) dedups first, so
+    // each user contributes at most one row per cell and plain count(*)
+    // is the distinct-user count — no count-distinct shuffle. Two
+    // map-combined aggregates + one user-keyed join.
+    QueryDef("w7_retention",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("day")).distinct()
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort"),
+            (col("day") - col("cohort")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH ev AS (
+          SELECT DISTINCT user_id,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+          FROM events),
+        f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+        SELECT cohort, ev.day - cohort AS day_offset, count(*) AS n_users
+        FROM ev JOIN f ON ev.user_id = f.user_id
+        GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,
