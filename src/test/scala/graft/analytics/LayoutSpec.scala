@@ -111,6 +111,13 @@ class LayoutSpec extends SparkSpec {
     zs.max should be < 16L // box [0,4)² occupies exactly z ∈ [0,16)
   }
 
+  test("zOrderKey rejects bit widths outside [1, 31]") {
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrderKey(col("x"), col("y"), 0)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrderKey(col("x"), col("y"), 32)
+  }
+
   test("clusterByZ: range partitions cover disjoint sorted z-ranges") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val clustered = Layout.clusterByZ(

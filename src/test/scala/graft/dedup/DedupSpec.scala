@@ -315,6 +315,27 @@ class DedupSpec extends SparkSpec {
     kept.toSeq shouldBe Seq(1L, 4L, 5L)
   }
 
+  test("keepLatest: newest wins per key, equal timestamps break by tie " +
+    "column, exactly one survivor per key") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val log = Seq(
+      (7L, "addr", ts(1), 101L, "v1"),
+      (7L, "addr", ts(5), 102L, "v2"),   // newest ts for (7, addr)
+      (7L, "name", ts(3), 103L, "n1"),
+      (7L, "name", ts(3), 104L, "n2"),   // ts tie → higher event_id wins
+      (9L, "addr", ts(2), 105L, "w1"))
+      .toDF("entity", "field", "ts", "event_id", "payload")
+    val got = Dedup.keepLatest(log, Seq("entity", "field"), "ts",
+      "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(3), r.getString(4))).toMap
+    got.size shouldBe 3
+    got((7L, "addr")) shouldBe ((102L, "v2"))
+    got((7L, "name")) shouldBe ((104L, "n2")) // deterministic tie-break
+    got((9L, "addr")) shouldBe ((105L, "w1"))
+  }
+
   test("editDistancePairs: every lev<=1 class found (exact recall), " +
     "lev-2 pairs excluded, bounds enforced") {
     import spark.implicits._

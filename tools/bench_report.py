@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Render a graft.Bench log into BENCH_LOCAL.md.
+
+The driver keeps only a 2000-char stdout tail; at 85 queries the
+per-query map no longer fits next to the headline total, so the full
+per-query table is committed here each round instead.
+
+Usage: python3 tools/bench_report.py <bench_log> [out_md]
+"""
+import json
+import sys
+
+
+def main():
+    log = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_LOCAL.md"
+    total = spread = queries = None
+    meta = {}
+    for line in open(log, encoding="utf-8", errors="replace"):
+        line = line.strip()
+        if not line.startswith('{"metric"'):
+            continue
+        d = json.loads(line)
+        if d["metric"] == "total":
+            total = d["value"]
+            meta = {k: d[k] for k in ("errors", "sf") if k in d}
+            queries = d.get("queries", queries)
+        elif d["metric"] == "queries":
+            queries = d["queries"]
+        elif d["metric"] == "spread":
+            spread = d["spread"]
+    rows = sorted(queries.items(), key=lambda kv: -kv[1])
+    with open(out, "w") as f:
+        f.write("# BENCH_LOCAL — full per-query times (committed because "
+                "the driver's 2000-char stdout tail cannot carry the "
+                f"{len(rows)}-query map)\n\n")
+        f.write(f"Source log: `{log}`; total **{total} s**")
+        if meta.get("sf"):
+            f.write(f" at `{meta['sf']}`")
+        if meta.get("errors"):
+            f.write(f"; errors: `{meta['errors']}`")
+        f.write(". Median of 3 noop-sink runs after warmup; spread is "
+                "[min,max] across runs.\n\n")
+        f.write("| query | median s | spread |\n|---|---|---|\n")
+        for k, v in rows:
+            sp = spread.get(k) if spread else None
+            f.write(f"| {k} | {v} | {sp if sp else ''} |\n")
+    print(f"[bench_report] wrote {out}: {len(rows)} queries, "
+          f"total {total} s")
+
+
+if __name__ == "__main__":
+    main()
