@@ -2385,7 +2385,49 @@ object Queries {
         f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
         SELECT cohort, ev.day - cohort AS day_offset, count(*) AS n_users
         FROM ev JOIN f ON ev.user_id = f.user_id
-        GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""))
+        GROUP BY cohort, day_offset ORDER BY cohort, day_offset""")),
+
+    // ---- N6: quantized prefilter + full-precision rerank ---------------
+    // SCALE.md's N4 mitigation row as an oracle-checked operator: the
+    // corpus-wide scan ranks int8 dot products (4× fewer bytes), full-
+    // precision cosine runs only on the deterministic top-200 candidate
+    // set, both phases TakeOrderedAndProject. The standard accuracy
+    // recovery for quantized ANN, stated as one plan.
+    QueryDef("n6_quantized_rerank",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.quantizedRerankTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", 20,
+          candidates = 200)
+          .orderBy(desc("cos_sim"), col("vec_id"))
+      },
+      Some {
+        def q(src: String, idCols: String) =
+          s"""SELECT $idCols CASE WHEN ma = 0.0
+              THEN list_transform(e, x -> 0.0)
+              ELSE list_transform(e, x ->
+                floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)) END AS q
+            FROM (SELECT $idCols
+                list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS ma,
+                embedding AS e
+              FROM $src)"""
+        s"""WITH qq AS (${q("(SELECT * FROM embeddings WHERE vec_id = 0)",
+            "")}),
+          cq AS (${q("embeddings", "vec_id,")}),
+          cand AS (
+            SELECT vec_id FROM (
+              SELECT c.vec_id,
+                CAST(list_sum(list_transform(range(1, len(c.q) + 1),
+                  i -> c.q[i] * q.q[i])) AS BIGINT) AS qdot
+              FROM cq c, qq q)
+            ORDER BY qdot DESC, vec_id LIMIT 200),
+          q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT e.vec_id,
+            round(${cosineSql("e.embedding", "q.qe")}, 4) AS cos_sim
+          FROM embeddings e JOIN cand USING (vec_id), q2 q
+          ORDER BY cos_sim DESC, vec_id LIMIT 20"""
+      })
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

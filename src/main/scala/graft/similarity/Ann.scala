@@ -92,6 +92,28 @@ object Ann {
       .limit(k)
   }
 
+  /** Two-phase ANN: the SCALE.md N4 recipe made concrete. Phase 1 ranks
+    * the corpus by EXACT integer quantized dot product and keeps the top
+    * `candidates` (deterministic cutoff: ties break on id); phase 2
+    * reranks only those in full precision. The corpus-wide scan touches
+    * int8-sized vectors; float math runs on `candidates` rows — the
+    * memory-bound/accuracy trade stated as one plan. Both phases are
+    * TakeOrderedAndProject; the candidate set is deterministic, so the
+    * whole operator stays oracle-checkable. */
+  def quantizedRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                          query: DataFrame, queryVecCol: String,
+                          k: Int, candidates: Int = 200): DataFrame = {
+    val cand = quantizedTopK(corpus, idCol, vecCol, query, queryVecCol,
+      candidates).select(idCol)
+    val q = broadcast(query.select(col(queryVecCol).as("__q")))
+    corpus.join(broadcast(cand), idCol)
+      .crossJoin(q)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic LSH bucket: sign bits of `nBits` dimensions starting at
     * `offset` (0-based), as a '0'/'1' string. (Axis-aligned hyperplane
     * family — deterministic stand-in for random projections; multiple probe

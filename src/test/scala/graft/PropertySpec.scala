@@ -210,6 +210,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zOrderKey round-trips: de-interleaving recovers both coordinates") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(11)
+    val pts = Seq.fill(300)((rng.nextInt(1 << 12).toLong,
+      rng.nextInt(1 << 12).toLong))
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.analytics.Layout.zOrderKey(col("x"), col("y"), 12).as("z"))
+      .collect()
+    def deinterleave(z: Long, odd: Int): Long =
+      (0 until 12).map(i => ((z >> (2 * i + odd)) & 1L) << i).sum
+    zs.foreach { r =>
+      deinterleave(r.getLong(2), 0) shouldBe r.getLong(0)
+      deinterleave(r.getLong(2), 1) shouldBe r.getLong(1)
+    }
+  }
+
   test("editDistancePairs finds every generated single-edit typo pair") {
     val base = Gen.listOfN(10, Gen.alphaLowerChar).map(_.mkString)
     val words = sample(base, 60).distinct

@@ -104,6 +104,28 @@ class AnnSpec extends SparkSpec {
     assigned.select("cid").distinct().count() should be <= 8L
   }
 
+  test("quantized rerank: equals brute force when candidates cover the " +
+    "corpus; subset of its scores otherwise") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+    val n = emb.count().toInt
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q,
+      "embedding", 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // candidate set = whole corpus → rerank IS brute force, bit for bit
+    val full = Ann.quantizedRerankTopK(emb, "vec_id", "embedding", q,
+      "embedding", 10, candidates = n).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    full.toSeq shouldBe brute.toSeq
+    // narrow prefilter: scores must still be true cosine values
+    val all = Ann.bruteForceTopK(emb, "vec_id", "embedding", q,
+      "embedding", n).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Ann.quantizedRerankTopK(emb, "vec_id", "embedding", q, "embedding",
+      10, candidates = 25).collect().foreach { r =>
+      all(r.getLong(0)) shouldBe r.getDouble(1) +- 1e-9
+    }
+  }
+
   test("int8 quantization: values in [-127,127], integral, zero-safe") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .union(Seq((-1L, Array.fill(64)(0f), 0)).toDF(
