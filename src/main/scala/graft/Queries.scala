@@ -2427,7 +2427,110 @@ object Queries {
             round(${cosineSql("e.embedding", "q.qe")}, 4) AS cos_sim
           FROM embeddings e JOIN cand USING (vec_id), q2 q
           ORDER BY cos_sim DESC, vec_id LIMIT 20"""
-      })
+      }),
+
+    // ---- J9: full outer join -------------------------------------------
+    // The last join type: user-days with clicks vs user-days with
+    // purchases, either side possibly absent, absences surfaced as
+    // COALESCEd zeros. Both inputs are map-combined aggregates keyed the
+    // same way, so the outer join shuffles pre-collapsed day counts, not
+    // events.
+    QueryDef("j9_full_outer",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("day"), col("event_type"))
+        def side(t: String, n: String) = ev
+          .filter(col("event_type") === t)
+          .groupBy("user_id", "day").agg(count(lit(1)).as(n))
+        side("click", "n_clicks")
+          .join(side("purchase", "n_purchases"),
+            Seq("user_id", "day"), "full_outer")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            event_type
+          FROM events),
+        c AS (SELECT user_id, day, count(*) AS n_clicks FROM ev
+          WHERE event_type = 'click' GROUP BY user_id, day),
+        p AS (SELECT user_id, day, count(*) AS n_purchases FROM ev
+          WHERE event_type = 'purchase' GROUP BY user_id, day)
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+          coalesce(c.day, p.day) AS day,
+          coalesce(n_clicks, 0) AS n_clicks,
+          coalesce(n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p
+          ON c.user_id = p.user_id AND c.day = p.day
+        ORDER BY user_id, day""")),
+
+    // ---- A18: grouping sets --------------------------------------------
+    // The generalized multi-level aggregate rollup/cube can't express:
+    // exactly the (lang) and (source) marginals, nothing else — one
+    // Expand + one shuffle, same plan family as a11/a13.
+    QueryDef("a18_grouping_sets",
+      (s, dir) => t(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          dsum(col("n_chars").cast("double")).as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+      Some(s"""SELECT lang, source, count(*) AS n_docs,
+          ${dsumSql("n_chars")} AS sum_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source))
+        ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
+
+    // ---- W8: time-series resample + forward fill -----------------------
+    // Gap-filling: each user's daily value sums land on a dense day grid
+    // (sequence over the user's [first, last] span) and empty days carry
+    // the last seen value forward (`last(ignoreNulls)` running window —
+    // one pass per user, no self-join). The standard sensor/activity
+    // regularization step before any window model sees the series.
+    QueryDef("w8_resample_ffill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir).select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("day"), col("value"))
+        val daily = ev.groupBy("user_id", "day")
+          .agg(dsum(col("value")).as("v"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH ev AS (
+          SELECT user_id,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            value
+          FROM events),
+        daily AS (
+          SELECT user_id, day,
+            ${dsumSql("value")} AS v
+          FROM ev GROUP BY user_id, day),
+        span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+          FROM daily GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+          FROM span),
+        j AS (SELECT g.user_id, g.day, d.v
+          FROM grid g LEFT JOIN daily d
+            ON g.user_id = d.user_id AND g.day = d.day)
+        SELECT user_id, day,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM j ORDER BY user_id, day"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,
