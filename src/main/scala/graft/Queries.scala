@@ -2530,7 +2530,72 @@ object Queries {
           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
             ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
-        FROM j ORDER BY user_id, day"""))
+        FROM j ORDER BY user_id, day""")),
+
+    // ---- J10: semi / anti join -----------------------------------------
+    // The existence-join pair stated explicitly: customers WITH orders
+    // (left_semi — no row multiplication, the orders side contributes
+    // only a membership bit) and WITHOUT (left_anti), counted per
+    // segment. The oracle states the same splits as IN / NOT IN
+    // subqueries — which is exactly what Catalyst rewrites them to.
+    QueryDef("j10_semi_anti",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        val ok = t(s, dir, "orders").select("o_custkey")
+        def side(tpe: String, n: String) = c
+          .join(ok, col("c_custkey") === col("o_custkey"), tpe)
+          .groupBy("c_mktsegment").agg(count(lit(1)).as(n))
+        side("left_semi", "n_with")
+          .join(side("left_anti", "n_without"),
+            Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            coalesce(col("n_with"), lit(0L)).as("n_with"),
+            coalesce(col("n_without"), lit(0L)).as("n_without"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH w AS (
+          SELECT c_mktsegment, count(*) AS n_with FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders)
+          GROUP BY c_mktsegment),
+        n AS (
+          SELECT c_mktsegment, count(*) AS n_without FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+          GROUP BY c_mktsegment)
+        SELECT coalesce(w.c_mktsegment, n.c_mktsegment) AS c_mktsegment,
+          coalesce(n_with, 0) AS n_with,
+          coalesce(n_without, 0) AS n_without
+        FROM w FULL OUTER JOIN n ON w.c_mktsegment = n.c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ---- D12: order-independent content digest -------------------------
+    // Partition-level data-integrity checksums: per source, XOR and exact
+    // decimal SUM of a 60-bit md5 slice of each row's (id, text). Both
+    // aggregates are commutative — ANY partitioning, merge order, or
+    // engine yields the same digest, so migrated/recomputed data can be
+    // validated without sorting or row-by-row diffing. The shuffle
+    // carries one partial digest per (source × task).
+    QueryDef("d12_content_digest",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          conv(substring(md5(concat_ws("|", col("doc_id"),
+            coalesce(col("text"), lit("")))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("xor_digest"),
+          sum(col("h").cast("decimal(38,0)")).as("sum_digest"))
+        .orderBy("source"),
+      Some("""WITH h AS (
+          SELECT source,
+            CAST(('0x' || substr(md5(
+              CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')), 1, 15))
+              AS BIGINT) AS h
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          bit_xor(h) AS xor_digest,
+          CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS sum_digest
+        FROM h GROUP BY source ORDER BY source"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

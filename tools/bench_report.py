@@ -41,6 +41,13 @@ def main():
             f.write(f"; errors: `{meta['errors']}`")
         f.write(". Median of 3 noop-sink runs after warmup; spread is "
                 "[min,max] across runs.\n\n")
+        f.write("Cross-run dispersion note: immediate same-code repeats "
+                "of the whole bench have measured up to ~1.5x apart on "
+                "this box (GC/page-cache state; observed 47.1 s vs "
+                "69.5 s in round 8), consistent with the per-query "
+                "spreads below and the round-5 finding that single-run "
+                "deltas under ~2x are noise. Read totals with that band "
+                "in mind.\n\n")
         f.write("| query | median s | spread |\n|---|---|---|\n")
         for k, v in rows:
             sp = spread.get(k) if spread else None
