@@ -104,6 +104,22 @@ object Queries {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
+  /** DuckDB twin of [[graft.similarity.Ann.quantizeInt8]]: select an
+    * int8-quantized `q` list (integral doubles) for each row of `src` —
+    * shared by the n4/n6 oracles so the quantization spelling cannot
+    * drift between them. `idCols` is a trailing-comma'd projection
+    * prefix ("" or "vec_id,"). */
+  private def quantizeSql(src: String, idCols: String): String =
+    s"""SELECT $idCols CASE WHEN ma = 0.0
+        THEN list_transform(e, x -> 0.0)
+        ELSE list_transform(e, x ->
+          floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)) END AS q
+      FROM (SELECT $idCols
+          list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)))) AS ma,
+          embedding AS e
+        FROM $src)"""
+
   private def cosineSql(a: String, b: String): String = {
     val d = dotSql(a, b)
     val na = s"sqrt(${dotSql(a, a)})"
@@ -1752,8 +1768,8 @@ object Queries {
           raw"url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/{2,}', '/')," +
           raw" '/$$', '')"
         val kept = raw"list_filter(str_split(regexp_extract(url, " +
-          raw"'\?([^#]*)', 1), '&'), x -> len(x) > 0 AND NOT " +
-          raw"regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))"
+          raw"'^[^#]*\?([^#]*)', 1), '&'), x -> len(x) > 0 AND NOT " +
+          raw"regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|${"$"})'))"
         s"""WITH raw AS (
           SELECT doc_id,
             'https://' ||
@@ -1800,19 +1816,9 @@ object Queries {
           .orderBy(desc("qdot"), col("vec_id"))
       },
       Some {
-        def q(src: String, idCols: String) =
-          s"""SELECT $idCols CASE WHEN ma = 0.0
-              THEN list_transform(e, x -> 0.0)
-              ELSE list_transform(e, x ->
-                floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)) END AS q
-            FROM (SELECT $idCols
-                list_max(list_transform(embedding,
-                  x -> abs(CAST(x AS DOUBLE)))) AS ma,
-                embedding AS e
-              FROM $src)"""
-        s"""WITH qq AS (${q("(SELECT * FROM embeddings WHERE vec_id = 0)",
+        s"""WITH qq AS (${quantizeSql("(SELECT * FROM embeddings WHERE vec_id = 0)",
             "")}),
-          cq AS (${q("embeddings", "vec_id,")})
+          cq AS (${quantizeSql("embeddings", "vec_id,")})
           SELECT c.vec_id,
             CAST(list_sum(list_transform(range(1, len(c.q) + 1),
               i -> c.q[i] * q.q[i])) AS BIGINT) AS qdot
@@ -2270,27 +2276,10 @@ object Queries {
     // this is the cheap pre-verify score: candidates whose estimate
     // clears the bar skip the exact shingle intersection entirely.
     QueryDef("m9_minhash_estimate",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-          k = 12, bands = 4, shingleN = 3, maxBucket = 10000)
-        val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 12,
-          shingleN = 3)
-        val a = (0 until 12).foldLeft(
-          sig.withColumnRenamed("doc_id", "id_a"))(
-          (d, i) => d.withColumnRenamed(s"mh$i", s"a$i"))
-        val b = (0 until 12).foldLeft(
-          sig.withColumnRenamed("doc_id", "id_b"))(
-          (d, i) => d.withColumnRenamed(s"mh$i", s"b$i"))
-        val agree = (0 until 12).map(i =>
-          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand.join(a, "id_a").join(b, "id_b")
-          .select(col("id_a"), col("id_b"),
-            (agree.cast("double") / lit(12).cast("double"))
-              .as("est_jaccard"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => Dedup.minhashEstimates(t(s, dir, "documents"),
+        "doc_id", "text", k = 12, bands = 4, shingleN = 3,
+        maxBucket = 10000)
+        .orderBy("id_a", "id_b"),
       Some {
         val agree = (0 until 12).map(i =>
           s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
@@ -2402,19 +2391,9 @@ object Queries {
           .orderBy(desc("cos_sim"), col("vec_id"))
       },
       Some {
-        def q(src: String, idCols: String) =
-          s"""SELECT $idCols CASE WHEN ma = 0.0
-              THEN list_transform(e, x -> 0.0)
-              ELSE list_transform(e, x ->
-                floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)) END AS q
-            FROM (SELECT $idCols
-                list_max(list_transform(embedding,
-                  x -> abs(CAST(x AS DOUBLE)))) AS ma,
-                embedding AS e
-              FROM $src)"""
-        s"""WITH qq AS (${q("(SELECT * FROM embeddings WHERE vec_id = 0)",
+        s"""WITH qq AS (${quantizeSql("(SELECT * FROM embeddings WHERE vec_id = 0)",
             "")}),
-          cq AS (${q("embeddings", "vec_id,")}),
+          cq AS (${quantizeSql("embeddings", "vec_id,")}),
           cand AS (
             SELECT vec_id FROM (
               SELECT c.vec_id,

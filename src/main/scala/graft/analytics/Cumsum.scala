@@ -27,7 +27,10 @@ object Cumsum {
 
   /** Returns (df + `__cum` column, total): `__cum` is the inclusive
     * global running sum of `weightCol` in `(md5(key), key)` order.
-    * Requires a positive total. */
+    * Requires a positive total. NULL weights count as 0 (the same
+    * null-skipping a SQL window SUM applies) — a bucket whose weights
+    * are all NULL must yield offset 0, not a driver-side NPE on the
+    * collected subtotal. */
   def mdOrderCumsum(df: DataFrame, keyCol: String, weightCol: String,
                     hexChars: Int = 2): (DataFrame, Long) = {
     val h = md5(col(keyCol).cast("string"))
@@ -35,7 +38,7 @@ object Cumsum {
       .withColumn("__h", h)
       .withColumn("__b", substring(h, 1, hexChars))
     val subtotals = withB.groupBy("__b")
-      .agg(sum(col(weightCol).cast("long")).as("s"))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("s"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
     val total = subtotals.map(_._2).sum
@@ -51,7 +54,8 @@ object Cumsum {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = withB
       .withColumn("__cum",
-        sum(col(weightCol).cast("long")).over(w) + offCol)
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L))
+          + offCol)
       .drop("__h", "__b")
     (out, total)
   }

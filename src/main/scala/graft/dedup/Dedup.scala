@@ -265,6 +265,39 @@ object Dedup {
     verified
   }
 
+  /** MinHash estimated Jaccard per LSH candidate pair:
+    * est = (# agreeing signature components) / k — the cheap pre-verify
+    * score (exact int/int division over md5-derived strings, so it
+    * hash-matches a SQL oracle). The signature table is computed ONCE
+    * and persisted, shared by candidate generation and both join sides —
+    * assembling the same pipeline from the public minhashSignatures +
+    * minhashCandidatePairs calls rebuilds the tokenize→shingle→md5
+    * lineage ~4× in the one materializing job. EAGER like
+    * [[nearDupPairs]]: the small pair result materializes while the
+    * signature cache is alive, then the cache is released. */
+  def minhashEstimates(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                       maxBucket: Int = 10000): DataFrame = {
+    val sig = signaturesFrom(shingleTable(df, idCol, textCol, shingleN),
+      idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsFromSignatures(sig, idCol, bands, k / bands, maxBucket)
+    def side(name: String, p: String) = (0 until k).foldLeft(
+      sig.withColumnRenamed(idCol, name))(
+      (d, i) => d.withColumnRenamed(s"mh$i", s"$p$i"))
+    val agree = (0 until k).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val out = cand.join(side("id_a", "__a"), "id_a")
+      .join(side("id_b", "__b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / lit(k).cast("double")).as("est_jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the signature cache is alive
+    sig.unpersist(blocking = false)
+    out
+  }
+
   /** Near-dedup: drop every doc verified near-duplicate of a lower-id
     * doc (greedy keep-first policy — the standard corpus-dedup rule;
     * full connected components would need an iterative join or graph

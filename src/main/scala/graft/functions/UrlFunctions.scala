@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
 object UrlFunctions {
 
   /** Tracking params dropped by [[canonicalizeUrl]]: the utm_* family
-    * plus the common click ids. */
-  val TrackingParamPattern = "^(utm_[^=]*|fbclid|gclid)="
+    * plus the common click ids — with or without a value (`?fbclid` and
+    * `?fbclid=x` are both tracking noise; requiring the `=` would let
+    * the bare form block a dedup). */
+  val TrackingParamPattern = "^(utm_[^=]*|fbclid|gclid)(=|$)"
 
   /** Scheme (lowercased): `https://X...` → `https`. */
   def urlScheme(u: Column): Column =
@@ -52,7 +54,11 @@ object UrlFunctions {
     * sorted bytewise, re-joined with `&`; empty after filtering → ``
     * (no `?`). The fragment never participates (it is client-side). */
   def urlQuery(u: Column): Column = {
-    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    // `^[^#]*\?` pins the '?' BEFORE any '#': a '?' inside the fragment
+    // ('/p#sec?x=1') is client-side text, not a query — matching the
+    // first '?' anywhere would leak it into the canonical form and
+    // collide with the genuinely different '/p?x=1'
+    val q = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
     val kept = filter(split(q, "&"), p =>
       length(p) > 0 && !p.rlike(TrackingParamPattern))
     when(size(kept) === 0, lit(""))

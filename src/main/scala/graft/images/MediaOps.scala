@@ -45,6 +45,12 @@ object MediaOps {
     val bb = java.nio.ByteBuffer.wrap(bytes, 4, 16)
     val (num, den, n, fb) = (bb.getInt, bb.getInt, bb.getInt, bb.getInt)
     if (num <= 0 || den <= 0 || n < 0 || fb <= 0) return None
+    // fps < 1/1000 (one frame per >1000 s) is a malformed declaration,
+    // not a video: an adversarial (num=1, den=Int.MaxValue) header would
+    // make one frame span ~68 years and turn frameSample's per-interval
+    // emission into an unbounded row stream. Rejecting here keeps the
+    // per-row fault-tolerance contract (None, never a hung task).
+    if (den > 1000L * num) return None
     if (bytes.length < 20 + n.toLong * fb) return None
     Some(Container(num, den, n, fb, java.util.Arrays.copyOfRange(
       bytes, 20, 20 + n * fb)))
@@ -91,9 +97,22 @@ object MediaOps {
           if (row.isNullAt(dataIdx)) null else row.getAs[Array[Byte]](dataIdx)
         decodeContainer(bytes).iterator.flatMap { c =>
           // t = k·everyMs; frame = floor(t·num / (1000·den)), while < n.
-          // All long arithmetic — no double time base drift.
-          Iterator.from(0).map(_.toLong * everyMs)
-            .map(t => (t, t * c.fpsNum / (1000L * c.fpsDen)))
+          // Exact integer arithmetic — no double time base drift. The
+          // counter is a Long (an Int counter wraps at 2^31 samples and
+          // turns a long-duration container into an infinite emitter),
+          // and the multiply falls back to BigInt when t·num would
+          // overflow (2 GB-payload containers with extreme rationals can
+          // push t·num past Long range BEFORE f reaches n; a wrapped
+          // negative f would never terminate the takeWhile). Termination
+          // is then guaranteed: decodeContainer bounds fps ≥ 1/1000, so
+          // f reaches n after finitely many exact steps.
+          def frameAt(t: Long): Long =
+            if (c.fpsNum == 0 || t <= Long.MaxValue / c.fpsNum)
+              t * c.fpsNum / (1000L * c.fpsDen)
+            else (BigInt(t) * c.fpsNum / (1000L * c.fpsDen))
+              .min(BigInt(Long.MaxValue)).toLong
+          Iterator.iterate(0L)(_ + everyMs)
+            .map(t => (t, frameAt(t)))
             .takeWhile { case (_, f) => f < c.nFrames }
             .map { case (t, f) =>
               val fi = f.toInt

@@ -33,6 +33,22 @@ class UrlFunctionsSpec extends SparkSpec {
       Seq("https://example.org/p")
   }
 
+  test("a '?' inside the fragment is NOT a query; bare tracking params " +
+    "drop") {
+    // '#sec?x=1' is all fragment — canonical form must equal the bare page
+    canon("https://example.org/p#sec?x=1",
+      "https://example.org/p").distinct shouldBe
+      Seq("https://example.org/p")
+    // and must NOT collide with the genuinely different real query
+    canon("https://example.org/p#sec?x=1").head should not be
+      canon("https://example.org/p?x=1").head
+    // valueless tracking params are tracking noise too
+    canon("https://example.org/p?a=1&fbclid",
+      "https://example.org/p?fbclid&a=1&utm_source",
+      "https://example.org/p?a=1").distinct shouldBe
+      Seq("https://example.org/p?a=1")
+  }
+
   test("distinct pages stay distinct") {
     canon(
       "https://example.org/p?a=1",

@@ -29,6 +29,10 @@ def main():
             queries = d["queries"]
         elif d["metric"] == "spread":
             spread = d["spread"]
+    if total is None or queries is None:
+        sys.exit(f"[bench_report] {log}: missing "
+                 f"{'total' if total is None else 'queries'} line — "
+                 "incomplete or truncated bench log, nothing written")
     rows = sorted(queries.items(), key=lambda kv: -kv[1])
     with open(out, "w") as f:
         f.write("# BENCH_LOCAL — full per-query times (committed because "
