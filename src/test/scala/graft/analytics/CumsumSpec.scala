@@ -24,6 +24,21 @@ class CumsumSpec extends SparkSpec {
     total shouldBe docs.agg(sum("n_chars")).first().getLong(0)
   }
 
+  test("null weights count as 0 — no driver NPE, cum carries past them") {
+    import spark.implicits._
+    val docs = Seq((1L, java.lang.Long.valueOf(10L)),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(5L)))
+      .toDF("doc_id", "w")
+    val (cum, total) = Cumsum.mdOrderCumsum(docs, "doc_id", "w")
+    total shouldBe 15L
+    val got = cum.select("doc_id", "__cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the null-weight row's cum equals its predecessor's (weight 0)
+    got.values.max shouldBe 15L
+    got.values.foreach(_ should be >= 0L)
+  }
+
   test("execution fans out on the md5-prefix bucket, not one partition") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "n_chars")

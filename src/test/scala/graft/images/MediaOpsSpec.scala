@@ -28,6 +28,25 @@ class MediaOpsSpec extends SparkSpec {
     MediaOps.decodeContainer(vid().dropRight(1)) shouldBe None
   }
 
+  test("adversarial fps declaration rejects instead of emitting forever") {
+    // num=1, den=MaxInt: one frame spanning ~68 years — before the
+    // fps >= 1/1000 bound this turned frameSample into an unbounded
+    // per-interval emitter (Int counter wrap + f stuck at 0)
+    val evil = vid(nFrames = 1, fpsNum = 1, fpsDen = Int.MaxValue)
+    MediaOps.decodeContainer(evil) shouldBe None
+    val out = MediaOps.frameSample(
+      Seq((1L, evil)).toDF("id", "data"), "id", "data", everyMs = 100)
+    out.count() shouldBe 0L // undecodable row contributes no rows (R4)
+    // the slowest LEGAL rate (exactly 1 frame per 1000 s) still decodes
+    // and terminates with the right sample count
+    val slow = vid(nFrames = 2, fpsNum = 1, fpsDen = 1000)
+    MediaOps.decodeContainer(slow).isDefined shouldBe true
+    val n = MediaOps.frameSample(
+      Seq((1L, slow)).toDF("id", "data"), "id", "data",
+      everyMs = 500000L).count()
+    n shouldBe 4L // 2 frames x 10^6 ms, sampled every 5*10^5 ms
+  }
+
   test("frameSample picks floor(t*fps) every interval; exact integer time") {
     val df = Seq((1L, vid()), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "data")
