@@ -198,6 +198,43 @@ object Streams {
           col(s"r_$tsCol") <= col(tsCol))
   }
 
+  /** One compacted (entity, field) version for [[latestWinsStream]]. */
+  final case class Version(key: Long, ts: java.sql.Timestamp,
+                           event_id: Long, value: Double)
+
+  /** Streaming latest-wins compaction — the streaming twin of batch
+    * [[graft.dedup.Dedup.keepLatest]] (query d11): state holds ONE row
+    * per key (the newest by (ts, event_id) — same deterministic tie rule
+    * as batch), and each micro-batch emits the keys whose newest version
+    * CHANGED in that batch (Update-mode semantics via
+    * flatMapGroupsWithState). Late rows older than the held version are
+    * absorbed silently — exactly what replaying the log through batch
+    * keepLatest would produce. State is one Version per live key:
+    * bounded by entity cardinality, not log length (the correct bound
+    * for a CDC keyspace; an event-time TTL would *evict live entities*,
+    * which for compaction is data loss, not cleanup). */
+  def latestWinsStream(versions: Dataset[Version]): Dataset[Version] = {
+    import versions.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def newer(a: Version, b: Version): Boolean =
+      a.ts.getTime > b.ts.getTime ||
+        (a.ts.getTime == b.ts.getTime && a.event_id > b.event_id)
+    versions
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Version, Version](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Version], state: GroupState[Version]) =>
+          val incoming = it.reduceOption((a, b) => if (newer(a, b)) a else b)
+          val winner = (state.getOption, incoming) match {
+            case (Some(held), Some(in)) if newer(in, held) => Some(in)
+            case (None, in @ Some(_)) => in
+            case _ => None // batch had nothing newer than held state
+          }
+          winner.foreach(state.update)
+          winner.iterator
+      }
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * BROADCAST static dimension — no streaming state, no watermark, and
     * the stream side never shuffles (the dim ships to executors once per

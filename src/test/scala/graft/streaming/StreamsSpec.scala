@@ -312,6 +312,42 @@ class StreamsSpec extends SparkSpec {
     } finally gracefulStop(q)
   }
 
+  test("streaming latest-wins: newer versions replace, late ones absorb, " +
+    "ties break like batch keepLatest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[Streams.Version]
+    val q = Streams.latestWinsStream(input.toDS())
+      .writeStream.format("memory").queryName("lw_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Streams.Version(7L, t(1), 101L, 1.0),
+        Streams.Version(7L, t(5), 102L, 2.0), // same batch: newest wins
+        Streams.Version(9L, t(2), 103L, 9.0))
+      q.processAllAvailable()
+      input.addData(Streams.Version(7L, t(3), 104L, 3.0)) // late: absorbed
+      q.processAllAvailable()
+      input.addData(Streams.Version(9L, t(2), 105L, 8.0)) // ts tie: id wins
+      q.processAllAvailable()
+      val hist = spark.sql("SELECT key, event_id, value FROM lw_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 emitted (7,102) and (9,103); batch 2 emitted nothing for
+      // key 7 (late row older than held state); batch 3 re-emitted key 9
+      hist.count(_._1 == 7L) shouldBe 1
+      hist.filter(_._1 == 7L).head shouldBe ((7L, 102L, 2.0))
+      hist.filter(_._1 == 9L).map(x => (x._2, x._3)).toSet shouldBe
+        Set((103L, 9.0), (105L, 8.0))
+      // final compacted view = latest per key, identical to what batch
+      // keepLatest over the full log yields
+      val compacted = hist.groupBy(_._1) // memory sink keeps per-batch rows
+      compacted(9L).last shouldBe ((9L, 105L, 8.0))
+    } finally gracefulStop(q)
+  }
+
   test("cross-batch out-of-order event does not split the session") {
     // drives the shared mergeEvent step (the exact code the streaming
     // state function folds with) in cross-batch arrival order
