@@ -1768,7 +1768,7 @@ object Queries {
           raw"url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/{2,}', '/')," +
           raw" '/$$', '')"
         val kept = raw"list_filter(str_split(regexp_extract(url, " +
-          raw"'^[^#]*\?([^#]*)', 1), '&'), x -> len(x) > 0 AND NOT " +
+          raw"'^[^#?]*\?([^#]*)', 1), '&'), x -> len(x) > 0 AND NOT " +
           raw"regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|${"$"})'))"
         s"""WITH raw AS (
           SELECT doc_id,
@@ -2297,11 +2297,16 @@ object Queries {
     // Ordered event-sequence matching, the product-analytics flagship.
     // Spark shape: ONE shuffle (events group to their user), then a
     // per-user time-ordered fold advances the stage machine — linear in
-    // events, state is one int, no self-joins. The oracle states the same
-    // semantics as the min-timestamp chain (first view, first click after
-    // it, first purchase after that); the fold and the chain provably
-    // agree when timestamps are distinct per user (they are: µs event
-    // times), and the hash-match is the witness.
+    // events, state is one int, no self-joins. The fold's event order is
+    // (ts, event_id) — event_id is a unique int64, so the order is TOTAL
+    // and the equivalence with the oracle's first-view → first-later-
+    // click → first-later-purchase chain holds unconditionally, not just
+    // when per-user timestamps happen to be distinct. (Without the
+    // tiebreaker, a ts tie would sort struct ties alphabetically by
+    // event_type while the oracle's strict '>' excluded same-instant
+    // transitions — an equivalence resting on a data property nothing
+    // enforces.) The oracle mirrors the same (ts, event_id) order in its
+    // chain comparisons.
     QueryDef("w6_funnel",
       (s, dir) => {
         // first 36 h only: with the full month every user converts and
@@ -2309,10 +2314,12 @@ object Queries {
         // does NOT saturate is what makes the stage machine observable
         val ev = events(s, dir)
           .filter(expr("ts < TIMESTAMP '2024-01-02 12:00:00'"))
-          .select(col("user_id"), col("ts"), col("event_type"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
         ev.groupBy("user_id")
           .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_type")))).as("evs"))
+            struct(col("ts"), col("event_id"), col("event_type"))))
+            .as("evs"))
           .select(col("user_id"), expr("""aggregate(evs, 0, (st, e) -> CASE
               WHEN st = 0 AND e.event_type = 'view' THEN 1
               WHEN st = 1 AND e.event_type = 'click' THEN 2
@@ -2324,28 +2331,40 @@ object Queries {
       Some("""WITH evw AS (
           SELECT * FROM events
           WHERE ts < TIMESTAMP '2024-01-02 12:00:00'),
+        u AS (SELECT DISTINCT user_id FROM evw),
         v AS (
-          SELECT user_id,
-            min(CASE WHEN event_type = 'view' THEN ts END) AS vt
-          FROM evw GROUP BY user_id),
+          SELECT user_id, ts AS vt, event_id AS vid FROM (
+            SELECT user_id, ts, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn
+            FROM evw WHERE event_type = 'view') WHERE rn = 1),
         c AS (
-          SELECT e.user_id, min(e.ts) AS ct
-          FROM evw e JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'click' AND e.ts > v.vt
-          GROUP BY e.user_id),
+          SELECT user_id, ts AS ct, cid FROM (
+            SELECT e.user_id, e.ts, e.event_id AS cid,
+              row_number() OVER (PARTITION BY e.user_id
+                ORDER BY e.ts, e.event_id) AS rn
+            FROM evw e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND (e.ts > v.vt OR (e.ts = v.vt AND e.event_id > v.vid)))
+          WHERE rn = 1),
         p AS (
-          SELECT e.user_id, min(e.ts) AS pt
-          FROM evw e JOIN c ON e.user_id = c.user_id
-          WHERE e.event_type = 'purchase' AND e.ts > c.ct
-          GROUP BY e.user_id),
+          SELECT user_id, ts AS pt FROM (
+            SELECT e.user_id, e.ts,
+              row_number() OVER (PARTITION BY e.user_id
+                ORDER BY e.ts, e.event_id) AS rn
+            FROM evw e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND (e.ts > c.ct OR (e.ts = c.ct AND e.event_id > c.cid)))
+          WHERE rn = 1),
         st AS (
-          SELECT v.user_id,
+          SELECT u.user_id,
             CASE WHEN p.pt IS NOT NULL THEN 3
               WHEN c.ct IS NOT NULL THEN 2
               WHEN v.vt IS NOT NULL THEN 1 ELSE 0 END AS stage
-          FROM v
-          LEFT JOIN c ON v.user_id = c.user_id
-          LEFT JOIN p ON v.user_id = p.user_id)
+          FROM u
+          LEFT JOIN v ON u.user_id = v.user_id
+          LEFT JOIN c ON u.user_id = c.user_id
+          LEFT JOIN p ON u.user_id = p.user_id)
         SELECT stage, count(*) AS n_users
         FROM st GROUP BY stage ORDER BY stage""")),
 
@@ -2515,8 +2534,11 @@ object Queries {
     // The existence-join pair stated explicitly: customers WITH orders
     // (left_semi — no row multiplication, the orders side contributes
     // only a membership bit) and WITHOUT (left_anti), counted per
-    // segment. The oracle states the same splits as IN / NOT IN
-    // subqueries — which is exactly what Catalyst rewrites them to.
+    // segment. The oracle states the semi side as IN and the anti side
+    // as NOT EXISTS — NOT `NOT IN`, which returns UNKNOWN for every row
+    // the moment the subquery side contains a single NULL key and would
+    // silently diverge from left_anti on dirty data (o_custkey is
+    // non-null in TPC-H, but the oracle shouldn't depend on that).
     QueryDef("j10_semi_anti",
       (s, dir) => {
         val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
@@ -2538,7 +2560,8 @@ object Queries {
           GROUP BY c_mktsegment),
         n AS (
           SELECT c_mktsegment, count(*) AS n_without FROM customer
-          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+          WHERE NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey)
           GROUP BY c_mktsegment)
         SELECT coalesce(w.c_mktsegment, n.c_mktsegment) AS c_mktsegment,
           coalesce(n_with, 0) AS n_with,
@@ -2547,12 +2570,17 @@ object Queries {
         ORDER BY c_mktsegment""")),
 
     // ---- D12: order-independent content digest -------------------------
-    // Partition-level data-integrity checksums: per source, XOR and exact
-    // decimal SUM of a 60-bit md5 slice of each row's (id, text). Both
-    // aggregates are commutative — ANY partitioning, merge order, or
-    // engine yields the same digest, so migrated/recomputed data can be
-    // validated without sorting or row-by-row diffing. The shuffle
-    // carries one partial digest per (source × task).
+    // Partition-level data-integrity checksums: per source, XOR and a
+    // MODULAR sum (mod 2305843009213693951, a Mersenne prime < 2^61) of a
+    // 60-bit md5 slice of each row's (id, text). Both aggregates are
+    // commutative — ANY partitioning, merge order, or engine yields the
+    // same digest, so migrated/recomputed data can be validated without
+    // sorting or row-by-row diffing. The shuffle carries one partial
+    // digest per (source × task). The modular reduction keeps the digest
+    // inside int64 end-to-end: a raw decimal sum exceeds Long.MaxValue
+    // and renders asymmetrically downstream (pyarrow Decimal string vs
+    // DuckDB→pandas float64), which can never hash-match even when the
+    // values are bit-identical.
     QueryDef("d12_content_digest",
       (s, dir) => t(s, dir, "documents")
         .select(col("source"),
@@ -2562,7 +2590,8 @@ object Queries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           expr("bit_xor(h)").as("xor_digest"),
-          sum(col("h").cast("decimal(38,0)")).as("sum_digest"))
+          (sum(col("h").cast("decimal(38,0)")) % lit(2305843009213693951L))
+            .cast("long").as("sum_digest"))
         .orderBy("source"),
       Some("""WITH h AS (
           SELECT source,
@@ -2572,7 +2601,7 @@ object Queries {
           FROM documents)
         SELECT source, count(*) AS n_docs,
           bit_xor(h) AS xor_digest,
-          CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+          CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
             AS sum_digest
         FROM h GROUP BY source ORDER BY source"""))
   )

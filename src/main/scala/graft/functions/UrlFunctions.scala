@@ -54,11 +54,13 @@ object UrlFunctions {
     * sorted bytewise, re-joined with `&`; empty after filtering → ``
     * (no `?`). The fragment never participates (it is client-side). */
   def urlQuery(u: Column): Column = {
-    // `^[^#]*\?` pins the '?' BEFORE any '#': a '?' inside the fragment
-    // ('/p#sec?x=1') is client-side text, not a query — matching the
-    // first '?' anywhere would leak it into the canonical form and
-    // collide with the genuinely different '/p?x=1'
-    val q = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
+    // `^[^#?]*\?` pins the FIRST '?' that appears before any '#'
+    // (RFC 3986: the query starts at the first '?'). Two distinct
+    // failure modes bracket this regex: `^[^#]*\?` greedily anchors at
+    // the LAST pre-fragment '?' ('/p?a=1?b=2' would drop 'a=1' and
+    // collide with '/p?b=2'), while matching the first '?' anywhere
+    // would leak a fragment-internal '?' ('/p#sec?x=1') into the query.
+    val q = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val kept = filter(split(q, "&"), p =>
       length(p) > 0 && !p.rlike(TrackingParamPattern))
     when(size(kept) === 0, lit(""))

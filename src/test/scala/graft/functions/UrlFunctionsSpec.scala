@@ -49,6 +49,22 @@ class UrlFunctionsSpec extends SparkSpec {
       Seq("https://example.org/p?a=1")
   }
 
+  test("query starts at the FIRST '?' (RFC 3986) — a literal '?' in a " +
+    "param value stays in the query") {
+    // '/p?a=1?b=2' has query 'a=1?b=2' (one param, value '1?b=2') — it
+    // must NOT collapse to '/p?b=2' (the greedy-last-'?' bug) nor drop
+    // the whole query on a trailing '?'
+    canon("https://example.org/p?a=1?b=2").head shouldBe
+      "https://example.org/p?a=1?b=2"
+    canon("https://example.org/p?a=1?b=2").head should not be
+      canon("https://example.org/p?b=2").head
+    canon("https://example.org/p?a=1?").head shouldBe
+      "https://example.org/p?a=1?"
+    // first-'?' start composes with fragment stripping
+    canon("https://example.org/p?a=1?b=2#frag").head shouldBe
+      "https://example.org/p?a=1?b=2"
+  }
+
   test("distinct pages stay distinct") {
     canon(
       "https://example.org/p?a=1",

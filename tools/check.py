@@ -5,20 +5,50 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
 Reads each <verifyOutDir>/<name> parquet (Spark output) and runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views
-named after the testdata tables. Mimics the driver: both sides go
-through pandas (`.df()`), columns sorted by name, rows sorted by all
-columns (pandas sort_values — crashes on ndarray cells exactly like
-the driver does), every cell stringified WITHOUT numeric coercion and
-md5-hashed. A DuckDB HUGEINT that pandas renders as float ("1.0") vs
-Spark's int ("1") is therefore a FAIL here too, as it is for the
-driver.
+named after the testdata tables. Mimics the driver EXACTLY on both
+sides: the Spark parquet is read with pandas.read_parquet (pyarrow) —
+NOT through DuckDB — because the two readers render out-of-int64
+decimals differently (pyarrow keeps a Decimal object, DuckDB→pandas
+collapses to float64), and reading both sides through DuckDB masks
+that whole bug class (the r8 d12 failure). The oracle side runs in
+DuckDB and comes back via `.df()`, as in the driver. Columns sorted
+by name, rows sorted by all columns (pandas sort_values — crashes on
+ndarray cells exactly like the driver does), every cell stringified
+WITHOUT numeric coercion and md5-hashed.
+
+Additionally audits every Spark output column for values outside the
+int64 range (Decimal/object or float magnitudes > 2^63-1): such
+columns stringify asymmetrically between pyarrow and DuckDB→pandas,
+so they are reported as failures even if today's hash happens to
+match.
 """
 import hashlib
 import json
 import sys
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
+
+INT64_MAX = (1 << 63) - 1
+INT64_MIN = -(1 << 63)
+
+
+def int64_overflow_cols(df):
+    """Columns holding numeric values outside int64 — the class of value
+    the driver's two parquet readers stringify differently."""
+    bad = []
+    for c in df.columns:
+        s = df[c].dropna()
+        if s.empty:
+            continue
+        try:
+            vals = [v for v in s if isinstance(v, (int, Decimal))]
+            if any(v > INT64_MAX or v < INT64_MIN for v in vals):
+                bad.append(c)
+        except TypeError:
+            continue
+    return bad
 
 
 def frame_hash(df):
@@ -49,11 +79,19 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # pyarrow read, as the driver does — NOT DuckDB, which would
+            # collapse >int64 decimals to float64 on both sides and hide
+            # the asymmetry the driver sees.
+            spark = pd.read_parquet(f"{out_dir}/{name}")
             duck = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        over = int64_overflow_cols(spark)
+        if over:
+            print(f"FAIL {name}: columns exceed int64 (render asymmetry "
+                  f"pyarrow-vs-duckdb): {over}")
             n_fail += 1
             continue
         if sorted(spark.columns) != sorted(duck.columns):
