@@ -29,6 +29,11 @@ final case class PipelineConfig(
     maxSamples: Option[Int] = None,
     posTagStats: Boolean = true,
     readabilityScores: Boolean = true,
+    // reference `metadata_generator_backend` (utils.py:39-43, selected in
+    // configs/*.yml:15) — validated against the three known backends at
+    // parse time so a typo fails the run instead of silently mislabeling
+    // the produced metadata
+    metadataGeneratorBackend: String = "spacy",
     filters: Seq[FilterCfg] = Nil,
     downloadEnabled: Boolean = false,
     nWorkers: Int = 8,
@@ -148,6 +153,9 @@ object PipelineConfig {
       posTagStats = bool(extraction.getOrElse("pos_tag_stats", ""), dflt = true),
       readabilityScores =
         bool(extraction.getOrElse("readability_scores", ""), dflt = true),
+      metadataGeneratorBackend = graft.enrich.MetadataBackend.fromName(
+        extraction.getOrElse("metadata_generator_backend", "spacy")
+          .toString match { case "" => "spacy"; case s => s }).name,
       filters = filters,
       downloadEnabled = bool(extraction.getOrElse("download", ""), dflt = false),
       nWorkers = extraction.get("n_workers")

@@ -93,10 +93,16 @@ object CaptionStats {
     * @param posTagStats       reference config flag `pos_tag_stats`
     * @param readabilityScores reference config flag `readability_scores`
     *                          (`configs/config_localhost_test_spacy.yml:12-13`)
+    * @param backend           reference config knob
+    *                          `metadata_generator_backend`
+    *                          (`utils.py:39-43`) — selects the tokenizer
+    *                          profile; every token-derived stat (counts,
+    *                          NE/POS proxies, readability) inherits it.
     */
   def enrich(df: DataFrame, textCol: String,
              posTagStats: Boolean = true,
-             readabilityScores: Boolean = true): DataFrame = {
+             readabilityScores: Boolean = true,
+             backend: MetadataBackend = MetadataBackend.Spacy): DataFrame = {
     val c = col(textCol)
     // Materialize the token/sentence/tag arrays once as hidden columns:
     // every downstream stat references the arrays instead of re-running
@@ -106,9 +112,9 @@ object CaptionStats {
     val slens = col("__slens")
 
     var out = df
-      .withColumn("__toks", tokens(c))
+      .withColumn("__toks", backend.tokens(c))
       .withColumn("__sents", sentences(c))
-      .withColumn("__slens", transform(sents, s => size(tokens(s))))
+      .withColumn("__slens", transform(sents, s => size(backend.tokens(s))))
       .withColumn("num_tok", size(toks))
       .withColumn("num_sent", size(sents))
       .withColumn("min_sent_len",

@@ -50,7 +50,8 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       else {
         val raw = Readers.wikicaps(spark, cfg.inputPath)
         val enriched = CaptionStats.enrich(raw, "caption",
-          cfg.posTagStats, cfg.readabilityScores)
+          cfg.posTagStats, cfg.readabilityScores,
+          graft.enrich.MetadataBackend.fromName(cfg.metadataGeneratorBackend))
         enriched.write.mode("overwrite").parquet(metaFull) // K1 checkpoint
         spark.read.parquet(metaFull)
       }

@@ -18,6 +18,7 @@ class PipelineConfigSpec extends SparkSpec {
       |  shuffle_seed: 1312
       |  pos_tag_stats: true
       |  readability_scores: false
+      |  metadata_generator_backend: spacy  # can be polyglot, spacy or nltk
       |  download: false
       |  n_workers: 4
       |  filters:
@@ -51,6 +52,25 @@ class PipelineConfigSpec extends SparkSpec {
     c.transformations.map(_.name) shouldBe Seq("resize", "compress")
     c.transformations.head.params("max_width") shouldBe "640"
     c.outputDir shouldBe "/tmp/out"
+    c.metadataGeneratorBackend shouldBe "spacy"
+  }
+
+  test("metadata_generator_backend: all three reference values accepted, " +
+    "absent key defaults to spacy, unknown value fails the parse") {
+    def withBackend(v: String): String =
+      s"extraction:\n  metadata_generator_backend: $v\n"
+    PipelineConfig.fromYaml(withBackend("nltk"))
+      .metadataGeneratorBackend shouldBe "nltk"
+    PipelineConfig.fromYaml(withBackend("polyglot"))
+      .metadataGeneratorBackend shouldBe "polyglot"
+    PipelineConfig.fromYaml(withBackend("SPACY"))
+      .metadataGeneratorBackend shouldBe "spacy" // case-insensitive
+    PipelineConfig.fromYaml("run:\n  extract: true\n")
+      .metadataGeneratorBackend shouldBe "spacy"
+    // the reference errors on an unknown enum value; silently defaulting
+    // would mislabel the produced metadata
+    an[IllegalArgumentException] should be thrownBy
+      PipelineConfig.fromYaml(withBackend("stanza"))
   }
 
   test("empty/missing sections give reference defaults") {

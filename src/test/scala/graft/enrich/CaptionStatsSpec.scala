@@ -86,4 +86,43 @@ class CaptionStatsSpec extends SparkSpec {
     df.columns should not contain "num_nouns"
     df.columns should not contain "fk_re_score"
   }
+
+  test("backend profiles tokenize per their reference library's contract " +
+    "(e1-twin: same text, three metadata variants)") {
+    // "Dr. Smith, who arrived late, left!" —
+    //   spacy proxy   : whitespace runs → 6 tokens ("Smith," is one)
+    //   nltk proxy    : punctuation split out → Dr . Smith , who arrived
+    //                   late , left ! = 10 tokens
+    //   polyglot proxy: unicode words only → 6 tokens, no punct anywhere
+    val text = "Dr. Smith, who arrived late, left!"
+    def numTok(b: MetadataBackend): Int =
+      CaptionStats.enrich(Seq(text).toDF("caption"), "caption", backend = b)
+        .select("num_tok").head().getInt(0)
+    numTok(MetadataBackend.Spacy) shouldBe 6
+    numTok(MetadataBackend.Nltk) shouldBe 10
+    numTok(MetadataBackend.Polyglot) shouldBe 6
+    // polyglot ≠ spacy where a token is pure punctuation
+    def toks(b: MetadataBackend): Seq[String] =
+      Seq("hello — world !").toDF("c")
+        .select(b.tokens(col("c")).as("t")).head().getSeq[String](0)
+    toks(MetadataBackend.Spacy) shouldBe Seq("hello", "—", "world", "!")
+    toks(MetadataBackend.Nltk) shouldBe Seq("hello", "—", "world", "!")
+    toks(MetadataBackend.Polyglot) shouldBe Seq("hello", "world")
+    // default = spacy = the oracle-checked semantics (e1 stays green)
+    CaptionStats.enrich(Seq(text).toDF("caption"), "caption")
+      .select("num_tok").head().getInt(0) shouldBe 6
+  }
+
+  test("backend selection flows from a reference-shaped YAML through " +
+    "enrich, and downstream stats inherit the tokenizer") {
+    val cfg = graft.config.PipelineConfig.fromYaml(
+      "extraction:\n  metadata_generator_backend: nltk\n")
+    val b = MetadataBackend.fromName(cfg.metadataGeneratorBackend)
+    b shouldBe MetadataBackend.Nltk
+    val df = CaptionStats.enrich(
+      Seq("Alice runs fast!").toDF("caption"), "caption", backend = b)
+    val r = df.select("num_tok", "num_sym").head()
+    r.getInt(0) shouldBe 4 // Alice runs fast !
+    r.getInt(1) shouldBe 1 // the split-out '!' POS-tags as SYM
+  }
 }
