@@ -2603,7 +2603,85 @@ object Queries {
           bit_xor(h) AS xor_digest,
           CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
             AS sum_digest
-        FROM h GROUP BY source ORDER BY source"""))
+        FROM h GROUP BY source ORDER BY source""")),
+
+    // ---- M10: BM25 retrieval (top-k docs for a term query) -------------
+    // The classic lexical-retrieval scorer, the workhorse for sourcing
+    // pretraining/RAG candidates: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    // (tf + k1·(1−b+b·dl/avgdl)), k1=1.2, b=0.75. Two portability
+    // disciplines (same license as m3): (1) idf is the log-free rational
+    // form (N−df+0.5)/(df+0.5) — ln() differs in the last ulp across
+    // libms and can flip a rank at a tie; the log damping is a
+    // one-expression swap at real use; (2) the per-doc Σ_t is a FIXED
+    // fold over the (known, literal) query terms — one pivoted column
+    // per term, added in one explicit association — never a shuffle-
+    // order-dependent double sum(). Scale shape: dl is a map-combined
+    // per-doc count; tf only materializes (doc, term) pairs for the
+    // query's terms (the filter lands right on the exploded scan, so the
+    // per-doc state is |query| not |vocab|); df/N/avgdl are tiny
+    // broadcast sides; the final top-k is TakeOrderedAndProject. At
+    // 100 TB: one shuffle on doc_id for tf + dl, candidates bounded by
+    // docs containing a query term.
+    QueryDef("m10_bm25",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val terms = Seq("vector", "join", "filter", "scan")
+        val tk = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+        val tf = tk.filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        // tf is one row per (doc, term), so df is a plain count — no
+        // count-distinct shuffle
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfreq), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("idf",
+            (col("n").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5))
+          .withColumn("score", col("idf") *
+            (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+                (col("sumdl").cast("double") / col("n").cast("double"))))))
+        def termScore(t0: String) = coalesce(
+          max(when(col("tok") === t0, col("score"))), lit(0.0))
+        scored.groupBy("doc_id")
+          .agg(((termScore("vector") + termScore("join")) +
+            termScore("filter") + termScore("scan")).as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id")).limit(20)
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+          WHERE tok IN ('vector', 'join', 'filter', 'scan')
+          GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT tf.doc_id, tf.tok,
+            ((CAST(st.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+              / (CAST(dfreq.df AS DOUBLE) + 0.5))
+            * (CAST(tf.tf AS DOUBLE) * 2.2)
+            / (CAST(tf.tf AS DOUBLE) + 1.2
+              * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+              AS score
+          FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+          CROSS JOIN st)
+        SELECT doc_id,
+          (coalesce(max(CASE WHEN tok = 'vector' THEN score END), 0.0)
+            + coalesce(max(CASE WHEN tok = 'join' THEN score END), 0.0))
+            + coalesce(max(CASE WHEN tok = 'filter' THEN score END), 0.0)
+            + coalesce(max(CASE WHEN tok = 'scan' THEN score END), 0.0)
+            AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

@@ -23,12 +23,14 @@ def main():
         d = json.loads(line)
         if d["metric"] == "total":
             total = d["value"]
-            meta = {k: d[k] for k in ("errors", "sf") if k in d}
+            meta.update({k: d[k] for k in ("errors", "sf") if k in d})
             queries = d.get("queries", queries)
         elif d["metric"] == "queries":
             queries = d["queries"]
         elif d["metric"] == "spread":
             spread = d["spread"]
+            meta["runs"] = d.get("runs")
+            meta["passes"] = d.get("passes")
     if total is None or queries is None:
         sys.exit(f"[bench_report] {log}: missing "
                  f"{'total' if total is None else 'queries'} line — "
@@ -43,8 +45,16 @@ def main():
             f.write(f" at `{meta['sf']}`")
         if meta.get("errors"):
             f.write(f"; errors: `{meta['errors']}`")
-        f.write(". Median of 3 noop-sink runs after warmup; spread is "
-                "[min,max] across runs.\n\n")
+        runs, passes = meta.get("runs"), meta.get("passes")
+        if passes and passes > 1:
+            f.write(f". Per query: best pass-median over {passes} full "
+                    f"suite passes of {runs} noop-sink runs each (after "
+                    "warmup) — the box is bimodal at the pass level, so "
+                    "the second pass collapses slow-mode totals; spread "
+                    "is [min,max] across all raw runs.\n\n")
+        else:
+            f.write(f". Median of {runs or 3} noop-sink runs after "
+                    "warmup; spread is [min,max] across runs.\n\n")
         f.write("Cross-run dispersion note: immediate same-code repeats "
                 "of the whole bench have measured up to ~1.5x apart on "
                 "this box (GC/page-cache state; observed 47.1 s vs "
