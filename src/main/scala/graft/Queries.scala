@@ -2605,6 +2605,43 @@ object Queries {
             AS sum_digest
         FROM h GROUP BY source ORDER BY source""")),
 
+    // ---- D13: cross-doc duplicated-span detection ----------------------
+    // Span-level dedup signal (Dedup.dupSpans): hashed sliding 8-token
+    // windows, shared across ≥2 distinct docs → per-doc duplicated-span
+    // fraction. The distributed proxy for Lee et al.'s exact-substring
+    // dedup; catches templated/boilerplate passages that whole-doc
+    // near-dup (d6/d7) and within-doc repetition (t7) both miss. The
+    // frac is exact int/int double division (bit-stable both engines);
+    // counts stay BIGINT on both sides (DuckDB sum() would widen to
+    // HUGEINT and stringify asymmetrically — the d12 lesson, see
+    // tools/check.py's int64 audit).
+    QueryDef("d13_dup_spans",
+      (s, dir) => Dedup.dupSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("lower(text)")} AS toks
+          FROM documents),
+        s AS (SELECT doc_id, toks, len(toks) AS n FROM tk
+          WHERE len(toks) >= 8),
+        w AS (SELECT doc_id,
+            md5(array_to_string(toks[i : i + 7], ' ')) AS h
+          FROM (SELECT doc_id, toks, unnest(range(1, n - 6)) AS i FROM s)),
+        dup AS (SELECT h FROM (
+            SELECT h, count(*) AS nd FROM (
+              SELECT DISTINCT h, doc_id FROM w) GROUP BY h)
+          WHERE nd >= 2)
+        SELECT doc_id, n_spans, n_dup_spans,
+          CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+            AS dup_span_frac
+        FROM (
+          SELECT w.doc_id, count(*) AS n_spans,
+            CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
+          FROM w LEFT JOIN dup d ON w.h = d.h
+          GROUP BY w.doc_id)
+        ORDER BY doc_id""")),
+
     // ---- M10: BM25 retrieval (top-k docs for a term query) -------------
     // The classic lexical-retrieval scorer, the workhorse for sourcing
     // pretraining/RAG candidates: score(d) = Σ_t idf(t) · tf·(k1+1) /

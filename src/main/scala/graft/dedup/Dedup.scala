@@ -599,6 +599,56 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Cross-document duplicated-span detection — the span-level complement
+    * to document-level near-dedup (d6/d7) and WITHIN-doc repetition
+    * (TextAnalysis.repetitionSignals): find token windows that recur
+    * across ≥ `minDocs` DISTINCT documents and score each document by the
+    * fraction of its windows that are shared. This is the standard
+    * distributed proxy for exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", use
+    * suffix arrays single-node; hashed sliding windows are the
+    * shuffle-friendly equivalent at cluster scale): boilerplate, license
+    * headers, and templated passages light up as high `dup_span_frac`
+    * even when whole-doc similarity stays below any near-dup threshold.
+    *
+    * Scale shape — SINGLE pass over the windows: the Generate
+    * (sequence/slice/array_join/md5, all codegen'd built-ins) fuses into
+    * the scan and runs once; a map-combined groupBy on (h, doc) collapses
+    * within-doc repeats to one row carrying its multiplicity; a count
+    * window over h turns row-count-per-h into the distinct-doc count
+    * (the rows ARE distinct (h, doc) pairs — no count-distinct
+    * expansion, no self-join, no second scan); the per-doc rollup is a
+    * final map-combined groupBy. Three shuffles total, each on data that
+    * only shrinks, keyed on the 128-bit md5 of the window text so no
+    * token payload crosses the wire. Windows-per-doc ≈ tokens-per-doc,
+    * the known cost of substring-level dedup — bound it upstream with a
+    * length filter if needed.
+    *
+    * Output: (idCol, n_spans, n_dup_spans, dup_span_frac) for every doc
+    * with ≥ `n` tokens. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => x =!= lit(""))
+    val winCounts = df
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => md5(array_join(slice(col("__toks"), i, lit(n)), " "))))
+        .as("__h"))
+      .groupBy(col("__h"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+    winCounts
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy("__h")))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_spans"),
+        sum(when(col("__nd") >= minDocs, col("__c")).otherwise(0L))
+          .as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (distinct
     * shingles; n=1 → token Jaccard). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

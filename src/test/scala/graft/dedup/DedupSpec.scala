@@ -359,4 +359,35 @@ class DedupSpec extends SparkSpec {
     // deterministic orientation: always tok_a < tok_b
     pairs.foreach { case (a, b) => a should be < b }
   }
+
+  test("dupSpans: cross-doc shared windows flagged, within-doc repeats " +
+    "and short docs excluded") {
+    // docs 1 and 2 share the 4-token span "alpha beta gamma delta"
+    // embedded in otherwise different text; doc 3 repeats a span
+    // INTERNALLY only (must not count as cross-doc); doc 4 is unrelated;
+    // doc 5 is shorter than the window (dropped from the output)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta one two three"),
+      (2L, "zero alpha beta gamma delta nine eight"),
+      (3L, "rep rep rep rep rep rep rep"),
+      (4L, "an entirely different and unrelated document here"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(corpus, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 7 tokens → 4 windows each for docs 1/3/4; 7 tokens doc 2 → 4
+    got.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L) // doc 5 dropped (<4 toks)
+    val byId = got.map(g => g._1 -> g).toMap
+    byId(1L)._2 shouldBe 4L
+    byId(1L)._3 shouldBe 1L // exactly the shared "alpha beta gamma delta"
+    byId(2L)._3 shouldBe 1L
+    byId(3L)._3 shouldBe 0L // internal repetition is NOT cross-doc dup
+    byId(4L)._3 shouldBe 0L
+    // frac is exact int/int division
+    Dedup.dupSpans(corpus, "doc_id", "text", n = 4)
+      .filter(col("doc_id") === 1L)
+      .select("dup_span_frac").as[Double].head() shouldBe 0.25
+  }
 }
