@@ -2718,7 +2718,84 @@ object Queries {
             + coalesce(max(CASE WHEN tok = 'scan' THEN score END), 0.0)
             AS bm25
         FROM sc GROUP BY doc_id
-        ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // ---- M11: PageRank over the TPC-H geography graph ------------------
+    // Iterative graph ranking (ml/PageRank): 5 damped power iterations
+    // over the natural customer→nation, supplier→nation, nation→region
+    // edge list (out-degree 1 per node; regions are dangling sinks).
+    // Integer fixed-point arithmetic end-to-end — rank DIV outdeg
+    // contributions, 150000 + (85·Σ) DIV 100 updates — so every rank is
+    // exact int64 and the 5-iteration chain is bit-identical on any
+    // engine (a float PageRank's shuffle-order Σ drifts in the last
+    // ulp). The oracle unrolls the same 5 iterations as chained CTEs
+    // with identical integer ops. Output: top 30 nodes by rank.
+    QueryDef("m11_pagerank",
+      (s, dir) => {
+        val nation = t(s, dir, "nation")
+        val edges =
+          t(s, dir, "customer").select(
+            concat(lit("c"), col("c_custkey")).as("src"),
+            concat(lit("n"), col("c_nationkey")).as("dst"))
+          .unionByName(t(s, dir, "supplier").select(
+            concat(lit("s"), col("s_suppkey")).as("src"),
+            concat(lit("n"), col("s_nationkey")).as("dst")))
+          .unionByName(nation.select(
+            concat(lit("n"), col("n_nationkey")).as("src"),
+            concat(lit("r"), col("n_regionkey")).as("dst")))
+        val nodes = edges.select(col("src").as("node"))
+          .unionByName(edges.select(col("dst").as("node"))).distinct()
+        graft.ml.PageRank.pagerank(nodes, edges, iters = 5)
+          .orderBy(desc("r"), col("node")).limit(30)
+      },
+      Some("""WITH edges AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+          UNION ALL
+          SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        nodes AS (
+          SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+        od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        e AS (SELECT edges.src, edges.dst, od.od
+          FROM edges JOIN od ON edges.src = od.src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        r1 AS (SELECT n.node,
+            150000 + (85 * coalesce(i.inc, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r0.r // e.od) AS BIGINT) AS inc
+            FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst) i
+          ON n.node = i.node),
+        r2 AS (SELECT n.node,
+            150000 + (85 * coalesce(i.inc, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r1.r // e.od) AS BIGINT) AS inc
+            FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst) i
+          ON n.node = i.node),
+        r3 AS (SELECT n.node,
+            150000 + (85 * coalesce(i.inc, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r2.r // e.od) AS BIGINT) AS inc
+            FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst) i
+          ON n.node = i.node),
+        r4 AS (SELECT n.node,
+            150000 + (85 * coalesce(i.inc, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r3.r // e.od) AS BIGINT) AS inc
+            FROM e JOIN r3 ON e.src = r3.node GROUP BY e.dst) i
+          ON n.node = i.node),
+        r5 AS (SELECT n.node,
+            150000 + (85 * coalesce(i.inc, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r4.r // e.od) AS BIGINT) AS inc
+            FROM e JOIN r4 ON e.src = r4.node GROUP BY e.dst) i
+          ON n.node = i.node)
+        SELECT node, CAST(r AS BIGINT) AS r FROM r5
+        ORDER BY r DESC, node LIMIT 30"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

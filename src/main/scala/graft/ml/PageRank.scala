@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the canonical iterative
+  * graph computation a curation pipeline reaches for when ranking
+  * interlinked documents (citation/link graphs, near-dup clusters, seed
+  * expansion) rather than scoring rows independently.
+  *
+  * Arithmetic contract (the part that makes it oracle-checkable): ranks
+  * are INTEGER micro-units (initial 1_000_000 per node), contributions
+  * are `rank DIV out_degree`, and the damped update is
+  * `150_000 + (85 * Σ incoming) DIV 100` — every operation is exact
+  * int64 arithmetic, truncation points are explicit, and integer sums
+  * are commutative, so ANY engine, partitioning, or merge order computes
+  * bit-identical ranks (a float PageRank's Σ is shuffle-order-dependent
+  * in the last ulp and can flip ranking ties). The documented tradeoff:
+  * each contribution truncates < 1 micro-unit; rank mass leaks at
+  * truncation points and dangling nodes (no redistribution), which is
+  * fine for RANKING — the order, not the stationary distribution, is
+  * the product.
+  *
+  * Scale shape: out-degrees are computed once (map-combined groupBy) and
+  * reused; each iteration is one shuffle join of ranks onto edge
+  * sources + one map-combined sum onto destinations + one left join
+  * back to the node set — all keyed shuffles that AQE can re-plan, with
+  * the per-iteration state exactly one BIGINT per node. The iteration
+  * count is a fixed small constant (the driver-coordinated loop is
+  * inherent to power iteration, same status as Lloyd's in Clustering);
+  * at real scale insert a checkpoint every few iterations to cut the
+  * unrolled lineage.
+  */
+object PageRank {
+
+  /** Ranks after `iters` damped power iterations.
+    *
+    * @param nodes one row per node: (`node`)
+    * @param edges directed edges: (`src`, `dst`); multi-edges count once
+    *              per row; nodes absent from `src` are dangling (their
+    *              rank is not redistributed)
+    * @return (node, r) — r in integer micro-units
+    */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__od"))
+    val e = edges.join(outdeg, "src")
+    val init = nodes.select(col("node"), lit(1000000L).as("r"))
+    (1 to iters).foldLeft(init) { (r, _) =>
+      val inc = e.join(r, e("src") === r("node"))
+        .select(col("dst"), expr("r DIV __od").as("__contrib"))
+        .groupBy(col("dst")).agg(sum("__contrib").as("__inc"))
+      nodes.join(inc, nodes("node") === inc("dst"), "left")
+        .select(nodes("node"),
+          (lit(150000L) + expr(
+            "(85 * coalesce(__inc, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+    }
+  }
+}
