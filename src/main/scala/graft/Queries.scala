@@ -2795,7 +2795,42 @@ object Queries {
             FROM e JOIN r4 ON e.src = r4.node GROUP BY e.dst) i
           ON n.node = i.node)
         SELECT node, CAST(r AS BIGINT) AS r FROM r5
-        ORDER BY r DESC, node LIMIT 30"""))
+        ORDER BY r DESC, node LIMIT 30""")),
+
+    // ---- X10: Unicode NFC normalization (native expression) ------------
+    // NFC-first dedup keying (functions/NfcNormalize): canonically-
+    // equivalent strings with different bytes — precomposed U+00E9 vs
+    // e + combining U+0301 — silently escape every hash-keyed dedup
+    // unless normalized first. documents text is ASCII, so (as x1-x4/d10
+    // derive their inputs) the variants derive deterministically from
+    // doc columns: thirds of the corpus get the decomposed, precomposed,
+    // and plain-ascii suffix; NFC must merge exactly the first two. The
+    // oracle is DuckDB's utf8proc-backed nfc_normalize against the
+    // JDK-Normalizer-backed native expression — the hash match proves
+    // the two independent Unicode implementations agree.
+    QueryDef("x10_nfc_dedup",
+      (s, dir) => {
+        val term = concat(col("source"), lit("/caf"),
+          when(col("doc_id") % 3 === 0, lit("e\u0301")) // decomposed
+            .when(col("doc_id") % 3 === 1, lit("\u00e9")) // precomposed
+            .otherwise(lit("e"))) // plain ascii: stays distinct
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.NfcNormalize(term).as("term_nfc"))
+          .groupBy("term_nfc")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+          .orderBy("term_nfc")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id, source || '/caf' ||
+            (CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'e' || chr(769)
+               WHEN 1 THEN chr(233)
+               ELSE 'e' END) AS term
+          FROM documents)
+        SELECT nfc_normalize(term) AS term_nfc,
+          min(doc_id) AS keep_id, count(*) AS n_variants
+        FROM raw GROUP BY 1 ORDER BY term_nfc"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,

@@ -81,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.Shingles].getName, "shingles"),
       (exprs: Seq[Expression]) => graft.functions.Shingles.build(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize.build(exprs)))
     e.injectOptimizerRule(_ => RewriteSyllableRegex)
   }
 }

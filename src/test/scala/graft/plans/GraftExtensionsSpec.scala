@@ -68,6 +68,30 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head().getSeq[String](0) shouldBe Seq.empty
   }
 
+  test("nfc_normalize SQL function: composes, idempotent, ascii " +
+    "zero-copy, null-safe") {
+    // decomposed e + U+0301 composes to precomposed U+00E9. (The
+    // codepoints are Scala escapes resolved before the SQL parser sees
+    // them — Spark SQL's own chr() is mod-256 ASCII and cannot build
+    // U+0301, unlike DuckDB's codepoint chr.)
+    spark.sql("SELECT nfc_normalize('cafe\u0301') AS s")
+      .head().getString(0) shouldBe "caf\u00e9"
+    // already-NFC and pure-ascii inputs are identity
+    spark.sql("SELECT nfc_normalize('caf\u00e9') AS s")
+      .head().getString(0) shouldBe "caf\u00e9"
+    spark.sql("SELECT nfc_normalize('plain ascii') AS s")
+      .head().getString(0) shouldBe "plain ascii"
+    spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS s")
+      .head().isNullAt(0) shouldBe true
+    // interpreted path agrees with the codegen'd one, and the ascii
+    // fast path is zero-copy (same instance back)
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.NfcNormalize.nfc(
+      UTF8String.fromString("cafe\u0301")).toString shouldBe "caf\u00e9"
+    val ascii = UTF8String.fromString("abc")
+    (graft.functions.NfcNormalize.nfc(ascii) eq ascii) shouldBe true
+  }
+
   test("other greatest/regexp shapes are left untouched") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("docs_ext2")
