@@ -2192,6 +2192,35 @@ object Queries {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name ORDER BY s_name""")),
 
+    // ---- K7: hive-partitioned write + partition-pruned read ------------
+    // The third physical-layout primitive next to bucketing (k6) and
+    // Z-order (p10): write hive-style source=… directories, read back
+    // with a partition filter. The filter resolves against DIRECTORY
+    // NAMES at planning time — the pruned scan never opens, lists, or
+    // reads a byte of the other partitions (PLANS.md shows it under
+    // PartitionFilters, not PushedFilters). At 100 TB with a sensible
+    // partition key this is the difference between scanning 3/20ths of
+    // the corpus and all of it. The oracle aggregates the original
+    // un-partitioned table — the hash match proves the partitioned
+    // layout is lossless, including the partition-column round-trip
+    // (value → directory name → value).
+    QueryDef("k7_partitioned_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/docs_partitioned"
+        t(s, dir, "documents").select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").partitionBy("source").parquet(out)
+        s.read.parquet(out)
+          .filter(col("source").isin("src3", "src7", "src15"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE source IN ('src3', 'src7', 'src15')
+        GROUP BY source ORDER BY source""")),
+
     // ---- A17: equi-width histogram -------------------------------------
     // Fixed-width value binning (floor of an exact power-of-ten division
     // — deterministic IEEE in any engine): the profiling primitive behind

@@ -136,4 +136,34 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hive-partitioned layout: the pruned scan reads ONLY matching " +
+    "partition directories (k7's plan property)") {
+    val out = "/tmp/graft_sinks/spec/docs_partitioned"
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("source").isin("src3", "src7"))
+    // the scan's own partition selection (NOT df.inputFiles, which
+    // reflects the unpruned file index): pruning happens at planning
+    // time against directory names, so exactly the 2 selected source=…
+    // directories survive out of 20
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    scan.selectedPartitions.partitionCount shouldBe 2
+    val readPaths = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString).toSeq
+    readPaths should not be empty
+    all(readPaths) should (include("source=src3") or
+      include("source=src7"))
+    // and the filter is classified as a PartitionFilter, not a data
+    // filter pushed into the parquet reader
+    val plan = pruned.queryExecution.sparkPlan.toString
+    plan should include("PartitionFilters")
+    // losslessness of the value → directory → value round-trip
+    pruned.groupBy("source").count().orderBy("source")
+      .collect().map(_.getString(0)) shouldBe Array("src3", "src7")
+  }
 }
