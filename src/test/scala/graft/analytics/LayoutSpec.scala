@@ -167,6 +167,45 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.getString(0)) shouldBe Array("src3", "src7")
   }
 
+  test("AQE splits a skewed join partition at runtime (the engine's " +
+    "no-code-change answer to hot keys, complementing saltedJoin)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.{explode, sequence}
+    // one hot key carrying ~1000x the rows of every other key. The
+    // payload md5 matters: skew detection reads COMPRESSED shuffle
+    // partition sizes, and a lone repeated join key compresses to
+    // nothing — a bare-keys fixture never trips the byte thresholds
+    // (found empirically; keep the payload if editing this test)
+    val big = spark.range(0, 200).toDF("k")
+      .withColumn("n", when(col("k") === 0, lit(30000)).otherwise(lit(30)))
+      .select(col("k"), explode(sequence(lit(1), col("n"))).as("v"))
+      .withColumn("payload", md5(concat(col("k"), lit("_"), col("v"))))
+    val dim = spark.range(0, 200).toDF("k").withColumn("tag", col("k") * 2)
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      .map { case (k, v) =>
+        val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
+      }
+    try {
+      val joined = big.join(dim, "k").groupBy("tag")
+        .agg(count(lit(1)).as("n"), max("payload").as("p"))
+      joined.collect().length shouldBe 200 // correctness first
+      // after execution AQE has finalized the plan: the hot partition
+      // must be marked skew-split on the sort-merge join
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a
+      }.get
+      adaptive.executedPlan.toString should include("skew=true")
+    } finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("dynamic partition overwrite rewrites ONLY the touched " +
     "partitions (incremental backfill without clobbering the table)") {
     val out = "/tmp/graft_sinks/spec/docs_dpo"
