@@ -28,4 +28,60 @@ class QueriesEdgeSpec extends SparkSpec {
     out("xx")._2 shouldBe 2502L
     out("yy")._1 shouldBe "other language."
   }
+
+  test("d13: dup-free corpus yields all-zero dup counts; sub-window and " +
+    "null-text docs drop cleanly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine", "s", "en", 45L),
+      (2L, "ten eleven twelve thirteen fourteen fifteen sixteen " +
+        "seventeen eighteen", "s", "en", 60L),
+      (3L, "short doc", "s", "en", 9L), // < 8 tokens: no windows
+      (4L, null: String, "s", "en", 0L) // null text: no windows
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val dir = Files.createTempDirectory("d13edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d13_dup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L) // 3 and 4 dropped
+    all(out.map(_._2)) shouldBe 0L // no cross-doc spans anywhere
+    all(out.map(_._3)) shouldBe 0.0
+  }
+
+  test("m10: a query term absent from the corpus contributes zero, " +
+    "docs without any query term don't rank") {
+    import spark.implicits._
+    // only 'join' and 'scan' exist; 'vector' and 'filter' are absent
+    val docs = Seq(
+      (1L, "join join scan other words here", "s", "en", 30L),
+      (2L, "nothing relevant at all", "s", "en", 23L),
+      (3L, "scan once", "s", "en", 9L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val dir = Files.createTempDirectory("m10edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("m10_bm25")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.keySet shouldBe Set(1L, 3L) // doc 2 matches nothing
+    out(1L) should be > out(3L) // two terms + higher tf beats one
+    all(out.values) should be > 0.0
+  }
+
+  test("x10: a null source row flows through NFC normalization as a " +
+    "null group, not a crash") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "t", "srcA", "en", 1L),
+      (1L, "t", "srcA", "en", 1L),
+      (2L, "t", null: String, "en", 1L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val dir = Files.createTempDirectory("x10edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x10_nfc_dedup")(spark, dir).collect()
+    // doc 0 (decomposed) and doc 1 (precomposed) merge post-NFC; the
+    // null-source row groups under a null canonical term
+    val nonNull = rows.filter(!_.isNullAt(0))
+    nonNull.map(_.getLong(2)).sum shouldBe 2L
+    nonNull.length shouldBe 1
+    rows.count(_.isNullAt(0)) shouldBe 1
+  }
 }

@@ -369,4 +369,39 @@ class StreamsSpec extends SparkSpec {
     open.get.end shouldBe t(39)
     open.get.start shouldBe t(0)
   }
+
+  test("streaming partitioned parquet sink: hive layout + exactly-once " +
+    "across restarts (k7's streaming twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("stream_part_sink").toString
+    val ckpt = Files.createTempDirectory("stream_part_ckpt").toString
+    def runOnce(): Unit = {
+      val q = input.toDF().toDF("doc_id", "source")
+        .writeStream.format("parquet")
+        .partitionBy("source")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); gracefulStop(q)
+    }
+    input.addData((1L, "sA"), (2L, "sB"), (3L, "sA"))
+    runOnce()
+    // restart from the same checkpoint: only NEW data lands (the file
+    // sink's transaction log makes reprocessing idempotent)
+    input.addData((4L, "sB"))
+    runOnce()
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 4
+    // hive directory layout, readable with partition pruning
+    new java.io.File(out).listFiles().map(_.getName).filter(
+      _.startsWith("source=")).sorted shouldBe Array(
+      "source=sA", "source=sB")
+    back.filter(col("source") === "sA").select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(1L, 3L)
+    back.filter(col("source") === "sB").select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(2L, 4L)
+  }
 }
