@@ -42,15 +42,24 @@ object PageRank {
     * @return (node, r) — r in integer micro-units
     */
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    // both static sides are re-read EVERY iteration (nodes twice: rank
+    // rebuild + the previous rank's lineage) — persist them or the node
+    // distinct and the out-degree join re-execute iters× (the d6 shared-
+    // shingle-table discipline; at the m11 fixture size the remaining
+    // cost is AQE stage overhead of the 5-stage chain, but at graph
+    // scale the recomputation would dominate). Cache lifecycle is the
+    // session's: callers doing many pageranks can unpersist explicitly.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__od"))
-    val e = edges.join(outdeg, "src")
-    val init = nodes.select(col("node"), lit(1000000L).as("r"))
+    val e = edges.join(outdeg, "src").persist(lvl)
+    val n = nodes.persist(lvl)
+    val init = n.select(col("node"), lit(1000000L).as("r"))
     (1 to iters).foldLeft(init) { (r, _) =>
       val inc = e.join(r, e("src") === r("node"))
         .select(col("dst"), expr("r DIV __od").as("__contrib"))
         .groupBy(col("dst")).agg(sum("__contrib").as("__inc"))
-      nodes.join(inc, nodes("node") === inc("dst"), "left")
-        .select(nodes("node"),
+      n.join(inc, n("node") === inc("dst"), "left")
+        .select(n("node"),
           (lit(150000L) + expr(
             "(85 * coalesce(__inc, CAST(0 AS BIGINT))) DIV 100")).as("r"))
     }
