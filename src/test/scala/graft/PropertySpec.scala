@@ -250,4 +250,54 @@ class PropertySpec extends SparkSpec {
       pairs should contain(Set(w, t))
     }
   }
+
+  test("dupSpans invariants: frac in [0,1], bounded by n_spans, corpus " +
+    "row order never changes the result, verbatim dup docs score 1.0") {
+    val base = sample(text, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // append a verbatim copy of doc 0 under a new id
+    val corpus = base :+ (1000L, base.head._2)
+    def run(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Double)] =
+      Dedup.dupSpans(rows.toDF("doc_id", "text"), "doc_id", "text", n = 4)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+    val out = run(corpus)
+    out.values.foreach { case (nSpans, nDup, frac) =>
+      nSpans should be > 0L
+      nDup should be <= nSpans
+      frac should (be >= 0.0 and be <= 1.0)
+      frac shouldBe nDup.toDouble / nSpans.toDouble
+    }
+    // the verbatim pair: every window shared → frac exactly 1.0 (if the
+    // docs are long enough to have windows at all)
+    for (d <- Seq(0L, 1000L); v <- out.get(d)) v._3 shouldBe 1.0
+    // permutation invariance: reversing corpus order changes nothing
+    run(corpus.reverse) shouldBe out
+  }
+
+  test("pagerank invariants: rank ≥ base, iteration-0 mass conserved " +
+    "through out-degree splits (minus integer truncation)") {
+    import graft.ml.PageRank
+    val rng = new scala.util.Random(7)
+    val n = 30
+    val edges = (0 until n).flatMap { i =>
+      (0 until 1 + rng.nextInt(3)).map(_ => (s"n$i", s"n${rng.nextInt(n)}"))
+    }.distinct
+    val nodes = (0 until n).map(i => s"n$i")
+    val r1 = PageRank.pagerank(nodes.toDF("node"),
+      edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    r1.keySet shouldBe nodes.toSet
+    // every node keeps at least the damped base
+    all(r1.values) should be >= 150000L
+    // one-iteration mass check: Σ contributions ≤ Σ initial rank, and
+    // the deficit is only integer truncation (< 1 unit per edge)
+    val r1iter = PageRank.pagerank(nodes.toDF("node"),
+      edges.toDF("src", "dst"), iters = 1)
+      .collect().map(_.getLong(1)).sum
+    val upper = n * 150000L + (85L * n * 1000000L) / 100L
+    r1iter should be <= upper
+    r1iter should be > upper - n * 1000L // truncation deficit is tiny
+  }
 }
