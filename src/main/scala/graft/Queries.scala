@@ -1468,6 +1468,38 @@ object Queries {
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY event_id""")),
 
+    // ---- J11: as-of join, native whole-operator path -------------------
+    // The SAME as-of semantics as j4 through the §2.12(c) extension tier:
+    // custom AsOfJoinPlan logical node → NativeAsOfStrategy →
+    // MergeAsOfJoinExec (graft.plans.NativeAsOf) — a single-forward-pass
+    // streaming merge over key-clustered, (key, ts)-sorted children,
+    // O(|L_k|+|R_k|) per key with one buffered payload row of state.
+    // j4 and j11 sharing one DuckDB ASOF oracle is the strongest
+    // equivalence witness the driver can give: two independent
+    // implementations (union+window vs native merge) hash-identical.
+    QueryDef("j11_asof_native",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val right = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("r_value"))
+        val left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        graft.plans.NativeAsOf.asofJoin(left, right, "user_id", "ts",
+          "ts", Seq("r_value"), prefix = "")
+          .select("event_id", "user_id", "value", "r_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+          SELECT user_id, ts, max(value) AS r_value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+        l AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.value, r.r_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY event_id""")),
+
     // ---- W4: trailing range-window count ----------------------------
     // Range join on a trailing time window expressed as a RANGE-frame
     // window aggregate: all in-window counts in ONE pass over a single

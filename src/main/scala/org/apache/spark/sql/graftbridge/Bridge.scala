@@ -17,4 +17,13 @@ object Bridge {
 
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4 — same shim rationale as above; used by
+    * the native whole-operator plans in `graft.plans`). */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
