@@ -87,5 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => graft.functions.NfcNormalize.build(exprs)))
     e.injectOptimizerRule(_ => RewriteSyllableRegex)
+    // whole-operator tier: plans the custom AsOfJoinPlan logical node
+    // into MergeAsOfJoinExec (NativeAsOf.asofJoin also self-registers on
+    // its session via experimental.extraStrategies, so the operator
+    // works without extensions; this makes it first-class when they ARE
+    // installed)
+    e.injectPlannerStrategy(_ => NativeAsOfStrategy)
   }
 }
