@@ -79,4 +79,46 @@ class ReadersSpec extends SparkSpec {
       .head().getLong(0) shouldBe
       3L * png.length
   }
+
+  test("schema evolution: mergeSchema unifies parquet written over time " +
+    "with added columns (missing values null, not errors)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve").toString
+    // month 1: two columns; month 2: a quality column was added
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/part1")
+    Seq((3L, "c", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/part2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/part1", s"$dir/part2")
+    merged.schema.fieldNames.sorted shouldBe
+      Array("doc_id", "quality", "text")
+    merged.count() shouldBe 3
+    merged.filter(col("quality").isNull).count() shouldBe 2 // old rows
+    // without mergeSchema the first-listed footer wins: quality invisible
+    spark.read.parquet(s"$dir/part1", s"$dir/part2")
+      .schema.fieldNames should not contain "quality"
+  }
+
+  test("corrupt-file tolerance: ignoreCorruptFiles skips garbage files " +
+    "instead of failing the job (R4 at the file level)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corrupt").toString
+    Seq((1L, "ok"), (2L, "fine")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    // drop a non-parquet file where the reader will pick it up
+    Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "this is not parquet".getBytes)
+    val saved = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      spark.read.parquet(dir).count() shouldBe 2 // junk skipped
+    } finally
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
+    // default posture: corruption is LOUD (fail, don't silently drop)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+  }
 }
