@@ -30,10 +30,11 @@ final case class PipelineConfig(
     posTagStats: Boolean = true,
     readabilityScores: Boolean = true,
     // reference `metadata_generator_backend` (utils.py:39-43, selected in
-    // configs/*.yml:15) — validated against the three known backends at
-    // parse time so a typo fails the run instead of silently mislabeling
-    // the produced metadata
-    metadataGeneratorBackend: String = "spacy",
+    // configs/*.yml:15) — typed, not a String, so an invalid backend is
+    // unrepresentable: fromYaml validates at parse time and direct
+    // construction can only name a real profile
+    metadataGeneratorBackend: graft.enrich.MetadataBackend =
+      graft.enrich.MetadataBackend.Spacy,
     filters: Seq[FilterCfg] = Nil,
     downloadEnabled: Boolean = false,
     nWorkers: Int = 8,
@@ -155,7 +156,7 @@ object PipelineConfig {
         bool(extraction.getOrElse("readability_scores", ""), dflt = true),
       metadataGeneratorBackend = graft.enrich.MetadataBackend.fromName(
         extraction.getOrElse("metadata_generator_backend", "spacy")
-          .toString match { case "" => "spacy"; case s => s }).name,
+          .toString match { case "" => "spacy"; case s => s }),
       filters = filters,
       downloadEnabled = bool(extraction.getOrElse("download", ""), dflt = false),
       nWorkers = extraction.get("n_workers")

@@ -629,7 +629,9 @@ object Dedup {
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int = 8, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(lower(col(textCol)), "\\s+"), x => x =!= lit(""))
+    // the engine token definition (kept in lockstep with the oracle's
+    // toksSql via CaptionStats.tokens), lowercased first
+    val toks = CaptionStats.tokens(lower(col(textCol)))
     val winCounts = df
       .select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= n)

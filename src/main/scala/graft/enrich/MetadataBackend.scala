@@ -37,8 +37,10 @@ sealed abstract class MetadataBackend(val name: String) {
 object MetadataBackend {
 
   case object Spacy extends MetadataBackend("spacy") {
-    def tokens(c: Column): Column =
-      filter(split(c, "\\s+"), x => x =!= lit(""))
+    // delegates to THE engine token definition (CaptionStats.tokens,
+    // mirrored by the DuckDB oracle's toksSql) rather than restating it —
+    // the three places that tokenize must never drift apart
+    def tokens(c: Column): Column = CaptionStats.tokens(c)
   }
 
   case object Nltk extends MetadataBackend("nltk") {

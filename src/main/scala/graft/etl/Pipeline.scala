@@ -51,7 +51,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         val raw = Readers.wikicaps(spark, cfg.inputPath)
         val enriched = CaptionStats.enrich(raw, "caption",
           cfg.posTagStats, cfg.readabilityScores,
-          graft.enrich.MetadataBackend.fromName(cfg.metadataGeneratorBackend))
+          cfg.metadataGeneratorBackend)
         enriched.write.mode("overwrite").parquet(metaFull) // K1 checkpoint
         spark.read.parquet(metaFull)
       }

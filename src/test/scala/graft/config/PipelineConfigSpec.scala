@@ -52,21 +52,22 @@ class PipelineConfigSpec extends SparkSpec {
     c.transformations.map(_.name) shouldBe Seq("resize", "compress")
     c.transformations.head.params("max_width") shouldBe "640"
     c.outputDir shouldBe "/tmp/out"
-    c.metadataGeneratorBackend shouldBe "spacy"
+    c.metadataGeneratorBackend shouldBe graft.enrich.MetadataBackend.Spacy
   }
 
   test("metadata_generator_backend: all three reference values accepted, " +
     "absent key defaults to spacy, unknown value fails the parse") {
+    import graft.enrich.MetadataBackend
     def withBackend(v: String): String =
       s"extraction:\n  metadata_generator_backend: $v\n"
     PipelineConfig.fromYaml(withBackend("nltk"))
-      .metadataGeneratorBackend shouldBe "nltk"
+      .metadataGeneratorBackend shouldBe MetadataBackend.Nltk
     PipelineConfig.fromYaml(withBackend("polyglot"))
-      .metadataGeneratorBackend shouldBe "polyglot"
+      .metadataGeneratorBackend shouldBe MetadataBackend.Polyglot
     PipelineConfig.fromYaml(withBackend("SPACY"))
-      .metadataGeneratorBackend shouldBe "spacy" // case-insensitive
+      .metadataGeneratorBackend shouldBe MetadataBackend.Spacy // case-insens
     PipelineConfig.fromYaml("run:\n  extract: true\n")
-      .metadataGeneratorBackend shouldBe "spacy"
+      .metadataGeneratorBackend shouldBe MetadataBackend.Spacy
     // the reference errors on an unknown enum value; silently defaulting
     // would mislabel the produced metadata
     an[IllegalArgumentException] should be thrownBy

@@ -117,7 +117,7 @@ class CaptionStatsSpec extends SparkSpec {
     "enrich, and downstream stats inherit the tokenizer") {
     val cfg = graft.config.PipelineConfig.fromYaml(
       "extraction:\n  metadata_generator_backend: nltk\n")
-    val b = MetadataBackend.fromName(cfg.metadataGeneratorBackend)
+    val b = cfg.metadataGeneratorBackend
     b shouldBe MetadataBackend.Nltk
     val df = CaptionStats.enrich(
       Seq("Alice runs fast!").toDF("caption"), "caption", backend = b)

@@ -16,11 +16,12 @@ by name, rows sorted by all columns (pandas sort_values — crashes on
 ndarray cells exactly like the driver does), every cell stringified
 WITHOUT numeric coercion and md5-hashed.
 
-Additionally audits every Spark output column for values outside the
-int64 range (Decimal/object or float magnitudes > 2^63-1): such
-columns stringify asymmetrically between pyarrow and DuckDB→pandas,
-so they are reported as failures even if today's hash happens to
-match.
+Additionally audits every Spark output column for int/Decimal values
+outside the int64 range: such columns stringify asymmetrically between
+pyarrow (Decimal object) and DuckDB→pandas (float64), so they are
+reported as failures even if today's hash happens to match. DOUBLE
+columns are deliberately NOT audited — both readers surface them as
+float64, so their str() forms agree at any magnitude.
 """
 import hashlib
 import json
@@ -35,8 +36,9 @@ INT64_MIN = -(1 << 63)
 
 
 def int64_overflow_cols(df):
-    """Columns holding numeric values outside int64 — the class of value
-    the driver's two parquet readers stringify differently."""
+    """Columns holding int/Decimal values outside int64 — the class of
+    value the driver's two parquet readers stringify differently
+    (floats render identically on both paths and are not audited)."""
     bad = []
     for c in df.columns:
         s = df[c].dropna()
