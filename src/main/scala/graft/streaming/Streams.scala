@@ -235,6 +235,63 @@ object Streams {
       }
   }
 
+  /** A user's final funnel stage, emitted by [[funnelStages]]. */
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming conversion funnel — the streaming twin of batch query
+    * w6_funnel: per user, the view → click → purchase stage machine over
+    * events ordered by (ts, event_id) — the same total order as batch,
+    * so streamed ≡ batch holds unconditionally, ts ties included.
+    *
+    * The stage machine is ORDER-SENSITIVE and not incrementally
+    * maintainable under out-of-order arrival (a late early view can
+    * retroactively enable a click that already arrived), so the state is
+    * the user's buffered (ts, event_id, type) events, folded ONCE when
+    * the event-time timeout fires — i.e. when the watermark proves no
+    * earlier event can still arrive. Emission is therefore exactly-once
+    * per user per quiet period, and state is bounded by each user's
+    * events within the watermark horizon (the funnel window), not by
+    * stream length: a bot user is capped by the horizon, and the w6-type
+    * analysis runs on a bounded window by construction (its batch twin
+    * filters to 36 h for the same reason). */
+  def funnelStages(events: Dataset[Event],
+                   watermarkDelay: String = "30 minutes")
+  : Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Event], FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Seq[Event]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the user's last event: the order is final
+            val evs = state.get.sortBy(e => (e.ts.getTime, e.event_id))
+            state.remove()
+            val stage = evs.foldLeft(0) { (st, e) =>
+              (st, e.event_type) match {
+                case (0, "view") => 1
+                case (1, "click") => 2
+                case (2, "purchase") => 3
+                case _ => st
+              }
+            }
+            Iterator.single(FunnelStage(uid, stage))
+          } else {
+            val buf = state.getOption.getOrElse(Seq.empty) ++ it
+            state.update(buf)
+            // fold once the watermark clears the user's newest event —
+            // strictly above the current watermark or an already-passed
+            // deadline would never fire
+            state.setTimeoutTimestamp(math.max(
+              buf.iterator.map(_.ts.getTime).max + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * BROADCAST static dimension — no streaming state, no watermark, and
     * the stream side never shuffles (the dim ships to executors once per

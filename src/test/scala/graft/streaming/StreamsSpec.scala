@@ -370,6 +370,67 @@ class StreamsSpec extends SparkSpec {
     open.get.start shouldBe t(0)
   }
 
+  test("streaming funnel ≡ batch stage fold, with out-of-order arrivals " +
+    "and a ts tie (w6's streaming twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[Streams.Event]
+    // u1 converts fully; u2's click arrives LATE (batch 2) with an
+    // EARLIER ts than its purchase — only the buffered fold gets this
+    // right; u3 has a ts TIE where event_id order decides (view id 30
+    // before click id 31 at the same instant → stage 2); u4 never views
+    input.addData(
+      Streams.Event(10, t(0), 1L, "view", 1.0),
+      Streams.Event(11, t(1), 1L, "click", 1.0),
+      Streams.Event(12, t(2), 1L, "purchase", 1.0),
+      Streams.Event(20, t(0), 2L, "view", 1.0),
+      Streams.Event(22, t(4), 2L, "purchase", 1.0),
+      Streams.Event(30, t(5), 3L, "view", 1.0),
+      Streams.Event(31, t(5), 3L, "click", 1.0),
+      Streams.Event(40, t(1), 4L, "click", 1.0))
+    input.addData( // late, out of order: ts before u2's purchase
+      Streams.Event(21, t(2), 2L, "click", 1.0))
+    input.addData( // watermark push: 30 min delay + margin past t(5)
+      Streams.Event(99, t(120), 9L, "view", 1.0))
+    val q = Streams.funnelStages(input.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.sql("SELECT * FROM funnel_out")
+        .as[Streams.FunnelStage].collect()
+        .map(f => f.user_id -> f.stage).toMap
+      out.get(1L) shouldBe Some(3)
+      out.get(2L) shouldBe Some(3) // late click still completes the chain
+      out.get(3L) shouldBe Some(2) // tie resolved by event_id, like batch
+      out.get(4L) shouldBe Some(0) // click without view never advances
+      out.get(9L) shouldBe None    // watermark hasn't passed the sentinel
+      // and the exact batch twin (the w6 fold) agrees on every user
+      val batch = Seq(
+        (1L, Seq((0, 10L, "view"), (1, 11L, "click"), (2, 12L, "purchase"))),
+        (2L, Seq((0, 20L, "view"), (2, 21L, "click"), (4, 22L, "purchase"))),
+        (3L, Seq((5, 30L, "view"), (5, 31L, "click"))),
+        (4L, Seq((1, 40L, "click")))
+      ).map { case (u, evs) =>
+        val stage = evs.sortBy(e => (e._1, e._2)).foldLeft(0) { (st, e) =>
+          (st, e._3) match {
+            case (0, "view") => 1
+            case (1, "click") => 2
+            case (2, "purchase") => 3
+            case _ => st
+          }
+        }
+        u -> stage
+      }.toMap
+      batch.foreach { case (u, s) => out(u) shouldBe s }
+    } finally gracefulStop(q)
+  }
+
   test("streaming partitioned parquet sink: hive layout + exactly-once " +
     "across restarts (k7's streaming twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
