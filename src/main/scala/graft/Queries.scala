@@ -2891,7 +2891,41 @@ object Queries {
           FROM documents)
         SELECT nfc_normalize(term) AS term_nfc,
           min(doc_id) AS keep_id, count(*) AS n_variants
-        FROM raw GROUP BY 1 ORDER BY term_nfc"""))
+        FROM raw GROUP BY 1 ORDER BY term_nfc""")),
+
+    // ---- DQ1: per-column data-quality profile --------------------------
+    // The deequ-style pre-training sanity check: one row per column with
+    // row/non-null/distinct counts and min/max (stringified for a
+    // uniform schema — these columns are BIGINT/VARCHAR, whose casts are
+    // engine-identical; doubles would not be, see the repo's rounding
+    // discipline). Each column profiles from its own pruned scan
+    // (ReadSchema carries exactly one column); at 100 TB fuse the
+    // numeric half into the single-pass Summary.columnStats matrix and
+    // keep the distinct counts as approx_count_distinct — this exact
+    // form is the oracle-checkable contract.
+    QueryDef("dq1_profile",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Seq("doc_id", "lang", "source", "n_chars").map { c =>
+          docs.agg(
+            count(lit(1)).as("n_rows"),
+            count(col(c)).as("n_nonnull"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_v"),
+            max(col(c)).cast("string").as("max_v"))
+            .select(lit(c).as("column_name"), col("n_rows"),
+              col("n_nonnull"), col("n_distinct"), col("min_v"),
+              col("max_v"))
+        }.reduce(_ unionByName _).orderBy("column_name")
+      },
+      Some {
+        val per = Seq("doc_id", "lang", "source", "n_chars").map(c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_v,
+            CAST(max($c) AS VARCHAR) AS max_v FROM documents""")
+        per.mkString("", " UNION ALL ", " ORDER BY column_name")
+      })
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,
