@@ -101,6 +101,36 @@ class ReadersSpec extends SparkSpec {
       .schema.fieldNames should not contain "quality"
   }
 
+  test("jsonl ingestion: PERMISSIVE mode quarantines malformed lines in " +
+    "_corrupt_record instead of failing or dropping (R4 for json)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("jsonl").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      ("""{"doc_id": 1, "text": "fine"}""" + "\n" +
+        """{"doc_id": 2 "text": "missing comma"}""" + "\n" +
+        """not json at all""" + "\n" +
+        """{"doc_id": 4, "text": "also fine"}""" + "\n").getBytes)
+    val schema = "doc_id LONG, text STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/docs.jsonl")
+      .cache() // corrupt-record queries need the full row materialized
+    df.count() shouldBe 4 // nothing dropped, nothing thrown
+    df.filter(col("_corrupt_record").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 4L)
+    // the quarantined rows carry the raw line for forensic replay
+    df.filter(col("_corrupt_record").isNotNull).count() shouldBe 2
+    df.filter(col("_corrupt_record") === "not json at all")
+      .count() shouldBe 1
+    // FAILFAST is the loud alternative when corruption must halt the run
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema("doc_id LONG, text STRING")
+        .option("mode", "FAILFAST").json(s"$dir/docs.jsonl").count()
+    }
+  }
+
   test("corrupt-file tolerance: ignoreCorruptFiles skips garbage files " +
     "instead of failing the job (R4 at the file level)") {
     import spark.implicits._
