@@ -235,58 +235,84 @@ object Streams {
       }
   }
 
-  /** A user's final funnel stage, emitted by [[funnelStages]]. */
+  /** A user's funnel stage as of the emission, from [[funnelStages]].
+    * Emissions per user are monotone non-decreasing (the stage machine
+    * only advances) — downstream takes the latest (= max) per user. */
   final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Slim per-user funnel state: the cumulative stage, the newest event
+    * ts seen (drives the quiet-period timeout), and the buffered events
+    * the watermark has NOT yet finalized — (ts, event_id, type) only,
+    * nothing the fold doesn't read. */
+  final case class FunnelState(stage: Int, lastTs: Long,
+                               pending: Seq[(Long, Long, String)])
 
   /** Streaming conversion funnel — the streaming twin of batch query
     * w6_funnel: per user, the view → click → purchase stage machine over
-    * events ordered by (ts, event_id) — the same total order as batch,
-    * so streamed ≡ batch holds unconditionally, ts ties included.
+    * events ordered by (ts, event_id), the same total order as batch.
     *
     * The stage machine is ORDER-SENSITIVE and not incrementally
     * maintainable under out-of-order arrival (a late early view can
-    * retroactively enable a click that already arrived), so the state is
-    * the user's buffered (ts, event_id, type) events, folded ONCE when
-    * the event-time timeout fires — i.e. when the watermark proves no
-    * earlier event can still arrive. Emission is therefore exactly-once
-    * per user per quiet period, and state is bounded by each user's
-    * events within the watermark horizon (the funnel window), not by
-    * stream length: a bot user is capped by the horizon, and the w6-type
-    * analysis runs on a bounded window by construction (its batch twin
-    * filters to 36 h for the same reason). */
+    * retroactively enable a click that already arrived), so an event
+    * folds only once the watermark proves nothing earlier can still
+    * come. Two consequences shape the design:
+    *
+    *  - **Bounded state for always-active users**: every batch, the
+    *    prefix of the buffer with ts <= current watermark is order-FINAL
+    *    (`withWatermark` has already dropped anything later-and-earlier)
+    *    and folds into the carried stage immediately; only events above
+    *    the watermark stay buffered. A bot emitting forever buffers at
+    *    most its events inside the watermark horizon.
+    *  - **Cumulative stage across quiet periods**: the fold result is
+    *    CARRIED, not discarded, when the quiet-period timeout emits — a
+    *    user who views, goes quiet (emit stage 1), then clicks and buys
+    *    emits stage 3 next time, exactly the batch fold over all their
+    *    events. Emissions are monotone; the latest per user equals batch
+    *    once the watermark passes that user's last event. Per-user state
+    *    after a timeout is one 3-field record (same bound and rationale
+    *    as [[latestWinsStream]]: evicting a live user would forget their
+    *    funnel position, which is data loss, not cleanup). */
   def funnelStages(events: Dataset[Event],
                    watermarkDelay: String = "30 minutes")
   : Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
+    def fold(st0: Int, evs: Seq[(Long, Long, String)]): Int =
+      evs.sortBy(e => (e._1, e._2)).foldLeft(st0) { (st, e) =>
+        (st, e._3) match {
+          case (0, "view") => 1
+          case (1, "click") => 2
+          case (2, "purchase") => 3
+          case _ => st
+        }
+      }
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Event], FunnelStage](
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[Event], state: GroupState[Seq[Event]]) =>
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
-            // watermark passed the user's last event: the order is final
-            val evs = state.get.sortBy(e => (e.ts.getTime, e.event_id))
-            state.remove()
-            val stage = evs.foldLeft(0) { (st, e) =>
-              (st, e.event_type) match {
-                case (0, "view") => 1
-                case (1, "click") => 2
-                case (2, "purchase") => 3
-                case _ => st
-              }
-            }
+            // wm > lastTs >= every pending ts: everything is final
+            val s = state.get
+            val stage = fold(s.stage, s.pending)
+            state.update(FunnelState(stage, s.lastTs, Nil))
             Iterator.single(FunnelStage(uid, stage))
           } else {
-            val buf = state.getOption.getOrElse(Seq.empty) ++ it
-            state.update(buf)
-            // fold once the watermark clears the user's newest event —
-            // strictly above the current watermark or an already-passed
-            // deadline would never fire
-            state.setTimeoutTimestamp(math.max(
-              buf.iterator.map(_.ts.getTime).max + 1,
-              state.getCurrentWatermarkMs() + 1))
+            val prev = state.getOption.getOrElse(FunnelState(0, 0L, Nil))
+            val buf = prev.pending ++
+              it.map(e => (e.ts.getTime, e.event_id, e.event_type))
+            // watermark-final prefix folds NOW (bounds the buffer);
+            // later-and-earlier arrivals were already dropped upstream
+            val (fin, pending) = buf.partition(_._1 <= wm)
+            val next = FunnelState(fold(prev.stage, fin),
+              math.max(prev.lastTs, buf.iterator.map(_._1).max), pending)
+            state.update(next)
+            // emit at the next quiet period: when the watermark clears
+            // the newest event (strictly above the current watermark or
+            // an already-passed deadline would never fire)
+            state.setTimeoutTimestamp(
+              math.max(next.lastTs + 1, wm + 1))
             Iterator.empty
           }
       }

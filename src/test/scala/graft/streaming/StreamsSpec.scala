@@ -404,7 +404,8 @@ class StreamsSpec extends SparkSpec {
       q.awaitTermination(60000)
       val out = spark.sql("SELECT * FROM funnel_out")
         .as[Streams.FunnelStage].collect()
-        .map(f => f.user_id -> f.stage).toMap
+        .groupBy(_.user_id).map { case (u, fs) =>
+          u -> fs.map(_.stage).max } // emissions are monotone: max = last
       out.get(1L) shouldBe Some(3)
       out.get(2L) shouldBe Some(3) // late click still completes the chain
       out.get(3L) shouldBe Some(2) // tie resolved by event_id, like batch
@@ -428,6 +429,46 @@ class StreamsSpec extends SparkSpec {
         u -> stage
       }.toMap
       batch.foreach { case (u, s) => out(u) shouldBe s }
+    } finally gracefulStop(q)
+  }
+
+  test("streaming funnel carries the stage ACROSS quiet periods: a user " +
+    "who converts after an emission reaches the batch stage, not a " +
+    "restarted machine") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[Streams.Event]
+    // u5 views, goes quiet long enough to EMIT stage 1, then clicks and
+    // purchases — the second emission must be 3 (cumulative), not 2-
+    // from-zero or a restart. The batches are fed interactively with
+    // processAllAvailable between them: AvailableNow drains every
+    // pending addData block in ONE micro-batch, which collapses the
+    // quiet periods this test exists to exercise.
+    val q = Streams.funnelStages(input.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("funnel_cum_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def feed(evs: Streams.Event*): Unit = {
+        input.addData(evs: _*); q.processAllAvailable()
+      }
+      feed(Streams.Event(50, t(0), 5L, "view", 1.0))
+      feed(Streams.Event(80, t(45), 8L, "view", 1.0)) // wm→t(15)
+      feed(Streams.Event(81, t(50), 8L, "view", 1.0)) // u5 emits stage 1
+      feed(Streams.Event(51, t(60), 5L, "click", 1.0),
+        Streams.Event(52, t(61), 5L, "purchase", 1.0))
+      feed(Streams.Event(99, t(120), 9L, "view", 1.0)) // wm→t(90)
+      feed(Streams.Event(100, t(240), 9L, "view", 1.0)) // flush timers
+      val u5 = spark.sql("SELECT * FROM funnel_cum_out")
+        .as[Streams.FunnelStage].collect()
+        .filter(_.user_id == 5L).map(_.stage)
+      // two quiet periods → two monotone emissions, final = batch fold
+      u5.sorted shouldBe u5 // never regresses
+      u5.last shouldBe 3
+      u5.head shouldBe 1
     } finally gracefulStop(q)
   }
 
