@@ -576,21 +576,31 @@ object Dedup {
     * Boilerplate (cookie banners, navigation strings, license footers)
     * repeated across millions of pages disappears everywhere but once.
     *
-    * Scale shape: two shuffles, both on narrow keys — a window
-    * `row_number` partitioned by the sentence's md5 (first-occurrence
-    * selection; md5 keeps the exchange key fixed-width regardless of
+    * Scale shape: two shuffles, both on narrow keys — first-occurrence
+    * selection is `groupBy(md5(sentence)).agg(min(struct(doc, pos,
+    * sentence)))` (md5 keeps the exchange key fixed-width regardless of
     * sentence length), then a groupBy on the doc id for the rebuild.
+    * The min-struct is partial-aggregatable, so a boilerplate sentence
+    * repeated across 10⁸ pages collapses to ONE row per map task before
+    * the shuffle — unlike the pre-r10 `row_number` Window on the same
+    * key, which funneled every occurrence of a viral sentence into a
+    * single task's sort buffer (a Window partition cannot be skew-split
+    * by AQE; a partial aggregate never concentrates in the first place).
     * No self-joins, no pairs, state linear in distinct sentences. */
   def dropRepeatedSentences(df: DataFrame, idCol: String,
                             textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sents = df.select(col(idCol),
       posexplode(CaptionStats.sentences(col(textCol)))
         .as(Seq("__pos", "__sent")))
-    val w = Window.partitionBy(md5(col("__sent")))
-      .orderBy(col(idCol), col("__pos"))
-    sents.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // min over struct(doc, pos, sentence) orders fields left-to-right —
+    // identical to ORDER BY doc, pos since (doc, pos) is unique; the
+    // sentence rides along so no join back is needed.
+    sents
+      .groupBy(md5(col("__sent")).as("__k"))
+      .agg(min(struct(col(idCol), col("__pos"), col("__sent"))).as("__f"))
+      .select(col("__f")(idCol).as(idCol),
+        col("__f")("__pos").as("__pos"),
+        col("__f")("__sent").as("__sent"))
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ", transform(
@@ -614,13 +624,18 @@ object Dedup {
     * Scale shape — SINGLE pass over the windows: the Generate
     * (sequence/slice/array_join/md5, all codegen'd built-ins) fuses into
     * the scan and runs once; a map-combined groupBy on (h, doc) collapses
-    * within-doc repeats to one row carrying its multiplicity; a count
-    * window over h turns row-count-per-h into the distinct-doc count
+    * within-doc repeats to one row carrying its multiplicity; the
+    * distinct-doc count per h is a second map-combined `groupBy(h).count`
     * (the rows ARE distinct (h, doc) pairs — no count-distinct
-    * expansion, no self-join, no second scan); the per-doc rollup is a
-    * final map-combined groupBy. Three shuffles total, each on data that
-    * only shrinks, keyed on the 128-bit md5 of the window text so no
-    * token payload crosses the wire. Windows-per-doc ≈ tokens-per-doc,
+    * expansion) equi-joined back on h; the per-doc rollup is a final
+    * map-combined groupBy. Keyed throughout on the 128-bit md5 of the
+    * window text so no token payload crosses the wire. The count is
+    * deliberately NOT a Window over h: a viral boilerplate span
+    * appearing in 10⁸ docs would put every (h, doc) row into one Window
+    * partition = one task (AQE's skew split applies to joins and
+    * rebalances, never Window partitions), whereas the partial count
+    * collapses the hot h map-side and the residual equi-join IS
+    * AQE-skew-splittable. Windows-per-doc ≈ tokens-per-doc,
     * the known cost of substring-level dedup — bound it upstream with a
     * length filter if needed.
     *
@@ -628,7 +643,6 @@ object Dedup {
     * with ≥ `n` tokens. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int = 8, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the engine token definition (kept in lockstep with the oracle's
     // toksSql via CaptionStats.tokens), lowercased first
     val toks = CaptionStats.tokens(lower(col(textCol)))
@@ -641,8 +655,9 @@ object Dedup {
         .as("__h"))
       .groupBy(col("__h"), col(idCol))
       .agg(count(lit(1)).as("__c"))
-    winCounts
-      .withColumn("__nd", count(lit(1)).over(Window.partitionBy("__h")))
+    val docCounts = winCounts.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nd"))
+    winCounts.join(docCounts, "__h")
       .groupBy(col(idCol))
       .agg(sum("__c").as("n_spans"),
         sum(when(col("__nd") >= minDocs, col("__c")).otherwise(0L))
