@@ -623,8 +623,8 @@ object Queries {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
       Some(raw"""SELECT doc_id,
-          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-            AS fingerprint
+          md5(regexp_replace(trim(lower(nfc_normalize(text))),
+            '\s+', ' ', 'g')) AS fingerprint
         FROM documents ORDER BY doc_id""")),
 
     // ---- T6: PII-style redaction (training-data cleaning) -----------
@@ -728,11 +728,15 @@ object Queries {
         ORDER BY doc_id""")),
 
     // ---- D1: exact dedup groups -------------------------------------
+    // NFC-first keying (default): DuckDB's utf8proc nfc_normalize vs the
+    // engine's JDK-backed native expression — the hash match re-proves
+    // the two Unicode implementations agree on the corpus (as x10 does
+    // on synthesized decomposed/precomposed variants).
     QueryDef("d1_exact_dedup",
       (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("fp"),
-      Some(raw"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-          AS fp,
+      Some(raw"""SELECT md5(regexp_replace(trim(lower(nfc_normalize(text))),
+            '\s+', ' ', 'g')) AS fp,
           min(doc_id) AS canonical_id, count(*) AS n_members
         FROM documents GROUP BY fp ORDER BY fp""")),
 
@@ -939,7 +943,8 @@ object Queries {
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
               || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
         s"""WITH toked AS (
-          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
+          SELECT doc_id, source,
+            ${toksSql("lower(nfc_normalize(text))")} AS toks
           FROM documents),
         bench AS (
           SELECT DISTINCT substr(md5(unnest($five)), 1, 16) AS bd
@@ -968,7 +973,7 @@ object Queries {
             FROM documents)),
         first AS (
           SELECT doc_id, pos, sent,
-            row_number() OVER (PARTITION BY md5(sent)
+            row_number() OVER (PARTITION BY md5(nfc_normalize(sent))
               ORDER BY doc_id, pos) AS rn
           FROM sents)
         SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text_kept,
@@ -2681,7 +2686,7 @@ object Queries {
         "doc_id", "text", n = 8, minDocs = 2)
         .orderBy("doc_id"),
       Some(s"""WITH tk AS (
-          SELECT doc_id, ${toksSql("lower(text)")} AS toks
+          SELECT doc_id, ${toksSql("lower(nfc_normalize(text))")} AS toks
           FROM documents),
         s AS (SELECT doc_id, toks, len(toks) AS n FROM tk
           WHERE len(toks) >= 8),

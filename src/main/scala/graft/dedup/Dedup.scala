@@ -22,18 +22,34 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** NFC-first keying gate, default ON across the hash-keyed dedup
+    * family (d1/d8/d9/d13): canonically-equivalent Unicode strings can
+    * have different bytes (precomposed U+00E9 vs e + combining U+0301),
+    * so byte-level digest keys silently miss such pairs unless the text
+    * is normalized first — see [[graft.functions.NfcNormalize]], whose
+    * ASCII fast path makes the default ~one branch per byte on ASCII
+    * corpora (zero-copy, no allocation). Pass `nfc = false` to key on
+    * raw bytes (byte-exact dedup of already-normalized corpora). */
+  private def nfcKey(c: Column, nfc: Boolean): Column =
+    if (nfc) graft.functions.NfcNormalize(c) else c
+
   /** Exact-dup groups: fingerprint → canonical (min) id + member count.
-    * Only groups with >1 member are duplicates. */
-  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * Only groups with >1 member are duplicates. NFC-first by default
+    * (see [[nfcKey]]). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String,
+                  nfc: Boolean = true): DataFrame =
     graft.util.Partitioning.spread(df)
-      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol), nfc).as("fp"))
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
-  /** Exact dedup: keep one row (min id) per fingerprint. */
-  def dropExactDups(df: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
-    val withFp = df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+  /** Exact dedup: keep one row (min id) per fingerprint. NFC-first by
+    * default (see [[nfcKey]]). */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String,
+                    nfc: Boolean = true): DataFrame = {
+    val withFp =
+      df.withColumn("fp", TextAnalysis.fingerprint(col(textCol), nfc))
     val keep = withFp.groupBy("fp").agg(min(col(idCol)).as(idCol))
     withFp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
@@ -100,9 +116,9 @@ object Dedup {
     * every consumer (signatures, explode, candidate-verify join) ignores
     * zero-shingle rows anyway — as does the oracle's `unnest`. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int): DataFrame = {
+                           shingleN: Int, nfc: Boolean = false): DataFrame = {
     val withToks = graft.util.Partitioning.spread(df).select(col(idCol),
-      CaptionStats.tokens(lower(col(textCol))).as("__toks"))
+      CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__toks"))
       .filter(size(col("__toks")) >= shingleN)
     withToks.select(col(idCol),
       shinglesFromToks(col("__toks"), shingleN).as("__s"))
@@ -479,17 +495,21 @@ object Dedup {
     * The 64-bit digest slice IS the match semantics (mirrored in the
     * oracle via `substr(md5(..),1,16)`): at 2^64, slice collisions are
     * ~10⁻⁹ even at 100 TB-scale shingle counts, and a collision only ever
-    * drops an extra doc — the conservative direction for decontamination. */
+    * drops an extra doc — the conservative direction for decontamination.
+    *
+    * NFC-first by default on BOTH sides (see [[nfcKey]]): a benchmark
+    * question whose crawl copy differs only in Unicode composition must
+    * still collide. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 5,
-                    bloomFpp: Double = 0.01): DataFrame = {
+                    bloomFpp: Double = 0.01, nfc: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
     // both sides explode HOF-built shingle arrays — without this the
     // inferred size>0 filter re-tokenizes per element (17× on this query)
     graft.util.OptimizerTuning.tune(corpus.sparkSession)
     def key64(tok: Column): Column = unhex(substring(md5(tok), 1, 16))
-    val benchToks = shingleTable(benchmark, idCol, textCol, shingleN)
+    val benchToks = shingleTable(benchmark, idCol, textCol, shingleN, nfc)
       .select(explode(col("__s")).as("token")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two driver-side jobs over the (persisted) small side: exact count to
@@ -505,7 +525,7 @@ object Dedup {
       new BloomFilterMightContain(Literal(bloomBytes),
         Bridge.expression(xxhash64(tok))))
     val bench = benchToks.select(key64(col("token")).as("__bd")).distinct()
-    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN)
+    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN, nfc)
       .select(col(idCol), explode(col("__s")).as("token"))
       .filter(mightContain(col("token")))
       .select(col(idCol), key64(col("token")).as("__bd"))
@@ -526,9 +546,11 @@ object Dedup {
     * distinct count to size the filter, then the bloom build) run at call
     * time. */
   def shingleBloom(benchmark: DataFrame, textCol: String,
-                   shingleN: Int = 5, fpp: Double = 0.01): Array[Byte] = {
+                   shingleN: Int = 5, fpp: Double = 0.01,
+                   nfc: Boolean = true): Array[Byte] = {
     val toks = graft.util.Partitioning.spread(benchmark)
-      .select(CaptionStats.tokens(lower(col(textCol))).as("__toks"))
+      .select(CaptionStats.tokens(lower(nfcKey(col(textCol), nfc)))
+        .as("__toks"))
       .filter(size(col("__toks")) >= shingleN)
       .select(explode(shinglesFromToks(col("__toks"), shingleN)).as("token"))
       .distinct()
@@ -552,7 +574,7 @@ object Dedup {
     * [[graft.functions.Shingles]] — no lambda-scope re-evaluation hazard
     * when this predicate is pushed into a filter. */
   def sharesShingle(bloomBytes: Array[Byte], text: Column,
-                    shingleN: Int = 5): Column = {
+                    shingleN: Int = 5, nfc: Boolean = true): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
     // null text → null shingle array → exists would return null, and a
@@ -560,7 +582,8 @@ object Dedup {
     // pass, which keeps null-text docs (they cannot be contaminated).
     // Coalesce to empty so the predicate is false, not null.
     val sh = coalesce(
-      shinglesFromToks(CaptionStats.tokens(lower(text)), shingleN),
+      shinglesFromToks(CaptionStats.tokens(lower(nfcKey(text, nfc))),
+        shingleN),
       array().cast("array<string>"))
     exists(sh, t => Bridge.column(
       new BloomFilterMightContain(Literal(bloomBytes),
@@ -586,9 +609,14 @@ object Dedup {
     * key, which funneled every occurrence of a viral sentence into a
     * single task's sort buffer (a Window partition cannot be skew-split
     * by AQE; a partial aggregate never concentrates in the first place).
-    * No self-joins, no pairs, state linear in distinct sentences. */
-  def dropRepeatedSentences(df: DataFrame, idCol: String,
-                            textCol: String): DataFrame = {
+    * No self-joins, no pairs, state linear in distinct sentences.
+    *
+    * NFC-first keying by default (see [[nfcKey]]): the grouping digest
+    * normalizes the sentence, so decomposed/precomposed copies of a
+    * boilerplate line dedup together; the KEPT text stays the original
+    * first-occurrence bytes. */
+  def dropRepeatedSentences(df: DataFrame, idCol: String, textCol: String,
+                            nfc: Boolean = true): DataFrame = {
     val sents = df.select(col(idCol),
       posexplode(CaptionStats.sentences(col(textCol)))
         .as(Seq("__pos", "__sent")))
@@ -596,7 +624,7 @@ object Dedup {
     // identical to ORDER BY doc, pos since (doc, pos) is unique; the
     // sentence rides along so no join back is needed.
     sents
-      .groupBy(md5(col("__sent")).as("__k"))
+      .groupBy(md5(nfcKey(col("__sent"), nfc)).as("__k"))
       .agg(min(struct(col(idCol), col("__pos"), col("__sent"))).as("__f"))
       .select(col("__f")(idCol).as(idCol),
         col("__f")("__pos").as("__pos"),
@@ -642,10 +670,13 @@ object Dedup {
     * Output: (idCol, n_spans, n_dup_spans, dup_span_frac) for every doc
     * with ≥ `n` tokens. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
-               n: Int = 8, minDocs: Int = 2): DataFrame = {
+               n: Int = 8, minDocs: Int = 2,
+               nfc: Boolean = true): DataFrame = {
     // the engine token definition (kept in lockstep with the oracle's
-    // toksSql via CaptionStats.tokens), lowercased first
-    val toks = CaptionStats.tokens(lower(col(textCol)))
+    // toksSql via CaptionStats.tokens), NFC-normalized (default, see
+    // [[nfcKey]]) then lowercased — span digests must not split on
+    // Unicode composition
+    val toks = CaptionStats.tokens(lower(nfcKey(col(textCol), nfc)))
     val winCounts = df
       .select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= n)

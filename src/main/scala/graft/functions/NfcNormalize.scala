@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * two (e + U+0301) decomposed, and real crawl corpora mix both freely
   * (the reference's polyglot path scrubs `\p{C}` for the same class of
   * reason, `utils.py:431`). Without NFC-first, such pairs silently
-  * escape every hash-based dedup. Spark has no built-in normalizer, so
+  * escape every hash-based dedup — which is why the d1/d8/d9/d13 keying
+  * (and the streaming dedup twin) routes through this expression by
+  * default (`nfc = true` parameters in [[graft.dedup.Dedup]] /
+  * [[graft.text.TextAnalysis.fingerprint]]). Spark has no built-in normalizer, so
   * this is a genuine §2.12-style extension: a single codegen'd
   * expression (no UDF serialization boundary) wrapping
   * `java.text.Normalizer`.

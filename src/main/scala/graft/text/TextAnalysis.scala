@@ -77,9 +77,15 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
-    * the exact-dedup key (rolling-hash stand-in, engine-independent). */
-  def fingerprint(c: Column): Column =
-    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+    * the exact-dedup key (rolling-hash stand-in, engine-independent).
+    * NFC-first by default: canonically-equivalent Unicode strings differ
+    * in bytes (precomposed vs decomposed accents), so the digest
+    * normalizes before hashing ([[graft.functions.NfcNormalize]], ASCII
+    * zero-copy fast path); `nfc = false` keys on raw bytes. */
+  def fingerprint(c: Column, nfc: Boolean = true): Column = {
+    val base = if (nfc) graft.functions.NfcNormalize(c) else c
+    md5(regexp_replace(trim(lower(base)), "\\s+", " "))
+  }
 
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models" §A1.1: MassiveText removes docs dominated by repeated lines

@@ -390,4 +390,54 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_id") === 1L)
       .select("dup_span_frac").as[Double].head() shouldBe 0.25
   }
+
+  test("NFC-first keying (default) merges decomposed/precomposed " +
+    "duplicates across d1/d8/d9/d13; nfc=false keys raw bytes") {
+    import spark.implicits._
+    // identical text up to Unicode composition: precomposed U+00E9 in
+    // doc 1, decomposed e + combining U+0301 in doc 2 — different bytes,
+    // canonically equivalent, the pair every byte-keyed dedup misses
+    // the accented token sits mid-text so EVERY 5-gram shingle and the
+    // 6-token span contain it — byte-keyed matching must find nothing
+    val pre = "menu caf\u00e9 lists seven drinks today"
+    val dec = "menu cafe\u0301 lists seven drinks today"
+    val d = Seq((1L, pre), (2L, dec)).toDF("doc_id", "text")
+
+    // d1 exact dedup: one group of two, canonical = min id; raw-byte
+    // keying sees no duplicates at all
+    val g = Dedup.exactGroups(d, "doc_id", "text")
+      .filter(col("n_members") > 1).collect()
+    g.length shouldBe 1
+    g(0).getAs[Long]("canonical_id") shouldBe 1L
+    g(0).getAs[Long]("n_members") shouldBe 2L
+    Dedup.exactGroups(d, "doc_id", "text", nfc = false)
+      .filter(col("n_members") > 1).count() shouldBe 0L
+
+    // d9 sentence dedup: the sentence merges across composition, doc 2
+    // empties out, and the KEPT text is doc 1's original bytes
+    val s9 = Dedup.dropRepeatedSentences(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    s9.map(_.getLong(0)) shouldBe Array(1L)
+    s9(0).getString(1) shouldBe pre
+    Dedup.dropRepeatedSentences(d, "doc_id", "text", nfc = false)
+      .count() shouldBe 2L
+
+    // d13 dup-spans: the 6-token window is cross-doc shared despite the
+    // composition difference; raw-byte keying finds nothing
+    val sp = Dedup.dupSpans(d, "doc_id", "text", n = 6)
+      .orderBy("doc_id").select("doc_id", "n_dup_spans")
+      .as[(Long, Long)].collect()
+    sp shouldBe Array((1L, 1L), (2L, 1L))
+    Dedup.dupSpans(d, "doc_id", "text", n = 6, nfc = false)
+      .agg(sum("n_dup_spans")).as[Long].head() shouldBe 0L
+
+    // d8 decontamination: a benchmark phrase with precomposed bytes
+    // still poisons the decomposed crawl copy
+    Dedup.decontaminate(
+      d.filter(col("doc_id") === 2L), d.filter(col("doc_id") === 1L),
+      "doc_id", "text", 5).count() shouldBe 0L
+    Dedup.decontaminate(
+      d.filter(col("doc_id") === 2L), d.filter(col("doc_id") === 1L),
+      "doc_id", "text", 5, nfc = false).count() shouldBe 1L
+  }
 }

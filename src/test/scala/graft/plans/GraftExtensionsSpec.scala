@@ -92,6 +92,31 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     (graft.functions.NfcNormalize.nfc(ascii) eq ascii) shouldBe true
   }
 
+  test("nfc_normalize over a non-foldable column exercises the codegen " +
+    "path") {
+    // Literal arguments constant-fold through the interpreted
+    // nullSafeEval before codegen runs; a real column forces doGenCode
+    // (and its static-forwarder call) through WholeStageCodegen, so a
+    // codegen regression fails HERE, not first in the x10 query.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // repartition blocks ConvertToLocalRelation from folding the
+    // project into a LocalTableScan via the interpreted path — the
+    // select must survive as a WholeStageCodegen Project
+    val df = Seq("café", "café", "plain", null)
+      .toDF("t").repartition(1)
+      .select(graft.functions.NfcNormalize(col("t")).as("s"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else
+      r.getString(0))
+    // assert AFTER the action: AQE finalizes (and codegens) the plan
+    // only on execution. The simple plan string marks a whole-stage-
+    // codegen'd operator with a "*(n)" prefix — the Project carrying
+    // nfc_normalize must have one.
+    df.queryExecution.executedPlan.toString should include regex
+      raw"\*\(\d+\) Project \[nfc_normalize"
+    got shouldBe Array("café", "café", "plain", null)
+  }
+
   test("other greatest/regexp shapes are left untouched") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("docs_ext2")
