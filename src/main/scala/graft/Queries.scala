@@ -1505,6 +1505,38 @@ object Queries {
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY event_id""")),
 
+    // ---- J12: as-of join, time-bucket pre-split path -------------------
+    // The SAME as-of semantics a third time, through the monster-key
+    // treatment (Joins.asofJoinBucketed): window on (key, day-bucket) so
+    // a hot key splits across its timeline, with a bucket-summary carry
+    // window restoring cross-boundary matches. Epoch-µs on both sides
+    // (bucketing needs exact integer arithmetic); microsecond order ==
+    // timestamp order, so the shared DuckDB ASOF oracle is unchanged —
+    // three independent implementations (union+window j4, native merge
+    // j11, bucketed j12), one oracle, three hash-identical results.
+    QueryDef("j12_asof_bucketed",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+        val right = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "tsu").agg(max("value").as("r_value"))
+        val left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "tsu", "value")
+        Joins.asofJoinBucketed(left, right, "user_id", "tsu", "tsu",
+          Seq("r_value"), bucketMicros = 86400L * 1000000L, prefix = "")
+          .select("event_id", "user_id", "value", "r_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+          SELECT user_id, ts, max(value) AS r_value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+        l AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.value, r.r_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY event_id""")),
+
     // ---- W4: trailing range-window count ----------------------------
     // Range join on a trailing time window expressed as a RANGE-frame
     // window aggregate: all in-window counts in ONE pass over a single

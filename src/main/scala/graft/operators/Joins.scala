@@ -63,6 +63,81 @@ object Joins {
         rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
   }
 
+  /** As-of join with a TIME-BUCKET PRE-SPLIT — the monster-key treatment
+    * SCALE.md prescribes for the whole per-key-sort family (as-of j4,
+    * latest-wins d11, native as-of j11): [[asofJoin]]'s single window
+    * sorts every row of a key in one task, which is linear and spillable
+    * but still ONE task when a key holds a measurable fraction of 100 TB.
+    * Here the window partitions on (key, floor(ts / bucket)) instead, so
+    * a hot key splits across its timeline, and matches crossing a bucket
+    * boundary are restored by a carry: per (key, bucket) the last right
+    * payload is a map-combined `max_by` aggregate, and a SECOND window —
+    * over bucket summaries, whose partition size is the number of
+    * buckets, bounded by time-span / bucket and independent of row count
+    * — carries the most recent payload into each bucket. A left row's
+    * match is its within-bucket running match, else its bucket's
+    * carry-in; equality with [[asofJoin]] is spec-proven on generated
+    * data including a monster key (JoinsSpec).
+    *
+    * Cost: vs asofJoin, one extra map-combined aggregate, one tiny
+    * window, and one (key, bucket) equi-join — all AQE-splittable
+    * shapes. Use when keys can be huge; `bucket` should be coarse enough
+    * that bucket counts stay small (e.g. a day of epoch-µs for
+    * year-span data). `tsCol` must be numeric (epoch-µs LONG) here —
+    * bucketing needs exact integer arithmetic (same pmod discipline as
+    * [[rangeJoin]]). Same null semantics as [[asofJoin]]: null-ts right
+    * rows never match, null-ts left rows match nothing. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                       tsCol: String, tieCol: String,
+                       rightCols: Seq[String], bucketMicros: Long,
+                       prefix: String = "r_"): DataFrame = {
+    require(bucketMicros > 0, "bucket must be positive")
+    val w = lit(bucketMicros)
+    def bucket(ts: Column): Column = ((ts - pmod(ts, w)) / w).cast("long")
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(col(key), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), lit(0).as("__side"),
+        struct(rightCols.map(col): _*).as("__rv"))
+    val l = left
+      .withColumn("__ts", col(tsCol))
+      .withColumn("__tie", lit(null).cast(r.schema("__tie").dataType))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__b", bucket(col("__ts")))
+    // 1. within-bucket running match — the [[asofJoin]] window, but
+    // partitioned on (key, bucket) so a hot key splits across time
+    val wIn = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withIn = u.withColumn("__m_in",
+      last(col("__rv"), ignoreNulls = true).over(wIn))
+    // 2. last right payload per (key, bucket) — map-combined, so the hot
+    // bucket collapses before the shuffle; (ts, tie) is right-unique, so
+    // max_by is deterministic
+    val bucketLast = u.filter(col("__side") === 0)
+      .groupBy(col(key), col("__b"))
+      .agg(max_by(col("__rv"),
+        struct(col("__ts"), col("__tie"))).as("__bl"))
+    // 3. carry-in per bucket: the spine is every (key, bucket) present
+    // on EITHER side (left-only buckets still need a carry), and the
+    // window partition holds one row per bucket — its size is bounded by
+    // time-span / bucket, not by row count
+    val spine = u.filter(col("__b").isNotNull)
+      .select(col(key), col("__b")).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = spine.join(bucketLast, Seq(key, "__b"), "left")
+      .withColumn("__carry", last(col("__bl"), ignoreNulls = true)
+        .over(wCarry))
+      .select(col(key), col("__b"), col("__carry"))
+    withIn.join(carries, Seq(key, "__b"), "left")
+      .filter(col("__side") === 1)
+      .withColumn("__m", coalesce(col("__m_in"), col("__carry")))
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
+  }
+
   /** Interval (range) join: every (left, right) pair on the same `key`
     * with `right.ts in [left.ts - lookback, left.ts]` (both ends
     * inclusive). The naive formulation — an equi-join on key with a

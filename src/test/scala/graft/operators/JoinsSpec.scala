@@ -155,6 +155,54 @@ class JoinsSpec extends SparkSpec {
       (2L, 11L), (2L, 12L))            // [k+1, k+w+1]: k now excluded
   }
 
+  test("bucketed asof ≡ asofJoin on seeded random data incl. a monster " +
+    "key, across bucket widths") {
+    val rng = new scala.util.Random(4242)
+    // k0 is the monster: 200 of 280 left rows and 150 of 210 right rows
+    // land on it — the hot-key shape the bucketing exists to split
+    val l = ((1 to 200).map(i => ("k0", rng.nextInt(40).toLong, i.toLong))
+      ++ (201 to 280).map(i =>
+        (s"k${1 + rng.nextInt(4)}", rng.nextInt(40).toLong, i.toLong)))
+      .toDF("k", "ts", "lid")
+    val r = ((1 to 150).map(i =>
+      ("k0", rng.nextInt(40).toLong, rng.nextDouble(), i.toLong))
+      ++ (151 to 210).map(i => (s"k${1 + rng.nextInt(5)}",
+        rng.nextInt(40).toLong, rng.nextDouble(), i.toLong)))
+      .toDF("k", "ts", "px", "rid")
+    val want = Joins.asofJoin(l, r, "k", "ts", "rid", Seq("px", "rid"))
+      .select("lid", "r_px", "r_rid")
+      .orderBy("lid").collect().map(_.toSeq)
+    // bucket 1 = one ts per bucket (all matches cross buckets); 7 =
+    // mid; 1000 = everything in one bucket (degenerates to asofJoin)
+    for (b <- Seq(1L, 7L, 1000L)) {
+      val got = Joins.asofJoinBucketed(l, r, "k", "ts", "rid",
+        Seq("px", "rid"), bucketMicros = b)
+        .select("lid", "r_px", "r_rid")
+        .orderBy("lid").collect().map(_.toSeq)
+      got shouldBe want
+    }
+  }
+
+  test("bucketed asof: carry crosses empty buckets; nulls keep asof " +
+    "semantics") {
+    // right row only in bucket 0; left rows live 5+ empty buckets later
+    val l = Seq(("a", 57L, 1L), ("a", 93L, 2L), ("b", 40L, 3L))
+      .toDF("k", "ts", "lid")
+    val r = Seq(("a", 3L, 1.5, 1L)).toDF("k", "ts", "px", "rid")
+    val out = Joins.asofJoinBucketed(l, r, "k", "ts", "rid", Seq("px"),
+      bucketMicros = 10L).orderBy("lid").collect()
+    out.map(x => (x.getLong(2), Option(x.get(3)))).toSeq shouldBe Seq(
+      (1L, Some(1.5)), (2L, Some(1.5)), (3L, None))
+    // null-ts rows: right never matches, left matches nothing
+    val nl = l.union(Seq(("a", Option.empty[Long], 4L)).toDF("k", "ts", "lid"))
+    val nr = r.union(
+      Seq(("b", Option.empty[Long], 9.9, 9L)).toDF("k", "ts", "px", "rid"))
+    val out2 = Joins.asofJoinBucketed(nl, nr, "k", "ts", "rid", Seq("px"),
+      bucketMicros = 10L).orderBy("lid").collect()
+    out2.map(x => (x.getLong(2), Option(x.get(3)))).toSeq shouldBe Seq(
+      (1L, Some(1.5)), (2L, Some(1.5)), (3L, None), (4L, None))
+  }
+
   test("trailing range count: frame is value-based [ts-w, ts]") {
     val ev = Seq(
       ("u", 0L, "x", 1L), ("u", 50L, "e", 2L), ("u", 100L, "e", 3L),
