@@ -40,6 +40,28 @@ class PageRankSpec extends SparkSpec {
     r2("b") shouldBe 150000L + (85L * 500000L) / 100L
   }
 
+  test("checkpointEvery: ranks identical to the lazy plan, and 50 " +
+    "iterations return a bounded (checkpoint-rooted) plan") {
+    val rng = new scala.util.Random(11)
+    val nodes = (0 until 20).map(i => s"n$i")
+    val edges = (0 until 20).flatMap(i => (0 until 2).map(_ =>
+      (s"n$i", s"n${rng.nextInt(20)}"))).distinct
+    // truncation must never change arithmetic
+    val plain = ranks(nodes, edges, 6)
+    PageRank.pagerank(nodes.toDF("node"), edges.toDF("src", "dst"),
+      iters = 6, checkpointEvery = 2)
+      .as[(String, Long)].collect().toMap shouldBe plain
+    // 50 unrolled iterations would be a thousand-node plan; with
+    // periodic truncation the returned frame roots at a checkpoint RDD
+    val deep = PageRank.pagerank(nodes.toDF("node"),
+      edges.toDF("src", "dst"), iters = 50, checkpointEvery = 5)
+    deep.queryExecution.optimizedPlan.numberedTreeString
+      .linesIterator.size should be <= 5
+    val got = deep.as[(String, Long)].collect()
+    got.length shouldBe 20
+    all(got.map(_._2)) should be >= 150000L
+  }
+
   test("cycle conserves ordering and stays exact over many iterations") {
     // a→b→c→a: perfectly symmetric, so all ranks stay equal — any
     // divergence would expose order-dependent arithmetic
