@@ -2935,25 +2935,34 @@ object Queries {
     // row/non-null/distinct counts and min/max (stringified for a
     // uniform schema — these columns are BIGINT/VARCHAR, whose casts are
     // engine-identical; doubles would not be, see the repo's rounding
-    // discipline). Each column profiles from its own pruned scan
-    // (ReadSchema carries exactly one column); at 100 TB fuse the
-    // numeric half into the single-pass Summary.columnStats matrix and
-    // keep the distinct counts as approx_count_distinct — this exact
-    // form is the oracle-checkable contract.
+    // discipline). SINGLE PASS: all four columns profile from ONE
+    // aggregate over one scan — Spark plans the four count-distincts as
+    // a single Expand (one grouping-id branch per distinct column, the
+    // r9-review shape) feeding one partial-combined aggregation, and the
+    // 1-row result explodes into the 4-row profile driver-side-free.
+    // The pre-r10 form ran one column-pruned scan per column: 4× the
+    // I/O at 100 TB for identical output. For unbounded-cardinality
+    // columns at real scale, swap countDistinct for
+    // approx_count_distinct (mergeable HLL, same plan shape) — the
+    // exact form is the oracle-checkable contract.
     QueryDef("dq1_profile",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        Seq("doc_id", "lang", "source", "n_chars").map { c =>
-          docs.agg(
-            count(lit(1)).as("n_rows"),
-            count(col(c)).as("n_nonnull"),
-            countDistinct(col(c)).as("n_distinct"),
-            min(col(c)).cast("string").as("min_v"),
-            max(col(c)).cast("string").as("max_v"))
-            .select(lit(c).as("column_name"), col("n_rows"),
-              col("n_nonnull"), col("n_distinct"), col("min_v"),
-              col("max_v"))
-        }.reduce(_ unionByName _).orderBy("column_name")
+        val cols = Seq("doc_id", "lang", "source", "n_chars")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c")))
+        docs.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("column_name"), col("n_rows"),
+            col(s"__nn_$c").as("n_nonnull"),
+            col(s"__nd_$c").as("n_distinct"),
+            col(s"__mn_$c").as("min_v"),
+            col(s"__mx_$c").as("max_v"))): _*)).as("p"))
+          .select("p.*")
+          .orderBy("column_name")
       },
       Some {
         val per = Seq("doc_id", "lang", "source", "n_chars").map(c =>
