@@ -16,7 +16,13 @@ import org.apache.spark.sql.SparkSession
   *    is bimodal at the pass level (same-code suite totals of ~47 s vs
   *    ~69 s were observed back-to-back), so a second full pass collapses
   *    a round-over-round "regression" that is really the slow mode —
-  *    per-query repeats alone cannot, because the mode spans the pass;
+  *    per-query repeats alone cannot, because the mode spans the pass.
+  *    NOTE at the default runs=2 the lower-middle "median" IS the
+  *    per-pass minimum, so the reported stat degenerates to the min of
+  *    all raw runs — the spread line carries an explicit "stat" label
+  *    ("min-of-runs" vs "best-pass-median") so readers never mistake
+  *    the optimistic stat for a robust middle; set RUNS>=3 for a true
+  *    median;
   *  - one untimed warmup pass initializes the parquet reader, codegen and
   *    shuffle machinery so JVM startup isn't billed to the first query.
   */
@@ -129,7 +135,8 @@ object Bench {
     // line). So the headline line goes LAST, kept under ~1.5 KB by the
     // 3-decimal times, and the droppable spread line goes first where
     // front-truncation can only ever eat dispersion data.
-    println(s"""{"metric":"spread","unit":"sec","runs":$runs,"passes":$passes,"spread":$spread}""")
+    val stat = if (runs >= 3) "best-pass-median" else "min-of-runs"
+    println(s"""{"metric":"spread","unit":"sec","runs":$runs,"passes":$passes,"stat":"$stat","spread":$spread}""")
     // line-budget defenses, outermost last: omit the empty errors object
     // and the sf path (the driver's envelope records sf itself) when
     // errors are empty; if the line STILL crests ~1900 chars, move the

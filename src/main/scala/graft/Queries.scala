@@ -2414,17 +2414,11 @@ object Queries {
           .filter(expr("ts < TIMESTAMP '2024-01-02 12:00:00'"))
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"))
-        ev.groupBy("user_id")
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("event_type"))))
-            .as("evs"))
-          .select(col("user_id"), expr("""aggregate(evs, 0, (st, e) -> CASE
-              WHEN st = 0 AND e.event_type = 'view' THEN 1
-              WHEN st = 1 AND e.event_type = 'click' THEN 2
-              WHEN st = 2 AND e.event_type = 'purchase' THEN 3
-              ELSE st END)""").as("stage"))
-          .groupBy("stage").agg(count(lit(1)).as("n_users"))
-          .orderBy("stage")
+        // bot cap (maxEventsPerUser) deliberately off: the oracle states
+        // the uncapped semantics; FunnelSpec proves cap ≥ longest user
+        // is an identity and exercises the capped path
+        graft.analytics.Funnel.report(ev, "user_id", "ts", "event_id",
+          Seq("view", "click", "purchase"))
       },
       Some("""WITH evw AS (
           SELECT * FROM events
@@ -2761,9 +2755,10 @@ object Queries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val terms = Seq("vector", "join", "filter", "scan")
+        // the ONE tokenizer (CaptionStats.tokens) — places that tokenize
+        // must never drift apart (r9 review)
         val tk = docs.select(col("doc_id"),
-          explode(split(lower(col("text")), "\\s+")).as("tok"))
-          .filter(col("tok") =!= "")
+          explode(CaptionStats.tokens(lower(col("text")))).as("tok"))
         val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
         val tf = tk.filter(col("tok").isin(terms: _*))
