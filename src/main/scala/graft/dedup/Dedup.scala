@@ -686,8 +686,16 @@ object Dedup {
         .as("__h"))
       .groupBy(col("__h"), col(idCol))
       .agg(count(lit(1)).as("__c"))
+    // count(when(__c > 0, 1)), not count(1): __c ≥ 1 always (it is a
+    // group count), so the two are identical — but an opaque reference
+    // to __c stops column pruning from narrowing this branch's partial
+    // aggregate (a plain count(__c) gets rewritten to count(1) via the
+    // not-null constraint and re-pruned), which keeps BOTH branches'
+    // exchange subtrees structurally identical so AQE reuses the
+    // shuffle stage: ONE scan + one (h, doc) shuffle write feeds the
+    // join's both sides (verified: ReusedQueryStage in the final plan)
     val docCounts = winCounts.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__nd"))
+      .agg(count(when(col("__c") > 0, lit(1))).as("__nd"))
     winCounts.join(docCounts, "__h")
       .groupBy(col(idCol))
       .agg(sum("__c").as("n_spans"),

@@ -81,7 +81,12 @@ object Joins {
     *
     * Cost: vs asofJoin, one extra map-combined aggregate, one tiny
     * window, and one (key, bucket) equi-join — all AQE-splittable
-    * shapes. Use when keys can be huge; `bucket` should be coarse enough
+    * shapes. The tagged union is consumed by three branches (window,
+    * bucket summary, spine) whose per-branch column pruning defeats
+    * exchange reuse, so the INPUTS are read up to 3× — persist them (or
+    * feed pre-materialized tables) when scans dominate; the operator's
+    * job is splitting the hot key, which no persistence solves. Use
+    * when keys can be huge; `bucket` should be coarse enough
     * that bucket counts stay small (e.g. a day of epoch-µs for
     * year-span data). `tsCol` must be numeric (epoch-µs LONG) here —
     * bucketing needs exact integer arithmetic (same pmod discipline as

@@ -31,6 +31,7 @@ def main():
             spread = d["spread"]
             meta["runs"] = d.get("runs")
             meta["passes"] = d.get("passes")
+            meta["stat"] = d.get("stat")
     if total is None or queries is None:
         sys.exit(f"[bench_report] {log}: missing "
                  f"{'total' if total is None else 'queries'} line — "
@@ -47,7 +48,14 @@ def main():
             f.write(f"; errors: `{meta['errors']}`")
         runs, passes = meta.get("runs"), meta.get("passes")
         if passes and passes > 1:
-            f.write(f". Per query: best pass-median over {passes} full "
+            # honesty label: at runs=2 the per-pass lower-middle median
+            # IS the minimum, so best-pass-over-passes = min of all runs
+            statdesc = ("the MINIMUM of all raw runs (at runs=2 the "
+                        "per-pass lower-middle median degenerates to the "
+                        "pass minimum)"
+                        if meta.get("stat") == "min-of-runs"
+                        else "best pass-median")
+            f.write(f". Per query: {statdesc} over {passes} full "
                     f"suite passes of {runs} noop-sink runs each (after "
                     "warmup) — the box is bimodal at the pass level, so "
                     "the second pass collapses slow-mode totals; spread "
