@@ -887,6 +887,44 @@ object Queries {
         WHERE cos_sim >= 0.2 ORDER BY id_a, id_b"""
       }),
 
+    // ---- N7: SemDeDup (cluster-then-dedup semantic dedup) -------------
+    // Abbas et al. 2023: assign embeddings to centroids (the n3 IVF
+    // path), search duplicate pairs WITHIN clusters only (quadratic in
+    // cluster size, never corpus size), keep the min id of each
+    // above-threshold pair (d6's greedy policy). The cluster-size cap
+    // is a groupBy count + semi-join — an aggregate, not a Window, so a
+    // degenerate cluster collapses map-side (the d9/d13 lesson) — and
+    // is mirrored in the oracle's HAVING.
+    QueryDef("n7_semdedup",
+      (s, dir) => Ann.semDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nCentroids = 8, threshold = 0.2)
+        .orderBy("vec_id"),
+      Some {
+        val assignCos = cosineSql("e.embedding", "c.ce")
+        val pairCos = cosineSql("x.embedding", "y.embedding")
+        s"""WITH cent AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $assignCos DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        ok AS (SELECT cid FROM assign GROUP BY cid
+          HAVING count(*) <= 10000),
+        dups AS (
+          SELECT DISTINCT y.vec_id AS id_b
+          FROM assign x JOIN assign y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE x.cid IN (SELECT cid FROM ok)
+            AND round($pairCos, 4) >= 0.2)
+        SELECT vec_id, cid FROM assign
+        WHERE vec_id NOT IN (SELECT id_b FROM dups)
+        ORDER BY vec_id"""
+      }),
+
     // ---- D6: end-to-end near-dedup (LSH candidates → Jaccard verify →
     // greedy keep-first drop) -----------------------------------------
     QueryDef("d6_near_dedup",

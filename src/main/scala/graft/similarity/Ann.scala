@@ -211,6 +211,51 @@ object Ann {
       .limit(k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup by
+    * clustering embeddings FIRST and searching for duplicates only
+    * WITHIN clusters — the quadratic pair cost is bounded by cluster
+    * size, never corpus size (the paper prunes web-scale corpora this
+    * way; [[cosineNearDupPairs]] is the LSH alternative when no
+    * clustering is wanted).
+    *
+    * Shape: assignment is the IVF path ([[ivfAssignTo]]: broadcast
+    * centroids, one dot product per (row, centroid)); the within-cluster
+    * pair search is a cid-keyed self-join gated by a cluster-size cap
+    * computed as a map-combined groupBy count + semi-join (an aggregate,
+    * NOT a Window — the d9/d13 lesson: an overflowing cluster collapses
+    * map-side and never single-task-sorts). Clusters above `maxCluster`
+    * skip pair search entirely (recall-only loss, mirrored in the
+    * oracle — the same skew contract as LSH's maxBucket). Keep policy is
+    * greedy min-id (a row drops iff a LOWER-id row in its cluster is
+    * within `threshold` cosine — d6's policy, deterministic).
+    *
+    * Returns the KEPT rows as (idCol, cid). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, threshold: Double,
+               maxCluster: Int = 10000): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, nCentroids)
+    val okClusters = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz") <= maxCluster)
+      .select("cid")
+    val inScope = assigned.join(okClusters, Seq("cid"), "left_semi")
+    val a = inScope.select(col("cid").as("__ca"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), l2Norm(col(vecCol)).as("__na"))
+    val b = inScope.select(col("cid").as("__cb"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), l2Norm(col(vecCol)).as("__nb"))
+    val cos = when(col("__na") === 0.0 || col("__nb") === 0.0, 0.0)
+      .otherwise(dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")))
+    val dropped = a.join(b, col("__ca") === col("__cb") &&
+        col("id_a") < col("id_b"))
+      .withColumn("__cos", round(cos, 4))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-probe sign-bucket LSH.
     *
     * `nTables` probe tables, table t bucketing on the `nBits` sign bits of

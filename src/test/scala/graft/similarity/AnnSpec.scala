@@ -156,4 +156,28 @@ class AnnSpec extends SparkSpec {
       emb.filter(col("vec_id") === 0), "embedding", 1).collect()
     brute.head.getLong(0) shouldBe top.head.getLong(0)
   }
+
+  test("semDedup: within-cluster greedy min-id keep, cross-cluster " +
+    "twins survive, maxCluster cap disables the pair search") {
+    // centroids = two lowest ids: id 0 → x-axis, id 1 → y-axis.
+    // ids 2,3 huddle around x (mutually ≥ .99 cosine with 0) → both
+    // drop to keeper 0; id 4 leans y but only ~.5 cosine to id 1 → kept
+    val d = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (4L, Array(0.3f, 0.5f, 0.8f, 0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Ann.semDedup(d, "vec_id", "embedding",
+      nCentroids = 2, threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    kept.map(_._1) shouldBe Array(0L, 1L, 4L)
+    kept.toMap shouldBe Map(0L -> 0L, 1L -> 1L, 4L -> 1L)
+    // a SAME vector in the OTHER cluster is untouched — dedup is
+    // within-cluster by design (the paper's clusters localize the search)
+    // maxCluster below every cluster size → no pairs → everything kept
+    Ann.semDedup(d, "vec_id", "embedding", nCentroids = 2,
+      threshold = 0.9, maxCluster = 1).count() shouldBe 5L
+  }
 }
