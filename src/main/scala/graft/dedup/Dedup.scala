@@ -208,21 +208,42 @@ object Dedup {
     * from exploding each bucket's sorted id list, which is exactly the
     * within-bucket pair set the join produced.
     *
-    * Skew guard: a window count on the band key (same shuffle as the
-    * groupBy — the exchange is reused) drops buckets larger than
-    * `maxBucket` BEFORE any list is collected, so one hot band key (the
-    * LSH skew failure mode: near-constant docs, template boilerplate)
-    * cannot trigger an n² pair explosion or an unbounded buffer. Dropped
+    * Skew guard — the d9/d13 aggregate-not-Window discipline: bucket
+    * sizes come from a map-combined `groupBy(band).count` joined back,
+    * NEVER a Window count on the band key (a Window partition must see
+    * every row of a viral bucket in ONE task's sort before the filter
+    * can drop it — AQE cannot skew-split Window partitions). Rows are
+    * distinct on (band, id) by construction, so a keyed no-op aggregate
+    * first materializes the band table behind an exchange whose key
+    * INCLUDES the id (a hot bucket spreads across tasks); both the
+    * count branch and the pair branch then consume that same exchange
+    * subtree (canonically identical → AQE stage reuse, the d13 shape:
+    * the shingle+minhash pipeline runs ONCE — re-introducing neither
+    * the r2 self-join recompute nor the r2 persist leak), the count
+    * collapses map-side, and an oversized bucket is dropped by the
+    * equi-join filter BEFORE any collect_list buffers it. Dropped
     * buckets lose recall, never precision — callers at scale should log
     * the drop count; the oracle mirrors the same cap. */
   private def pairsFromSignatures(sig: DataFrame, idCol: String, bands: Int,
                                   rowsPerBand: Int,
                                   maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val b = lshBands(sig, idCol, bands, rowsPerBand)
-    val wBand = Window.partitionBy("band_idx", "band_key")
-    val sized = b.withColumn("__bn", count(lit(1)).over(wBand))
+      .groupBy(col("band_idx"), col("band_key"), col(idCol))
+      .agg(count(lit(1)).as("__one")) // no-op: rows are distinct; see doc
+    // count(when(__one > 0, 1)) ≡ count(1) (__one ≥ 1) but the opaque
+    // __one reference stops column pruning from narrowing this branch,
+    // keeping both exchange subtrees identical for stage reuse (d13)
+    val counts = b.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(when(col("__one") > 0, lit(1))).as("__bn"))
       .filter(col("__bn") >= 2 && col("__bn") <= maxBucket)
+      .select(col("band_idx"), col("band_key"))
+    // the __one > 0 filter is a no-op (counts are ≥ 1) whose job is to
+    // keep __one referenced on THIS branch too — otherwise pruning
+    // turns its partial aggregate distinct-style, the two exchange
+    // subtrees stop canonicalizing equal, and the minhash pipeline
+    // computes twice instead of hitting ReusedExchange
+    val sized = b.join(counts, Seq("band_idx", "band_key"))
+      .filter(col("__one") > 0)
     val buckets = sized.groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
     val n = size(col("__ids"))

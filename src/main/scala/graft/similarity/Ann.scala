@@ -267,17 +267,20 @@ object Ann {
     *
     * Candidate generation groups each (table, bucket) ONCE and explodes the
     * i<j id pairs (no self-join — same shape and skew cap as
-    * [[graft.dedup.Dedup]] LSH: a window count on the bucket key drops
-    * buckets larger than `maxBucket` before any list is collected, so a
-    * degenerate bucket — all-zero or heavily correlated embeddings — can't
-    * go quadratic). Verification joins the pairs back to the corpus by id
+    * [[graft.dedup.Dedup]] LSH: bucket sizes come from a map-combined
+    * `groupBy(bucket).count` equi-joined back, never a Window count — a
+    * Window partition would single-task-sort a degenerate bucket before
+    * the filter could drop it; the aggregate collapses it map-side. Rows
+    * are distinct on (table, bucket, id), so a keyed no-op aggregate
+    * materializes the bucket table behind an id-spread exchange both
+    * branches reuse — see [[graft.dedup.Dedup]] pairsFromSignatures).
+    * Verification joins the pairs back to the corpus by id
     * (shuffle join; the corpus is never replicated per table) and keeps
     * cosine ≥ threshold; norms are computed per vector, not per pair. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 16,
                          nTables: Int = 3,
                          maxBucket: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = graft.util.Partitioning.spread(corpus)
       .select(col(idCol), col(vecCol))
     val tables = array((0 until nTables).map(t =>
@@ -285,9 +288,17 @@ object Ann {
         signBucketAt(col(vecCol), nBits, t * nBits).as("bkt"))): _*)
     val keyed = base.select(col(idCol), explode(tables).as("tb"))
       .select(col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"), col(idCol))
-    val wB = Window.partitionBy("tbl", "bkt")
-    val sized = keyed.withColumn("__bn", count(lit(1)).over(wB))
+      .groupBy(col("tbl"), col("bkt"), col(idCol))
+      .agg(count(lit(1)).as("__one")) // no-op collapse; rows distinct
+    val counts = keyed.groupBy(col("tbl"), col("bkt"))
+      .agg(count(when(col("__one") > 0, lit(1))).as("__bn"))
       .filter(col("__bn") >= 2 && col("__bn") <= maxBucket)
+      .select(col("tbl"), col("bkt"))
+    // no-op filter keeps __one referenced on the pair branch so both
+    // exchange subtrees stay canonically equal (ReusedExchange) — see
+    // Dedup.pairsFromSignatures
+    val sized = keyed.join(counts, Seq("tbl", "bkt"))
+      .filter(col("__one") > 0)
     val buckets = sized.groupBy("tbl", "bkt")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
     val n = size(col("__ids"))

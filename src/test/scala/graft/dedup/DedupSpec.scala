@@ -178,9 +178,14 @@ class DedupSpec extends SparkSpec {
     // in the physical plan as a SECOND `shingles(` occurrence per scan.
     // d3 has one scan → exactly one compute site; d8 has two sides → two.
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
-    val d3plan = Dedup.minhashCandidatePairs(d, "doc_id", "text", 12, 4, 3)
-      .queryExecution.executedPlan.toString
+    val d3 = Dedup.minhashCandidatePairs(d, "doc_id", "text", 12, 4, 3)
+    d3.collect() // finalize AQE: the bucket-count branch must resolve to
+    // a ReusedExchange of the pair branch's minhash pipeline, not a
+    // second compute (the static pre-AQE string prints both branches)
+    val d3plan = d3.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     "shingles\\(".r.findAllMatchIn(d3plan).size shouldBe 1
+    d3plan should include("ReusedExchange")
     val corpus = d.filter(col("source") =!= "src0")
     val bench = d.filter(col("source") === "src0")
     val d8plan = Dedup.decontaminate(corpus, bench, "doc_id", "text")
