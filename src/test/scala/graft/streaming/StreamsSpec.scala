@@ -160,12 +160,16 @@ class StreamsSpec extends SparkSpec {
     def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val input = MemoryStream[(Long, Timestamp, String)]
     // ids 1/3 share a fingerprint (case/whitespace-normalized dup),
-    // id 4 repeats id 2 verbatim in a later batch
-    input.addData((1L, t(0), "The quick brown fox"),
+    // id 4 repeats id 2 verbatim in a later batch, and id 6 repeats the
+    // fox line with a DECOMPOSED e+U+0301 where id 1 had precomposed
+    // U+00E9 — the NFC-first fingerprint (same keying as batch d1) must
+    // merge them across batches too
+    input.addData((1L, t(0), "The quick brown fox caf\u00e9"),
       (2L, t(1), "an unrelated document"))
-    input.addData((3L, t(2), "the  QUICK brown fox"),
+    input.addData((3L, t(2), "the  QUICK brown fox caf\u00e9"),
       (4L, t(3), "an unrelated document"),
-      (5L, t(4), "a genuinely new document"))
+      (5L, t(4), "a genuinely new document"),
+      (6L, t(5), "The quick brown fox cafe\u0301"))
     val q = Streams.dedupStream(
       input.toDF().toDF("doc_id", "ts", "text"), "text", "ts")
       .writeStream.format("memory").queryName("dedup_out")
