@@ -19,9 +19,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-loop convenience (driver never sets it): run only the named
-    // queries, e.g. SPARK_GRAFT_ONLY=d9_sentence_dedup,d13_dup_spans
+    // queries, e.g. SPARK_GRAFT_ONLY=d9_sentence_dedup,d13_dup_spans.
+    // Unknown names fail LOUD here — a typo would otherwise "succeed"
+    // having written nothing and surface later as check.py file errors.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but empty")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,22 +38,31 @@ object Funnel {
       if (maxEventsPerUser <= 0) ev
       else {
         graft.util.OptimizerTuning.tune(ev.sparkSession)
+        // the prune's order includes typeCol so it is the SAME total
+        // order the fold sorts by — without it, duplicate (ts, tie)
+        // pairs straddling the cap would keep a nondeterministic event
         val w = Window.partitionBy(col(userCol))
-          .orderBy(col(tsCol), col(tieCol))
+          .orderBy(col(tsCol), col(tieCol), col(typeCol))
         ev.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxEventsPerUser).drop("__rn")
       }
-    val branches = stageTypes.zipWithIndex.map { case (t, i) =>
-      s"WHEN st = $i AND e.`$typeCol` = '$t' THEN ${i + 1}"
-    }.mkString(" ")
+    // typed Column fold (not an expr() string): stage values are data,
+    // never SQL text — a quote in a stage type cannot break parsing or
+    // inject a predicate
+    def step(st: Column, e: Column): Column =
+      stageTypes.zipWithIndex.foldRight(st) { case ((t, i), acc) =>
+        when(st === i && e.getField(typeCol) === t, lit(i + 1))
+          .otherwise(acc)
+      }
     pruned.groupBy(col(userCol))
-      // sort_array orders by struct fields left-to-right = (ts, tie, _)
-      // — the same total order the rank prune uses
+      // sort_array orders by struct fields left-to-right = (ts, tie,
+      // type) — the same total order the rank prune uses; pass a
+      // (ts, tie) pair unique per user for a deterministic fold order
+      // between different-type events at the same instant
       .agg(sort_array(collect_list(
         struct(col(tsCol), col(tieCol), col(typeCol)))).as("__evs"))
       .select(col(userCol),
-        expr(s"aggregate(__evs, 0, (st, e) -> CASE $branches ELSE st END)")
-          .as("stage"))
+        aggregate(col("__evs"), lit(0), step).as("stage"))
   }
 
   /** Stage histogram: (stage, n_users) — the funnel report. */

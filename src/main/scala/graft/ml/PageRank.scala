@@ -45,7 +45,12 @@ object PageRank {
     *              set a checkpoint dir on real clusters). Makes the call
     *              EAGER (checkpoints run jobs during the build) and
     *              unpersists the two static caches before returning —
-    *              the returned frame no longer references them. 0 (the
+    *              the returned frame no longer references them. Each
+    *              reliable checkpoint leaves a full (node, r) copy in
+    *              the checkpoint dir; Spark only deletes them when
+    *              `spark.cleaner.referenceTracking.cleanCheckpoints`
+    *              is true (off by default) — enable it, or clean the
+    *              dir, when looping many pageranks. 0 (the
     *              default) keeps today's fully-lazy plan, whose depth
     *              grows linearly with `iters`: fine to ~10 iterations,
     *              not to 50.

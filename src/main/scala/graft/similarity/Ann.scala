@@ -234,7 +234,17 @@ object Ann {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, threshold: Double,
                maxCluster: Int = 10000): DataFrame = {
+    // persisted: four branches (cluster counts, both pair sides, the
+    // final keep anti-join) consume the assignment with DIFFERENT
+    // column prunings, so exchange subtrees cannot canonicalize equal
+    // and the scan + per-(row × centroid) dot products + per-id window
+    // would otherwise recompute per branch (the asofJoinBucketed
+    // caveat). MEMORY_AND_DISK spills at corpus scale; the cache lives
+    // for the session (the d6 shared-table discipline) — callers doing
+    // many semDedups over distinct corpora should unpersist via
+    // `spark.catalog.clearCache()` or materialize the result.
     val assigned = ivfAssign(corpus, idCol, vecCol, nCentroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val okClusters = assigned.groupBy("cid")
       .agg(count(lit(1)).as("__csz"))
       .filter(col("__csz") <= maxCluster)

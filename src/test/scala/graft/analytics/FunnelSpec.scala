@@ -45,6 +45,19 @@ class FunnelSpec extends SparkSpec {
       "WindowGroupLimit")
   }
 
+  test("stage types are data, not SQL: quotes and backticks are inert") {
+    val weird = Seq(
+      ("u1", 1L, 1L, "o'reilly `view`"), ("u1", 2L, 2L, "x' OR true OR 'y")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    Funnel.stages(weird, "user_id", "ts", "event_id",
+      Seq("o'reilly `view`", "x' OR true OR 'y"))
+      .as[(String, Int)].collect().toMap shouldBe Map("u1" -> 2)
+    // an unmatched injection-looking type advances nothing
+    Funnel.stages(weird, "user_id", "ts", "event_id",
+      Seq("never' OR '1'='1"))
+      .as[(String, Int)].collect().toMap shouldBe Map("u1" -> 0)
+  }
+
   test("bot cap prunes to each user's FIRST N events (fold order), " +
     "demoting a conversion that happens after the cap") {
     // bot: 3 junk views, then the click+purchase arrive after event 3

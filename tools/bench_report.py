@@ -70,11 +70,13 @@ def main():
                 "spreads below and the round-5 finding that single-run "
                 "deltas under ~2x are noise. Read totals with that band "
                 "in mind.\n\n")
-        # honest column label: with multiple passes the reported stat is
-        # the best pass-median, not a plain median — rounds before/after
-        # the methodology change must not read as a phantom speedup
-        label = ("best pass-median s" if meta.get("passes", 1) and
-                 (meta.get("passes") or 1) > 1 else "median s")
+        # honest column label, matching the prose: min-of-runs at the
+        # degenerate runs=2 default, best pass-median otherwise — rounds
+        # before/after the methodology change must not read as a phantom
+        # speedup, nor an optimistic min as a robust middle
+        label = ("min of runs s" if meta.get("stat") == "min-of-runs"
+                 else "best pass-median s"
+                 if (meta.get("passes") or 1) > 1 else "median s")
         f.write(f"| query | {label} | spread |\n|---|---|---|\n")
         for k, v in rows:
             sp = spread.get(k) if spread else None
