@@ -92,6 +92,29 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     (graft.functions.NfcNormalize.nfc(ascii) eq ascii) shouldBe true
   }
 
+  test("nfc_normalize known-answer stress: Hangul jamo compose, " +
+    "singleton decompositions map, NFC-invariant compatibility chars " +
+    "stay") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(x: String): String =
+      graft.functions.NfcNormalize.nfc(UTF8String.fromString(x)).toString
+    // Hangul L+V jamo compose algorithmically: U+1100 U+1161 -> U+AC00
+    nfc("\u1100\u1161") shouldBe "\uac00"
+    // L+V+T: U+1100 U+1161 U+11A8 -> U+AC01
+    nfc("\u1100\u1161\u11a8") shouldBe "\uac01"
+    // singletons: ANGSTROM SIGN U+212B -> Å U+00C5; OHM SIGN U+2126 ->
+    // GREEK CAPITAL OMEGA U+03A9 (canonical, not compatibility)
+    nfc("\u212b") shouldBe "\u00c5"
+    nfc("\u2126") shouldBe "\u03a9"
+    // NFC is canonical-only: ligature fi U+FB01 and fullwidth A U+FF21
+    // are COMPATIBILITY decompositions and must NOT change
+    nfc("\ufb01") shouldBe "\ufb01"
+    nfc("\uff21") shouldBe "\uff21"
+    // combining-mark reordering: dot-below (ccc 220) + circumflex
+    // (ccc 230) on 'a' in either order normalize to the same bytes
+    nfc("a\u0323\u0302") shouldBe nfc("a\u0302\u0323")
+  }
+
   test("nfc_normalize over a non-foldable column exercises the codegen " +
     "path") {
     // Literal arguments constant-fold through the interpreted
