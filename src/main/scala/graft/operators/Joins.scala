@@ -81,10 +81,12 @@ object Joins {
     *
     * Cost: vs asofJoin, one extra map-combined aggregate, one tiny
     * window, and one (key, bucket) equi-join — all AQE-splittable
-    * shapes. The tagged union is consumed by three branches (window,
-    * bucket summary, spine) whose per-branch column pruning defeats
-    * exchange reuse, so the INPUTS are read up to 3× — persist them (or
-    * feed pre-materialized tables) when scans dominate; the operator's
+    * shapes. The tagged union is consumed by two branches (row window;
+    * bucket summary — the spine folds into the summary aggregate since
+    * max_by skips null orderings) whose per-branch column pruning
+    * defeats exchange reuse, so the INPUTS are read up to 2× — persist
+    * them (or feed pre-materialized tables) when scans dominate; the
+    * operator's
     * job is splitting the hot key, which no persistence solves. Use
     * when keys can be huge; `bucket` should be coarse enough
     * that bucket counts stay small (e.g. a day of epoch-µs for
@@ -117,22 +119,22 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, 0)
     val withIn = u.withColumn("__m_in",
       last(col("__rv"), ignoreNulls = true).over(wIn))
-    // 2. last right payload per (key, bucket) — map-combined, so the hot
-    // bucket collapses before the shuffle; (ts, tie) is right-unique, so
-    // max_by is deterministic
-    val bucketLast = u.filter(col("__side") === 0)
+    // 2. bucket summaries: ONE map-combined aggregate serves as both the
+    // spine (a group exists for every (key, bucket) present on EITHER
+    // side — left-only buckets still need a carry) and the last-right-
+    // payload extractor (max_by SKIPS null orderings, so left rows
+    // contribute the group but never the payload; (ts, tie) is
+    // right-unique, so the winner is deterministic). The hot bucket
+    // collapses before the shuffle.
+    val bucketLast = u.filter(col("__b").isNotNull)
       .groupBy(col(key), col("__b"))
-      .agg(max_by(col("__rv"),
-        struct(col("__ts"), col("__tie"))).as("__bl"))
-    // 3. carry-in per bucket: the spine is every (key, bucket) present
-    // on EITHER side (left-only buckets still need a carry), and the
-    // window partition holds one row per bucket — its size is bounded by
-    // time-span / bucket, not by row count
-    val spine = u.filter(col("__b").isNotNull)
-      .select(col(key), col("__b")).distinct()
+      .agg(max_by(col("__rv"), when(col("__side") === 0,
+        struct(col("__ts"), col("__tie")))).as("__bl"))
+    // 3. carry-in per bucket: the window partition holds one row per
+    // bucket — its size is bounded by time-span / bucket, not row count
     val wCarry = Window.partitionBy(col(key)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = spine.join(bucketLast, Seq(key, "__b"), "left")
+    val carries = bucketLast
       .withColumn("__carry", last(col("__bl"), ignoreNulls = true)
         .over(wCarry))
       .select(col(key), col("__b"), col("__carry"))
