@@ -682,6 +682,63 @@ object Queries {
         FROM base ORDER BY doc_id"""
       }),
 
+    // ---- T10: top-n-gram char coverage (the REAL Gopher metric) -------
+    // Rae et al. 2021 §A1.1 filters on "fraction of characters contained
+    // in the most frequently-occurring n-gram" — the metric t7's
+    // duplicate-fraction deliberately simplified away because it needs a
+    // per-doc n-gram frequency table. Here it is exactly: per doc, the
+    // most frequent 2-gram (ties → lexicographically smallest, mirrored
+    // by min_by on struct(-count, gram) vs the oracle's row_number), its
+    // occurrence count, and count × gram-chars / doc-chars (may exceed
+    // 1.0 when occurrences overlap in tokens — raw by contract).
+    // Scale shape: grams explode but the groupBy key is (doc, gram) —
+    // doc_id in the key means no corpus-wide hot key exists and the
+    // count map-combines; the per-doc argmax is a second map-combined
+    // min_by. Docs with < 2 tokens have no 2-gram and drop (mirrored).
+    QueryDef("t10_top_ngram_coverage",
+      (s, dir) => {
+        val toks = CaptionStats.tokens(lower(col("text")))
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("__toks"),
+            length(col("text")).as("__tc"))
+          .filter(size(col("__toks")) >= 2)
+        val grams = base.select(col("doc_id"), col("__tc"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(2)))))
+            .as("gram"))
+        grams.groupBy(col("doc_id"), col("__tc"), col("gram"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("doc_id"), col("__tc"))
+          .agg(min_by(struct(col("gram"), col("__c")),
+            struct((-col("__c")).as("nc"), col("gram"))).as("__t"))
+          .select(col("doc_id"),
+            col("__t")("gram").as("top_2gram"),
+            col("__t")("__c").as("n_occurrences"),
+            ((col("__t")("__c") * length(col("__t")("gram")))
+              .cast("double") / col("__tc").cast("double"))
+              .as("top_2gram_char_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, ${toksSql("lower(text)")} AS toks,
+            length(text) AS tc
+          FROM documents),
+        b2 AS (SELECT doc_id, tc, toks FROM base WHERE len(toks) >= 2),
+        grams AS (
+          SELECT doc_id, tc, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM b2),
+        counts AS (SELECT doc_id, tc, gram, count(*) AS c
+          FROM grams GROUP BY 1, 2, 3),
+        top AS (SELECT doc_id, tc, gram, c,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY c DESC, gram) AS rn
+          FROM counts)
+        SELECT doc_id, gram AS top_2gram, c AS n_occurrences,
+          CAST(c * length(gram) AS DOUBLE) / CAST(tc AS DOUBLE)
+            AS top_2gram_char_frac
+        FROM top WHERE rn = 1 ORDER BY doc_id""")),
+
     // ---- O7: deterministic stratified sample (n per group) ----------
     // Per-language quota via md5-rank — the stratified twin of O5;
     // one shuffle on the stratum key.

@@ -97,7 +97,9 @@ object TextAnalysis {
     * paper's char-coverage-of-top-n-gram variant needs a per-doc frequency
     * table; the duplicate fraction ranks documents near-identically and is
     * the defined contract here (filter threshold semantics unchanged:
-    * bigger = more repetitive).
+    * bigger = more repetitive). The exact char-coverage metric exists as
+    * the `t10_top_ngram_coverage` query — a (doc, gram)-keyed frequency
+    * groupBy + map-combined per-doc argmax.
     *
     * Appends: `n_sent` (int), `dup_sent_frac`, `dup_2gram_frac`,
     * `dup_3gram_frac` (double in [0,1], 0.0 for too-short docs). */
