@@ -100,7 +100,13 @@ object Joins {
                        prefix: String = "r_"): DataFrame = {
     require(bucketMicros > 0, "bucket must be positive")
     val w = lit(bucketMicros)
-    def bucket(ts: Column): Column = ((ts - pmod(ts, w)) / w).cast("long")
+    // the bucket LABEL is the bucket's start timestamp, ts − pmod(ts, w):
+    // pure long arithmetic, exact for the full int64 range. A quotient
+    // form over Column `/` would be IEEE double division (exact only for
+    // |ts| < 2^53 — a mis-bucketed extreme timestamp silently changes
+    // matches); the label only needs to be injective per bucket and
+    // ordered with ts, which the start timestamp is.
+    def bucket(ts: Column): Column = ts - pmod(ts, w)
     val r = right.filter(col(tsCol).isNotNull)
       .select(col(key), col(tsCol).as("__ts"),
         col(tieCol).as("__tie"), lit(0).as("__side"),
@@ -169,18 +175,17 @@ object Joins {
                 prefix: String = "r_"): DataFrame = {
     require(lookbackMicros > 0, "lookback must be positive")
     val w = lit(lookbackMicros)
-    // exact integer floor division: (ts - pmod(ts, W)) / W. floor(ts/W)
-    // over DOUBLE division can flip at a cell boundary once ts/W's
-    // rounding error crosses an integer (epoch-µs ÷ 1h leaves ~1e-7
-    // absolute error) — and a flipped cell on ONE side breaks the
-    // adjacent-cell guarantee and silently drops pairs. The pmod form
-    // stays exact for |ts| < 2^53 (numerator is an exact multiple of W,
-    // so the division is exact).
-    def cell(ts: Column): Column = ((ts - pmod(ts, w)) / w).cast("long")
+    // cell LABEL = the cell's start timestamp, ts − pmod(ts, W): pure
+    // long arithmetic, exact for the full int64 range. Any division —
+    // even of an exact multiple — would route through IEEE doubles
+    // (Column `/`), which breaks above 2^53; a cell flipped on ONE side
+    // breaks the adjacent-cell guarantee and silently drops pairs. The
+    // successor cell's label is start + W.
+    def cell(ts: Column): Column = ts - pmod(ts, w)
     val r = right.select(col(key).as("__rk"), col(tsCol).as("__rts"),
         struct(rightCols.map(col): _*).as("__rv"))
       .withColumn("__cell",
-        explode(array(cell(col("__rts")), cell(col("__rts")) + 1)))
+        explode(array(cell(col("__rts")), cell(col("__rts")) + w)))
     left
       .withColumn("__lcell", cell(col(tsCol)))
       .join(r, col(key) === col("__rk") &&

@@ -76,6 +76,28 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("plan guard: near-dup LSH pipeline computed once — the count " +
+    "branch resolves to a ReusedExchange of the pair branch") {
+    // cosineNearDupPairs relies on the same optimizer-sensitive
+    // count(when(__one > 0, 1)) / no-op-filter trick as
+    // Dedup.pairsFromSignatures to keep both exchange subtrees
+    // canonically equal; without this guard a future optimizer change
+    // could silently double-compute the explode+bucket pipeline
+    // (ADVICE r10). Mirrors DedupSpec's d3 ReusedExchange check.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, nBits = 16, nTables = 3)
+    pairs.collect() // finalize AQE (the static string prints both branches)
+    val plan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should include("ReusedExchange")
+    // the probe-table explode (the head of the LSH pipeline) must appear
+    // exactly once; a second occurrence means the bucket-count branch
+    // recomputed the pipeline instead of reusing the exchange
+    "explode\\(array\\(struct\\(tbl".r
+      .findAllMatchIn(plan).size shouldBe 1
+  }
+
   test("near-dup maxBucket cap drops a degenerate bucket") {
     // 12 copies of one vector: every probe table has a single 12-wide
     // bucket; cap 5 drops it entirely (recall loss, never precision loss)
