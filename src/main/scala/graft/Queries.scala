@@ -2829,6 +2829,57 @@ object Queries {
           GROUP BY w.doc_id)
         ORDER BY doc_id""")),
 
+    // ---- D14: perceptual-hash image near-dup (Hamming-band LSH) --------
+    // The payload-side dedup the text family (d1–d13) never covers:
+    // Dedup.imageNearDupPairs — 4×16-bit band LSH over a 64-bit
+    // fingerprint, exact bit_count(xor) verify, the same aggregate-not-
+    // Window bucket discipline as d3. Real deployments feed
+    // PerceptualHash.dHashCol over decoded payloads (spec-proven with
+    // golden pixel fixtures); testdata has no image column, so the
+    // fingerprint here is the embeddings' 64-dim SIGN HASH — a SimHash
+    // by construction, structurally identical to dHash (64 bits, bandable,
+    // Hamming-meaningful) and derivable in both engines. Sign-exact:
+    // `>= 0` float compares (the n2 convention). The 64-bit assembly is
+    // two's-complement exact in DuckDB via the signed top band (bit 63
+    // would overflow a naive Σ 2^i — the d12 int64 discipline).
+    // maxHamming=24 reflects the fixture's perturbation level (planted
+    // twins flip ~15–25 signs); dHash near-dups use the tighter default.
+    QueryDef("d14_image_neardup",
+      (s, dir) => {
+        val hash = (0 until 64).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+        Dedup.imageNearDupPairs(
+          t(s, dir, "embeddings").select(col("vec_id"), hash.as("phash")),
+          "vec_id", "phash", maxHamming = 24)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        def band(k: Int) = (0 until 16).map(j =>
+          s"(CASE WHEN embedding[${16 * k + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        val bandCands = (0 until 4).map { k =>
+          s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM h x JOIN h y ON x.b$k = y.b$k AND x.vec_id < y.vec_id
+          WHERE x.b$k IN (SELECT b$k FROM h GROUP BY b$k
+            HAVING count(*) <= 10000)"""
+        }.mkString(" UNION ")
+        s"""WITH h AS (
+          SELECT vec_id,
+            ${(0 until 4).map(k => s"${band(k)} AS b$k").mkString(", ")},
+            b0 + b1 * 65536::BIGINT + b2 * 4294967296::BIGINT +
+              (CASE WHEN b3 >= 32768 THEN b3 - 65536 ELSE b3 END)
+                * 281474976710656::BIGINT AS ph
+          FROM embeddings),
+        cand AS ($bandCands)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(hx.ph, hy.ph)) AS INTEGER) AS hamming
+        FROM cand JOIN h hx ON hx.vec_id = id_a
+          JOIN h hy ON hy.vec_id = id_b
+        WHERE bit_count(xor(hx.ph, hy.ph)) <= 24
+        ORDER BY id_a, id_b"""
+      }),
+
     // ---- M10: BM25 retrieval (top-k docs for a term query) -------------
     // The classic lexical-retrieval scorer, the workhorse for sourcing
     // pretraining/RAG candidates: score(d) = Σ_t idf(t) · tf·(k1+1) /

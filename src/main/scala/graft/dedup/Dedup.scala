@@ -759,6 +759,68 @@ object Dedup {
       array_distinct(CaptionStats.tokens(lower(c))),
       array().cast("array<string>")))
 
+  /** Image near-duplicate pairs from a 64-bit perceptual-hash column
+    * ([[graft.images.PerceptualHash.dHash64]] — or any 64-bit LSH-able
+    * fingerprint): Hamming-band LSH → exact popcount verify. The payload
+    * twin of the text near-dup family: candidates are ids sharing ANY of
+    * the hash's four 16-bit bands exactly (pigeonhole: Hamming distance
+    * ≤ 3 GUARANTEES a shared band; distances up to `maxHamming` are
+    * found when the differing bits cluster — the standard
+    * recall/cost trade of banded Hamming LSH), then every candidate
+    * pair is verified with the exact codegen'd `bit_count(a ⊕ b)`.
+    *
+    * Scale shape — identical discipline to the text path: band
+    * bucketing and pair emission reuse [[minhashCandidatePairs]]'s
+    * aggregate machinery (map-combined bucket counts joined back, never
+    * a Window; a viral bucket — e.g. a blank-image hash shared by
+    * millions of payloads — is dropped by the `maxBucket` cap BEFORE
+    * any collect_list buffers it, a recall-only loss). The verify join
+    * is O(candidates), never O(n²). No persist is needed: the "sig"
+    * side is four mask/shift expressions over one LONG — recomputing it
+    * on the verify branches is cheaper than caching.
+    *
+    * Returns (id_a, id_b, hamming) with id_a < id_b,
+    * hamming ≤ `maxHamming`. Null hashes never pair (dropped up
+    * front). */
+  def imageNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 10,
+                        maxBucket: Int = 10000): DataFrame = {
+    val h = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("__ph"))
+    val sig = h.select(col(idCol) +:
+      (0 until 4).map(b => shiftright(col("__ph"), 16 * b)
+        .bitwiseAND(lit(0xffffL)).as(s"mh$b")): _*)
+    val cand = pairsFromSignatures(sig, idCol, bands = 4,
+      rowsPerBand = 1, maxBucket)
+    cand
+      .join(h.select(col(idCol).as("id_a"), col("__ph").as("__pa")), "id_a")
+      .join(h.select(col(idCol).as("id_b"), col("__ph").as("__pb")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("__pa").bitwiseXOR(col("__pb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** [[imageNearDupPairs]] straight from an opaque binary image column:
+    * decode + dHash once per payload (the expensive step — persisted so
+    * the three hash consumers above don't re-decode), then the
+    * hash-side search. EAGER like [[nearDupPairs]]: the small pair
+    * result materializes while the hash cache is alive, then the cache
+    * is released. */
+  def imageNearDupPairsFromBytes(df: DataFrame, idCol: String,
+                                 dataCol: String, maxHamming: Int = 10,
+                                 maxBucket: Int = 10000): DataFrame = {
+    val hashes = df.select(col(idCol),
+      graft.images.PerceptualHash.dHashCol(col(dataCol)).as("__phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = imageNearDupPairs(hashes, idCol, "__phash", maxHamming,
+      maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the hash cache is alive
+    hashes.unpersist(blocking = false)
+    out
+  }
+
   /** CDC latest-wins compaction: one surviving row per key set — the row
     * with the greatest (`tsCol`, `tieCol`) — implemented as a rank
     * window, which compiles to map-side `WindowGroupLimit` (each task

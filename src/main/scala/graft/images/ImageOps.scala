@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object ImageOps {
 
-  private def decode(bytes: Array[Byte]): Option[BufferedImage] =
+  private[images] def decode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
