@@ -2880,6 +2880,34 @@ object Queries {
         ORDER BY id_a, id_b"""
       }),
 
+    // ---- D15: incremental dedup against a persisted signature store ----
+    // The production shape at 100 TB: nobody re-deduplicates the whole
+    // corpus per crawl — the already-ingested side is materialized ONCE
+    // as bucketed band + shingle tables (Dedup.writeSignatureStore, the
+    // k6 layout discipline), and each new shard equi-joins the store's
+    // band keys with no store-side recompute OR shuffle (the bucket-count
+    // aggregate runs scan→agg with no Exchange; spec-proven). The oracle
+    // is the WHOLE-CORPUS d6 pipeline restricted to shard ids — passing
+    // proves incremental ≡ full recompute, including the combined-size
+    // bucket cap (store_n + shard_n, the edge SignatureStoreSpec pins).
+    QueryDef("d15_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/sigstore"
+        Dedup.writeSignatureStore(docs.filter(col("doc_id") < 250),
+          "doc_id", "text", "graft_sigstore", out)
+        Dedup.dedupShardAgainst(docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", "graft_sigstore", threshold = 0.5)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $lshVerifiedCtes
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id >= 250
+          AND doc_id NOT IN (SELECT id_b FROM verified)
+        ORDER BY doc_id""")),
+
     // ---- M10: BM25 retrieval (top-k docs for a term query) -------------
     // The classic lexical-retrieval scorer, the workhorse for sourcing
     // pretraining/RAG candidates: score(d) = Σ_t idf(t) · tf·(k1+1) /

@@ -821,6 +821,147 @@ object Dedup {
     out
   }
 
+  // ------------------------------------------------- signature store
+
+  /** Band key as ONE join column: `band_idx:band_key`. A single-column
+    * key is what lets the store table be BUCKETED on exactly the join
+    * key — the bucketed scan's HashPartitioning then satisfies both the
+    * band join and the bucket-count aggregate with no store-side
+    * Exchange. */
+  private def bandJoinKey: Column =
+    concat_ws(":", col("band_idx"), col("band_key"))
+
+  /** Write the persisted SIGNATURE STORE for incremental near-dedup.
+    * At 100 TB nobody re-deduplicates the whole corpus per crawl: the
+    * production shape is "dedup the new shard against what's already
+    * ingested". This materializes the corpus side ONCE as two bucketed
+    * tables (registered as `<tablePrefix>_bands` / `<tablePrefix>_
+    * shingles`, files under `path`):
+    *
+    *  - bands: (bk = band_idx:band_key, id), bucketed+sorted by `bk` —
+    *    the LSH candidate side. A shard's band keys equi-join this scan
+    *    with NO store-side shuffle or recompute.
+    *  - shingles: (id, __s), bucketed by `id` — the exact-Jaccard
+    *    verify side. Storing the shingle arrays (not just signatures)
+    *    is what keeps incremental results EXACTLY equal to a
+    *    whole-corpus [[dropNearDups]]: verification needs true shingle
+    *    sets, and re-deriving them would mean re-reading corpus text —
+    *    the thing the store exists to avoid. Store size is O(corpus
+    *    tokens); the signature-only alternative (estimate-verify via
+    *    [[minhashEstimates]]'s agree-count) trades that space for
+    *    approximate parity.
+    *
+    * `k`/`bands`/`shingleN` must match the later
+    * [[dedupShardAgainst]] call (same LSH family — caller contract).
+    * `nBuckets` sizes the bucket layout: at real scale use
+    * O(corpus size / target partition size), not the fixture default. */
+  def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                          tablePrefix: String, path: String,
+                          k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                          nBuckets: Int = 8): Unit = {
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, k / bands)
+      .select(bandJoinKey.as("bk"), col(idCol))
+      .write.mode("overwrite").option("path", s"$path/bands")
+      .bucketBy(nBuckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+    sh.write.mode("overwrite").option("path", s"$path/shingles")
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+    sh.unpersist(blocking = false)
+  }
+
+  /** Per-bucket doc counts over the store's band table — groupBy on the
+    * bucketing key, so the plan is scan→aggregate with NO Exchange
+    * (spec-asserted). Exposed for the plan proof. */
+  private[graft] def storeBandCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): DataFrame =
+    spark.table(s"${tablePrefix}_bands")
+      .groupBy("bk").agg(count(lit(1)).as("__sn"))
+
+  /** Incremental near-dedup of a NEW SHARD against a persisted
+    * [[writeSignatureStore]] store: returns the shard rows that survive
+    * — EXACTLY the rows whole-corpus [[dropNearDups]](store ∪ shard)
+    * would keep, restricted to shard ids (spec-proven; oracle d15).
+    * The store side is never recomputed: candidates come from the
+    * shard's band keys equi-joining the bucketed band table (store side
+    * scans in place, shard side shuffles to it), verification reads the
+    * stored shingle arrays.
+    *
+    * Exactness requires the cap semantics to match the whole-corpus
+    * run: a bucket's size there is its COMBINED membership, so the
+    * filter here is `2 ≤ store_n + shard_n ≤ maxBucket` — the store
+    * counts aggregate shuffle-free on the bucket key, the shard counts
+    * are one small shuffle. Shard-internal pairs are emitted from the
+    * same capped buckets (sorted-id explode, list size ≤ maxBucket);
+    * cross pairs from the band equi-join. A shard doc is dropped iff a
+    * verified pair ranks it second (`id_b`) — pairs whose LARGER id is
+    * a store doc drop that store doc in the whole-corpus run, not the
+    * shard doc, and are ignored here (the anti-join never sees them).
+    *
+    * EAGER like [[nearDupPairs]]: the small loser set materializes
+    * while the shard's shingle cache is alive, then shard caches are
+    * released. Ids must be disjoint between store and shard (caller
+    * contract — same as corpus ids being unique). */
+  def dedupShardAgainst(shard: DataFrame, idCol: String, textCol: String,
+                        tablePrefix: String, threshold: Double,
+                        k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                        maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = shard.sparkSession
+    val storeB = spark.table(s"${tablePrefix}_bands")
+    val storeSh = spark.table(s"${tablePrefix}_shingles")
+    val shardSh = shingleTable(shard, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shardB = lshBands(signaturesFrom(shardSh, idCol, k), idCol,
+      bands, k / bands)
+      .select(bandJoinKey.as("bk"), col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // combined bucket sizes; only buckets holding ≥1 shard doc matter
+    val ok = shardB.groupBy("bk").agg(count(lit(1)).as("__nn"))
+      .join(storeBandCounts(spark, tablePrefix), Seq("bk"), "left")
+      .withColumn("__tot", col("__nn") + coalesce(col("__sn"), lit(0L)))
+      .filter(col("__tot") >= 2 && col("__tot") <= maxBucket)
+      .select("bk")
+    val okShardB = shardB.join(ok, Seq("bk"))
+    val cross = okShardB.select(col("bk"), col(idCol).as("__sid"))
+      .join(storeB.select(col("bk"), col(idCol).as("__tid")), Seq("bk"))
+      .select(least(col("__sid"), col("__tid")).as("id_a"),
+        greatest(col("__sid"), col("__tid")).as("id_b"))
+    // a capped bucket with ONE shard member yields only cross pairs;
+    // it must not reach the pair explode (sequence(0, -1) DESCENDS in
+    // Spark — the lower bound is not a guard — and the descending index
+    // then trips ANSI element_at)
+    val buckets = okShardB.groupBy("bk")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+    val n = size(col("__ids"))
+    val internal = buckets.select(explode(flatten(
+        transform(sequence(lit(0), n - 2), i =>
+          transform(sequence(i + 1, n - 1), j =>
+            struct(element_at(col("__ids"), i + 1).as("id_a"),
+              element_at(col("__ids"), j + 1).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val cand = cross.filter(col("id_a") < col("id_b"))
+      .union(internal).distinct()
+    val allSh = storeSh.unionByName(shardSh)
+    val a = allSh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
+    val b = allSh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val uni = size(col("__sa")) + size(col("__sb")) - inter
+    val losers = cand.join(a, "id_a").join(b, "id_b")
+      .filter(when(uni === 0, 0.0)
+        .otherwise(inter.cast("double") / uni) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    losers.count() // materialize while the shard caches are alive
+    shardSh.unpersist(blocking = false)
+    shardB.unpersist(blocking = false)
+    shard.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** CDC latest-wins compaction: one surviving row per key set — the row
     * with the greatest (`tsCol`, `tieCol`) — implemented as a rank
     * window, which compiles to map-side `WindowGroupLimit` (each task

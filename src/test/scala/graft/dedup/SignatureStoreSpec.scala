@@ -1,0 +1,123 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup against a persisted signature store (d15 family):
+  * exact equivalence with the whole-corpus run, plus the plan
+  * properties the store exists for (no store-side recompute, no
+  * store-side Exchange). */
+class SignatureStoreSpec extends SparkSpec {
+
+  private val pfx = "graft_test_sigstore"
+  private val path = "/tmp/graft_test_sinks/sigstore"
+
+  private def withStore(store: org.apache.spark.sql.DataFrame)(
+      body: => Unit): Unit = {
+    Dedup.writeSignatureStore(store, "doc_id", "text", pfx, path)
+    try body
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${pfx}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${pfx}_shingles")
+    }
+  }
+
+  test("shard-vs-store equals whole-corpus dropNearDups restricted to " +
+    "shard ids (cross-boundary, shard-internal, and clean docs)") {
+    import spark.implicits._
+    // store: 1 & 2 near-dup each other; 3 unique; shard: 10 dups 1
+    // (cross-boundary drop), 11 & 12 dup each other (shard-internal:
+    // 11 survives, 12 drops), 13 unique (survives)
+    val mk = (extra: String) =>
+      s"alpha beta gamma delta epsilon zeta eta theta iota $extra"
+    val corpus = Seq(
+      1L -> mk("kappa"), 2L -> mk("kappa"), 3L -> "totally different words about spark engines and shuffles",
+      10L -> mk("kappa"), 11L -> mk("omega sigma"), 12L -> mk("omega sigma"),
+      13L -> "unrelated content on bucketed layouts and shuffle avoidance"
+    ).toDF("doc_id", "text")
+    val store = corpus.filter(col("doc_id") < 10)
+    val shard = corpus.filter(col("doc_id") >= 10)
+    withStore(store) {
+      val got = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+      val whole = Dedup.dropNearDups(corpus, "doc_id", "text",
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0))
+        .toSet.filter(_ >= 10L)
+      got shouldBe whole
+      got shouldBe Set(11L, 13L) // 10 drops vs store, 12 vs 11, rest keep
+    }
+  }
+
+  test("equivalence holds on real documents with a mid-corpus split") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val store = docs.filter(col("doc_id") < 25)
+    val shard = docs.filter(col("doc_id") >= 25)
+    withStore(store) {
+      val got = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+      val whole = Dedup.dropNearDups(docs, "doc_id", "text",
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0))
+        .toSet.filter(_ >= 25L)
+      got shouldBe whole
+      got should not be empty
+    }
+  }
+
+  test("combined-size bucket cap matches the whole-corpus cap: a bucket " +
+    "viral only when store and shard members are COMBINED is dropped") {
+    import spark.implicits._
+    // 3 store copies + 3 shard copies of one text: combined bucket = 6.
+    // cap 5 → whole-corpus finds NO pairs in the bucket; an
+    // incremental run that capped on per-side counts (3 ≤ 5) would
+    // wrongly emit pairs. Equivalence must hold at exactly this edge.
+    val text = "same boilerplate template text repeated across the corpus"
+    val corpus = ((1L to 3L) ++ (11L to 13L)).map(_ -> text)
+      .toDF("doc_id", "text")
+    val store = corpus.filter(col("doc_id") < 10)
+    val shard = corpus.filter(col("doc_id") >= 10)
+    withStore(store) {
+      val got = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
+        threshold = 0.5, maxBucket = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      got shouldBe Set(11L, 12L, 13L) // capped: nobody drops
+      val whole = Dedup.dropNearDups(corpus, "doc_id", "text",
+        threshold = 0.5, maxBucket = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet.filter(_ >= 10L)
+      got shouldBe whole
+      // and with the cap lifted both drop the shard dups identically
+      val gotU = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+      gotU shouldBe Set.empty // 11,12,13 all dup store doc 1
+    }
+  }
+
+  test("plan proof: store bucket counts aggregate with NO Exchange, and " +
+    "the store side of the shard run is a scan, not a recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val store = docs.filter(col("doc_id") < 25)
+    val shard = docs.filter(col("doc_id") >= 25)
+    withStore(store) {
+      // 1. the bands table is bucketed by bk: groupBy(bk) plans
+      // scan → partial agg → final agg with no shuffle in between
+      val cnts = Dedup.storeBandCounts(spark, pfx)
+      cnts.queryExecution.executedPlan.toString should not include "Exchange"
+      cnts.count() should be > 0L
+      // 2. the shard run's plan scans both store tables as files — the
+      // shingle/minhash pipeline exists ONLY on the shard branch. The
+      // store branches must show bucketed FileScans of the two store
+      // tables; shingles( / minhash_rot( may appear only as many times
+      // as the shard pipeline needs (1 compute site, into the cache).
+      val out = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
+        threshold = 0.5)
+      val plan = out.queryExecution.executedPlan.toString
+      // the store tables appear as parquet FILE SCANS — read from the
+      // materialized store, not derived from text. (A global count of
+      // shingles( sites is meaningless here: every InMemoryTableScan
+      // reference prints the cached shard pipeline again.)
+      s"FileScan parquet [^\\n]*${pfx}_bands".r
+        .findFirstIn(plan) shouldBe defined
+      s"FileScan parquet [^\\n]*${pfx}_shingles".r
+        .findFirstIn(plan) shouldBe defined
+    }
+  }
+}
