@@ -902,23 +902,70 @@ object Dedup {
     * shard doc, and are ignored here (the anti-join never sees them).
     *
     * EAGER like [[nearDupPairs]]: the small loser set materializes
-    * while the shard's shingle cache is alive, then shard caches are
-    * released. Ids must be disjoint between store and shard (caller
-    * contract — same as corpus ids being unique). */
+    * while the shard's shingle cache is alive, then EVERY cache this
+    * call created is released before it returns — in the per-shard
+    * production loop this function serves, a persisted frame per call
+    * would accumulate in the CacheManager unboundedly. Loser sets up
+    * to `maxLocalLosers` ids (the production-typical case: the set is
+    * the shard docs that DROP, not the shard) are collected into a
+    * broadcast local relation, which also removes the anti-join's
+    * shard-side shuffle entirely. Oversized loser sets fall back to a
+    * reliable checkpoint (lineage cut to files, cache still released)
+    * when a SparkContext checkpoint dir is configured, else the cache
+    * is released anyway and the loser pipeline recomputes when the
+    * caller executes — correct but expensive, so configure a
+    * checkpoint dir for shards where > `maxLocalLosers` docs may drop.
+    * Ids must be disjoint between store and shard (caller contract —
+    * same as corpus ids being unique). */
   def dedupShardAgainst(shard: DataFrame, idCol: String, textCol: String,
                         tablePrefix: String, threshold: Double,
                         k: Int = 12, bands: Int = 4, shingleN: Int = 3,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000,
+                        maxLocalLosers: Long = 1L << 22): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = shard.sparkSession
-    val storeB = spark.table(s"${tablePrefix}_bands")
-    val storeSh = spark.table(s"${tablePrefix}_shingles")
     val shardSh = shingleTable(shard, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shardB = lshBands(signaturesFrom(shardSh, idCol, k), idCol,
       bands, k / bands)
       .select(bandJoinKey.as("bk"), col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val losers = shardLoserIds(shardSh, shardB, idCol, tablePrefix,
+      threshold, maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nLosers = losers.count() // materialize while shard caches alive
+    val loserSide =
+      if (nLosers <= maxLocalLosers) {
+        // collect → local relation → broadcast: no cache entry outlives
+        // this call AND the anti-join needs no shard-side shuffle
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(losers.collect(): _*), losers.schema))
+      } else if (spark.sparkContext.getCheckpointDir.isDefined) {
+        losers.checkpoint() // lineage cut to reliable files; cache can go
+      } else {
+        losers // unpersisted below: recomputes on execute (see scaladoc)
+      }
+    losers.unpersist(blocking = false)
+    shardSh.unpersist(blocking = false)
+    shardB.unpersist(blocking = false)
+    shard.join(loserSide, Seq(idCol), "left_anti")
+  }
+
+  /** The LAZY loser-id plan of [[dedupShardAgainst]] — candidate
+    * generation against the store's bucketed band table plus exact
+    * shingle-Jaccard verification — factored out so plan proofs can
+    * read the store-side scan shape BEFORE the eager wrapper
+    * materializes and releases it. `shardSh` = the shard's
+    * (id, shingle-array) frame, `shardB` = its (bk, id) band frame
+    * (the wrapper passes them persisted; the pipeline reads each
+    * more than once). */
+  private[graft] def shardLoserIds(shardSh: DataFrame, shardB: DataFrame,
+                                   idCol: String, tablePrefix: String,
+                                   threshold: Double,
+                                   maxBucket: Int): DataFrame = {
+    val spark = shardSh.sparkSession
+    val storeB = spark.table(s"${tablePrefix}_bands")
+    val storeSh = spark.table(s"${tablePrefix}_shingles")
     // combined bucket sizes; only buckets holding ≥1 shard doc matter
     val ok = shardB.groupBy("bk").agg(count(lit(1)).as("__nn"))
       .join(storeBandCounts(spark, tablePrefix), Seq("bk"), "left")
@@ -951,15 +998,10 @@ object Dedup {
     val b = allSh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))
     val uni = size(col("__sa")) + size(col("__sb")) - inter
-    val losers = cand.join(a, "id_a").join(b, "id_b")
+    cand.join(a, "id_a").join(b, "id_b")
       .filter(when(uni === 0, 0.0)
         .otherwise(inter.cast("double") / uni) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    losers.count() // materialize while the shard caches are alive
-    shardSh.unpersist(blocking = false)
-    shardB.unpersist(blocking = false)
-    shard.join(losers, Seq(idCol), "left_anti")
   }
 
   /** CDC latest-wins compaction: one surviving row per key set — the row

@@ -18,6 +18,15 @@ object Bridge {
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
 
+  /** Whether the session's CacheManager holds NO persisted plans —
+    * observability for cache-ownership contracts (e.g. the per-shard
+    * dedup loop must release every cache it creates; a leaked persist
+    * accumulates across shards). `sharedState.cacheManager` is
+    * `private[sql]` in Spark 4 — same shim rationale as above. */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]` in Spark 4 — same shim rationale as above; used by
     * the native whole-operator plans in `graft.plans`). */

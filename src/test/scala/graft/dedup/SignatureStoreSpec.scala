@@ -91,6 +91,30 @@ class SignatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("dedupShardAgainst releases every cache it created — the " +
+    "per-shard production loop must not accumulate CacheManager entries " +
+    "— and anti-joins the loser set as a broadcast local relation") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val store = docs.filter(col("doc_id") < 25)
+    val shard = docs.filter(col("doc_id") >= 25)
+    withStore(store) {
+      spark.catalog.clearCache()
+      val out = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
+        threshold = 0.5)
+      // the call is eager; by return time nothing may remain persisted
+      Bridge.cacheIsEmpty(spark) shouldBe true
+      // the collected loser set broadcasts: the anti-join is a
+      // BroadcastHashJoin LeftAnti with NO shard-side Exchange
+      val plan = out.queryExecution.executedPlan.toString
+      plan should include ("BroadcastHashJoin")
+      plan should include ("LeftAnti")
+      // executing the result must not re-create any cache either
+      out.count()
+      Bridge.cacheIsEmpty(spark) shouldBe true
+    }
+  }
+
   test("plan proof: store bucket counts aggregate with NO Exchange, and " +
     "the store side of the shard run is a scan, not a recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -102,13 +126,20 @@ class SignatureStoreSpec extends SparkSpec {
       val cnts = Dedup.storeBandCounts(spark, pfx)
       cnts.queryExecution.executedPlan.toString should not include "Exchange"
       cnts.count() should be > 0L
-      // 2. the shard run's plan scans both store tables as files — the
-      // shingle/minhash pipeline exists ONLY on the shard branch. The
-      // store branches must show bucketed FileScans of the two store
-      // tables; shingles( / minhash_rot( may appear only as many times
-      // as the shard pipeline needs (1 compute site, into the cache).
-      val out = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
-        threshold = 0.5)
+      // 2. the loser pipeline's plan scans both store tables as files —
+      // the shingle/minhash pipeline exists ONLY on the shard branch.
+      // (Read via the lazy factored-out plan: the eager wrapper
+      // materializes and RELEASES this pipeline before returning, and
+      // its returned frame is just a broadcast anti-join of the
+      // collected loser ids — see the cache-release test.)
+      val shardSh = Dedup.shingleTableForTest(shard, "doc_id", "text", 3)
+      val shardB = Dedup.lshBands(
+        Dedup.minhashSignatures(shard, "doc_id", "text", k = 12,
+          shingleN = 3), "doc_id", bands = 4, rowsPerBand = 3)
+        .select(concat_ws(":", col("band_idx"), col("band_key")).as("bk"),
+          col("doc_id"))
+      val out = Dedup.shardLoserIds(shardSh, shardB, "doc_id", pfx,
+        threshold = 0.5, maxBucket = 10000)
       val plan = out.queryExecution.executedPlan.toString
       // the store tables appear as parquet FILE SCANS — read from the
       // materialized store, not derived from text. (A global count of
