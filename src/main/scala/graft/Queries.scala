@@ -2829,6 +2829,50 @@ object Queries {
           GROUP BY w.doc_id)
         ORDER BY doc_id""")),
 
+    // ---- D16: cross-doc duplicated-span REMOVAL ------------------------
+    // The excision complement of d13 (Dedup.dropDupSpans): every
+    // occurrence of an 8-token window shared by ≥2 distinct docs is
+    // excised except the global first occurrence (min (doc, pos));
+    // overlapping excised windows remove the UNION of their positions
+    // (one shared passage excises once); docs rebuild from surviving
+    // ORIGINAL tokens, emptied docs drop out. Window keys hash the
+    // normalized stream (lower + nfc, the d13 keying); positions align
+    // across the two streams because \s+ tokenization is untouched by
+    // NFC/lowercasing. n_kept stays BIGINT both sides (count, not sum).
+    QueryDef("d16_drop_dup_spans",
+      (s, dir) => Dedup.dropDupSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS ot,
+            ${toksSql("lower(nfc_normalize(text))")} AS nt
+          FROM documents),
+        w AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 7], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 6)) AS i
+            FROM tk WHERE len(nt) >= 8)),
+        stats AS (SELECT h, count(DISTINCT doc_id) AS nd,
+            min(doc_id) AS fdoc
+          FROM w GROUP BY h),
+        fpos AS (SELECT w.h, min(w.p) AS fp
+          FROM w JOIN stats s ON w.h = s.h AND w.doc_id = s.fdoc
+          GROUP BY w.h),
+        exc AS (SELECT w.doc_id, w.p
+          FROM w JOIN stats s ON w.h = s.h JOIN fpos f ON w.h = f.h
+          WHERE s.nd >= 2 AND NOT (w.doc_id = s.fdoc AND w.p = f.fp)),
+        cov AS (SELECT DISTINCT e.doc_id, e.p + r.i AS cp
+          FROM exc e CROSS JOIN (SELECT unnest(range(0, 8)) AS i) r),
+        toks AS (SELECT doc_id, u['i'] AS p, u['t'] AS tok FROM (
+          SELECT doc_id, unnest(list_transform(ot,
+            (t, i) -> {'i': i, 't': t})) AS u
+          FROM tk))
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text_kept,
+          count(*) AS n_kept
+        FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+          WHERE c.doc_id = t.doc_id AND c.cp = t.p)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // ---- D14: perceptual-hash image near-dup (Hamming-band LSH) --------
     // The payload-side dedup the text family (d1–d13) never covers:
     // Dedup.imageNearDupPairs — 4×16-bit band LSH over a 64-bit

@@ -726,6 +726,102 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the excision complement of
+    * [[dupSpans]] (which only scores): every occurrence of a token
+    * window shared by ≥ `minDocs` DISTINCT documents is excised EXCEPT
+    * the global first occurrence (minimal (doc, pos) — the d9
+    * first-occurrence discipline lifted from sentences to token
+    * windows), and documents are rebuilt from their surviving tokens in
+    * original order. This is the distributed equivalent of the removal
+    * step in Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): detection alone only scores boilerplate;
+    * a corpus user runs it in order to DROP the shared license headers
+    * and templated passages while keeping exactly one copy.
+    *
+    * Overlap-merge is positional: an excised occurrence covers its n
+    * token POSITIONS, and a position is removed when ANY excised window
+    * covers it — so the L−n+1 overlapping windows of one shared
+    * passage of length L excise the passage ONCE (the union of their
+    * coverage, L positions), never n× L tokens. A document that loses
+    * every token drops out (d9/C4 discipline: emptied pages are
+    * discarded); documents shorter than n tokens have no windows and
+    * survive untouched; within-doc repeats without a cross-doc copy
+    * are NOT spans shared by `minDocs` docs and stay (that axis is
+    * [[graft.text.TextAnalysis.repetitionSignals]]).
+    *
+    * Keying matches [[dupSpans]] (tokens of lower(NFC(text)), md5 of
+    * the space-joined window — no token payload crosses the wire); the
+    * REBUILT text keeps the original token bytes: `\s+` tokenization
+    * aligns the original and normalized streams position-for-position
+    * because neither NFC composition nor lowercasing creates or
+    * removes whitespace.
+    *
+    * Scale shape — aggregates, never Windows (the d9/d13 skew rule):
+    * per-(h, doc) position lists are a map-combined groupBy (bounded by
+    * within-doc multiplicity); distinct-doc count + global-first
+    * occurrence are a second map-combined groupBy(h) over those rows
+    * (min-of-struct, partial-aggregatable — a boilerplate span in 10⁸
+    * docs collapses per map task; the residual h-join back is
+    * AQE-skew-splittable, a Window over h would funnel the viral h
+    * into one task). Excision explodes positions only for EXCISED
+    * occurrences (the dup tail, not the corpus), and the rebuild is a
+    * position anti-join + one groupBy on the doc id. Windows-per-doc ≈
+    * tokens-per-doc — the inherent substring-dedup cost, same as
+    * [[dupSpans]]; bound it upstream with a length filter if needed.
+    *
+    * Output: (idCol, text_kept, n_kept) for every doc with ≥ 1
+    * surviving token. */
+  def dropDupSpans(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8, minDocs: Int = 2,
+                   nfc: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol),
+      CaptionStats.tokens(col(textCol)).as("__ot"),
+      CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
+    // (id, start-pos, window-hash) occurrences; 1-based starts (slice)
+    val wins = base.filter(size(col("__nt")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__nt")) - (n - 1)),
+        i => struct(i.as("__p"),
+          md5(array_join(slice(col("__nt"), i, lit(n)), " ")).as("__h"))))
+        .as("__w"))
+      .select(col(idCol), col("__w.__p").as("__p"), col("__w.__h").as("__h"))
+    // every occurrence position per (h, doc), one row per pair — the
+    // sorted list's head is the doc-local first occurrence
+    val perDoc = wins.groupBy(col("__h"), col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+    // distinct-doc reach + GLOBAL first occurrence per h: rows are
+    // distinct (h, doc) already, so count(1) is the distinct-doc count
+    // (no count-distinct expansion), and min over struct(doc, doc-local
+    // first pos) is lexicographic = ORDER BY doc, pos
+    val stats = perDoc.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nd"),
+        min(struct(col(idCol).as("__fid"),
+          element_at(col("__ps"), 1).as("__fp"))).as("__f"))
+    // excised occurrence starts: all of a dup h's positions, minus the
+    // single global-first occurrence in its keeper doc
+    val exc = perDoc.join(stats, Seq("__h"))
+      .filter(col("__nd") >= minDocs)
+      .select(col(idCol), explode(
+        when(col(idCol) === col("__f.__fid"),
+          filter(col("__ps"), p => p =!= col("__f.__fp")))
+          .otherwise(col("__ps"))).as("__sp"))
+    // positional coverage union: duplicates across overlapping windows
+    // are harmless — the anti-join below ignores right-side multiplicity
+    val covered = exc.select(col(idCol).as("__cid"),
+      explode(sequence(col("__sp"), col("__sp") + (n - 1))).as("__cp"))
+    val toks = base.select(col(idCol),
+      posexplode(col("__ot")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).as("__p"), col("__tok"))
+    toks.join(covered,
+        col(idCol) === col("__cid") && col("__p") === col("__cp"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("__p"), col("__tok")))),
+        s => s.getField("__tok"))).as("text_kept"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (distinct
     * shingles; n=1 → token Jaccard). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

@@ -396,6 +396,55 @@ class DedupSpec extends SparkSpec {
       .select("dup_span_frac").as[Double].head() shouldBe 0.25
   }
 
+  test("dropDupSpans: overlap-merge — a shared passage excises ONCE " +
+    "(union of window positions), keeper doc keeps it") {
+    // the 6-token passage alpha..zeta yields THREE overlapping 4-token
+    // windows shared by both docs; doc 2 must lose exactly the 6
+    // passage tokens (coverage union), not 3 windows × 4 tokens
+    val corpus = Seq(
+      (1L, "intro one two alpha beta gamma delta epsilon zeta end1 end2"),
+      (2L, "start alpha beta gamma delta epsilon zeta tail1 tail2 tail3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSpans(corpus, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept", "n_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, "intro one two alpha beta gamma delta epsilon zeta end1 end2",
+        11L), // global first occurrence: keeper keeps the passage
+      (2L, "start tail1 tail2 tail3", 4L)) // passage excised once
+  }
+
+  test("dropDupSpans: a keeper doc's own LATER copy of the span is " +
+    "excised — only the single global-first occurrence survives") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta mid1 mid2 alpha beta gamma delta"),
+      (2L, "pre alpha beta gamma delta post1 post2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSpans(corpus, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept", "n_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, "alpha beta gamma delta mid1 mid2", 6L),
+      (2L, "pre post1 post2", 3L))
+  }
+
+  test("dropDupSpans: fully-excised docs drop out; short docs, " +
+    "within-doc-only repeats, and unrelated docs pass untouched") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // keeper (first occurrence)
+      (2L, "alpha beta gamma delta"), // whole doc excised → drops out
+      (3L, "tiny doc"),               // < n tokens: no windows
+      (4L, "an entirely different and unrelated document here"),
+      (5L, "rep rep rep rep rep")     // within-doc repeat: nd = 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSpans(corpus, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 4L), (3L, 2L), (4L, 7L), (5L, 5L))
+  }
+
   test("NFC-first keying (default) merges decomposed/precomposed " +
     "duplicates across d1/d8/d9/d13; nfc=false keys raw bytes") {
     import spark.implicits._
