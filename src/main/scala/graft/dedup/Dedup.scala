@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.enrich.CaptionStats
 import graft.text.TextAnalysis
+import graft.util.Metrics
 
 /** Deduplication operators for LLM-scale corpora (north-star extension,
   * BASELINE.json). All keys are md5-derived so results are deterministic and
@@ -222,8 +223,10 @@ object Dedup {
     * the r2 self-join recompute nor the r2 persist leak), the count
     * collapses map-side, and an oversized bucket is dropped by the
     * equi-join filter BEFORE any collect_list buffers it. Dropped
-    * buckets lose recall, never precision — callers at scale should log
-    * the drop count; the oracle mirrors the same cap. */
+    * buckets lose recall, never precision — the drop count is recorded
+    * in-flight under [[graft.util.Metrics.LshBucketCap]] (zero extra
+    * work; the eager wrappers warn-log it, lazy callers read it off
+    * the executed frame); the oracle mirrors the same cap. */
   private def pairsFromSignatures(sig: DataFrame, idCol: String, bands: Int,
                                   rowsPerBand: Int,
                                   maxBucket: Int): DataFrame = {
@@ -254,6 +257,32 @@ object Dedup {
     buckets.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
+
+  /** Per-bucket LSH band sizes (band_idx, band_key, __bn) — the frame
+    * the cap filter reads, exposed for the recall-loss reports. Rows of
+    * [[lshBands]] are distinct (band, id), so a direct count IS the
+    * bucket size. */
+  private def bandBucketSizes(sig: DataFrame, idCol: String, bands: Int,
+                              rowsPerBand: Int): DataFrame =
+    lshBands(sig, idCol, bands, rowsPerBand)
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("__bn"))
+
+  /** Recall-loss report for the LSH bucket cap: ONE row
+    * (dropped_groups, dropped_members) counting the band buckets that
+    * [[minhashCandidatePairs]] / [[nearDupPairs]] / [[dropNearDups]]
+    * would silently skip at the same parameters (see
+    * [[graft.util.Metrics]] for why this is a side report, not an
+    * in-flight metric). Standalone cost: the map-only shingle+minhash
+    * pipeline plus one count shuffle — the eager builders instead
+    * compute it against their live shingle cache and warn-log it
+    * themselves. */
+  def lshBucketCapReport(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                         maxBucket: Int = 10000): DataFrame =
+    Metrics.capReport(bandBucketSizes(
+      signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k),
+      idCol, bands, k / bands), "__bn", maxBucket)
 
   /** Candidate duplicate pairs (a < b) from shared LSH bands — one
     * shuffle chain (shingles → signatures → band buckets → pairs), no
@@ -298,6 +327,11 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.count() // materialize while the shingle cache is alive
+    // recall-loss report while the shingle cache is alive: one small
+    // aggregate job over cached shingles (map-only minhash + band count)
+    Metrics.logDrops("nearDupPairs bucket cap", Metrics.capReport(
+      bandBucketSizes(signaturesFrom(sh, idCol, k), idCol, bands,
+        k / bands), "__bn", maxBucket))
     sh.unpersist(blocking = false)
     verified
   }
@@ -331,6 +365,8 @@ object Dedup {
         (agree.cast("double") / lit(k).cast("double")).as("est_jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the signature cache is alive
+    Metrics.logDrops("minhashEstimates bucket cap", Metrics.capReport(
+      bandBucketSizes(sig, idCol, bands, k / bands), "__bn", maxBucket))
     sig.unpersist(blocking = false)
     out
   }
@@ -897,6 +933,21 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Recall-loss report for the image Hamming-band bucket cap: ONE row
+    * (dropped_groups, dropped_members) counting the buckets
+    * [[imageNearDupPairs]] skips at the same `maxBucket`. Map-only
+    * band derivation from the 64-bit hash column + one count
+    * shuffle. */
+  def imageBucketCapReport(df: DataFrame, idCol: String, hashCol: String,
+                           maxBucket: Int = 10000): DataFrame = {
+    val sig = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol) +:
+        (0 until 4).map(b => shiftright(col(hashCol).cast("long"), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as(s"mh$b")): _*)
+    Metrics.capReport(bandBucketSizes(sig, idCol, bands = 4,
+      rowsPerBand = 1), "__bn", maxBucket)
+  }
+
   /** [[imageNearDupPairs]] straight from an opaque binary image column:
     * decode + dHash once per payload (the expensive step — persisted so
     * the three hash consumers above don't re-decode), then the
@@ -913,6 +964,8 @@ object Dedup {
       maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the hash cache is alive
+    Metrics.logDrops("imageNearDupPairs bucket cap",
+      imageBucketCapReport(hashes, idCol, "__phash", maxBucket))
     hashes.unpersist(blocking = false)
     out
   }
@@ -1030,6 +1083,10 @@ object Dedup {
       threshold, maxBucket)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLosers = losers.count() // materialize while shard caches alive
+    // recall-loss report while the shard band cache is alive: one small
+    // aggregate over cached bands + the shuffle-free store bucket scan
+    Metrics.logDrops("dedupShardAgainst bucket cap", Metrics.capReport(
+      combinedBucketSizes(shardB, tablePrefix), "__tot", maxBucket))
     val loserSide =
       if (nLosers <= maxLocalLosers) {
         // collect → local relation → broadcast: no cache entry outlives
@@ -1045,6 +1102,37 @@ object Dedup {
     shardSh.unpersist(blocking = false)
     shardB.unpersist(blocking = false)
     shard.join(loserSide, Seq(idCol), "left_anti")
+  }
+
+  /** COMBINED store+shard bucket sizes (bk, __nn, __sn, __tot) off a
+    * shard band frame — the frame [[shardLoserIds]]' cap filter reads;
+    * shared with [[shardBucketCapReport]]. Store side is the
+    * shuffle-free bucketed aggregate ([[storeBandCounts]]); shard side
+    * is one small count shuffle. */
+  private[graft] def combinedBucketSizes(shardB: DataFrame,
+                                         tablePrefix: String): DataFrame =
+    shardB.groupBy("bk").agg(count(lit(1)).as("__nn"))
+      .join(storeBandCounts(shardB.sparkSession, tablePrefix),
+        Seq("bk"), "left")
+      .withColumn("__tot", col("__nn") + coalesce(col("__sn"), lit(0L)))
+
+  /** Recall-loss report for the incremental store's combined bucket
+    * cap: ONE row (dropped_groups, dropped_members) counting the
+    * buckets [[dedupShardAgainst]] skips for this shard at the same
+    * LSH parameters. Standalone cost: the shard's map-only band
+    * pipeline + one count shuffle + the shuffle-free store bucket
+    * scan — the eager wrapper computes it against its live band cache
+    * and warn-logs it per shard. */
+  def shardBucketCapReport(shard: DataFrame, idCol: String,
+                           textCol: String, tablePrefix: String,
+                           k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                           maxBucket: Int = 10000): DataFrame = {
+    val shardB = lshBands(
+      signaturesFrom(shingleTable(shard, idCol, textCol, shingleN),
+        idCol, k), idCol, bands, k / bands)
+      .select(bandJoinKey.as("bk"), col(idCol))
+    Metrics.capReport(combinedBucketSizes(shardB, tablePrefix),
+      "__tot", maxBucket)
   }
 
   /** The LAZY loser-id plan of [[dedupShardAgainst]] — candidate
@@ -1063,9 +1151,7 @@ object Dedup {
     val storeB = spark.table(s"${tablePrefix}_bands")
     val storeSh = spark.table(s"${tablePrefix}_shingles")
     // combined bucket sizes; only buckets holding ≥1 shard doc matter
-    val ok = shardB.groupBy("bk").agg(count(lit(1)).as("__nn"))
-      .join(storeBandCounts(spark, tablePrefix), Seq("bk"), "left")
-      .withColumn("__tot", col("__nn") + coalesce(col("__sn"), lit(0L)))
+    val ok = combinedBucketSizes(shardB, tablePrefix)
       .filter(col("__tot") >= 2 && col("__tot") <= maxBucket)
       .select("bk")
     val okShardB = shardB.join(ok, Seq("bk"))

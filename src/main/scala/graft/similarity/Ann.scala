@@ -245,6 +245,9 @@ object Ann {
     // `spark.catalog.clearCache()` or materialize the result.
     val assigned = ivfAssign(corpus, idCol, vecCol, nCentroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recall-loss: run [[semDedupClusterCapReport]] after this — it
+    // reads the same session-lived assignment cache, so the report
+    // costs one aggregate over cached rows
     val okClusters = assigned.groupBy("cid")
       .agg(count(lit(1)).as("__csz"))
       .filter(col("__csz") <= maxCluster)
@@ -265,6 +268,21 @@ object Ann {
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cid"))
   }
+
+  /** Recall-loss report for [[semDedup]]'s cluster cap: ONE row
+    * (dropped_groups, dropped_members) counting the clusters whose pair
+    * search was skipped at the same parameters (see
+    * [[graft.util.Metrics]]). Run it AFTER semDedup with identical
+    * arguments: the assignment plan is the same, so it reads the
+    * session-lived assignment cache — one aggregate over cached rows,
+    * no recompute of the per-(row × centroid) dot products. */
+  def semDedupClusterCapReport(corpus: DataFrame, idCol: String,
+                               vecCol: String, nCentroids: Int,
+                               maxCluster: Int = 10000): DataFrame =
+    graft.util.Metrics.capReport(
+      ivfAssign(corpus, idCol, vecCol, nCentroids)
+        .groupBy("cid").agg(count(lit(1)).as("__csz")),
+      "__csz", maxCluster)
 
   /** Embedding-cosine near-duplicate pairs via multi-probe sign-bucket LSH.
     *

@@ -396,6 +396,33 @@ class DedupSpec extends SparkSpec {
       .select("dup_span_frac").as[Double].head() shouldBe 0.25
   }
 
+  test("recall-loss counter: over-cap LSH buckets are counted with " +
+    "their membership; an uncapped run records zero") {
+    import graft.util.Metrics
+    // six identical docs → one size-6 bucket per band (4 bands); cap 5
+    // drops all four buckets, losing every candidate pair — the report
+    // must say so instead of the pipeline silently returning empty
+    val corpus = (1L to 6L)
+      .map(i => (i, "same boilerplate text repeated across this corpus"))
+      .toDF("doc_id", "text")
+    Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      maxBucket = 5).count() shouldBe 0L
+    Metrics.drops(Dedup.lshBucketCapReport(corpus, "doc_id", "text",
+      maxBucket = 5)) shouldBe ((4L, 24L))
+    Dedup.minhashCandidatePairs(corpus, "doc_id", "text")
+      .count() shouldBe 15L // C(6,2)
+    Metrics.drops(Dedup.lshBucketCapReport(corpus, "doc_id",
+      "text")) shouldBe ((0L, 0L))
+    // the image-band report shares the cap contract: 6 identical hashes
+    // → 4 over-cap buckets at cap 5, none at the default
+    val hashes = (1L to 6L).map(i => (i, 0x0123456789abcdefL))
+      .toDF("doc_id", "ph")
+    Metrics.drops(Dedup.imageBucketCapReport(hashes, "doc_id", "ph",
+      maxBucket = 5)) shouldBe ((4L, 24L))
+    Metrics.drops(Dedup.imageBucketCapReport(hashes, "doc_id",
+      "ph")) shouldBe ((0L, 0L))
+  }
+
   test("dropDupSpans: overlap-merge — a shared passage excises ONCE " +
     "(union of window positions), keeper doc keeps it") {
     // the 6-token passage alpha..zeta yields THREE overlapping 4-token

@@ -88,6 +88,14 @@ class SignatureStoreSpec extends SparkSpec {
       val gotU = Dedup.dedupShardAgainst(shard, "doc_id", "text", pfx,
         threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
       gotU shouldBe Set.empty // 11,12,13 all dup store doc 1
+      // the recall-loss report sees the capped buckets: 4 bands × one
+      // COMBINED-size-6 bucket each (3 store + 3 shard members) — the
+      // eager wrapper warn-logs the same numbers per shard
+      import graft.util.Metrics
+      Metrics.drops(Dedup.shardBucketCapReport(shard, "doc_id", "text",
+        pfx, maxBucket = 5)) shouldBe ((4L, 24L))
+      Metrics.drops(Dedup.shardBucketCapReport(shard, "doc_id", "text",
+        pfx)) shouldBe ((0L, 0L))
     }
   }
 

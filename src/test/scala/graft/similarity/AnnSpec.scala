@@ -198,8 +198,17 @@ class AnnSpec extends SparkSpec {
     kept.toMap shouldBe Map(0L -> 0L, 1L -> 1L, 4L -> 1L)
     // a SAME vector in the OTHER cluster is untouched — dedup is
     // within-cluster by design (the paper's clusters localize the search)
-    // maxCluster below every cluster size → no pairs → everything kept
+    // maxCluster below every cluster size → no pairs → everything kept,
+    // and the recall-loss report records BOTH skipped clusters with
+    // their combined membership (reads the same assignment cache)
+    import graft.util.Metrics
     Ann.semDedup(d, "vec_id", "embedding", nCentroids = 2,
       threshold = 0.9, maxCluster = 1).count() shouldBe 5L
+    // the x-cluster (0,2,3) and the y-cluster (1,4)
+    Metrics.drops(Ann.semDedupClusterCapReport(d, "vec_id", "embedding",
+      nCentroids = 2, maxCluster = 1)) shouldBe ((2L, 5L))
+    // an uncapped run loses nothing
+    Metrics.drops(Ann.semDedupClusterCapReport(d, "vec_id", "embedding",
+      nCentroids = 2)) shouldBe ((0L, 0L))
   }
 }
