@@ -1021,6 +1021,56 @@ object Dedup {
     sh.unpersist(blocking = false)
   }
 
+  /** ABSORB a processed shard into an existing [[writeSignatureStore]]
+    * store — the missing half of the production loop (dedup shard →
+    * absorb → next shard). Derives the shard's band and shingle rows
+    * with the SAME LSH family (caller contract, as in
+    * [[dedupShardAgainst]]) and appends them into the store's bucketed
+    * tables; the bucket count is read from the catalog so the append
+    * can never mismatch the existing layout. An append adds files per
+    * bucket without touching existing ones — the store-side plan
+    * properties survive (bucket-local aggregate with no Exchange,
+    * store side of a shard run stays a file scan; spec-proven).
+    *
+    * WHAT to absorb decides the loop's semantics:
+    *
+    *  - the FULL shard (pass the shard frame itself): sequential
+    *    shard runs stay EXACTLY ≡ whole-corpus [[dropNearDups]]
+    *    (spec-proven). The whole-corpus run drops a doc that pairs
+    *    with an already-dropped doc (losers are "appears as `id_b` in
+    *    ANY verified pair"), so the store must remember dropped docs
+    *    too — a later doc can near-dup a loser without clearing the
+    *    threshold against that loser's keeper (similarity is not
+    *    transitive).
+    *  - only the SURVIVORS (the [[dedupShardAgainst]] output): a
+    *    smaller store with online-greedy semantics — future dups of
+    *    dropped text are caught only via its keeper. At 100 TB this
+    *    is the cheaper steady state; choose it when the threshold is
+    *    loose enough that keeper-transitivity is acceptable.
+    *
+    * Ids must be disjoint from everything already in the store
+    * (caller contract, as elsewhere in this family). */
+  def absorbIntoSignatureStore(docs: DataFrame, idCol: String,
+                               textCol: String, tablePrefix: String,
+                               k: Int = 12, bands: Int = 4,
+                               shingleN: Int = 3): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = docs.sparkSession
+    val nBuckets = Bridge.bucketCount(spark, s"${tablePrefix}_bands")
+      .getOrElse(throw new IllegalStateException(
+        s"${tablePrefix}_bands is not a bucketed table — was the store " +
+          "written by writeSignatureStore?"))
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, k / bands)
+      .select(bandJoinKey.as("bk"), col(idCol))
+      .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+    sh.write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+    sh.unpersist(blocking = false)
+  }
+
   /** Per-bucket doc counts over the store's band table — groupBy on the
     * bucketing key, so the plan is scan→aggregate with NO Exchange
     * (spec-asserted). Exposed for the plan proof. */

@@ -27,6 +27,20 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
 
+  /** The bucket count of a catalog table, if it is bucketed — appends
+    * into a bucketed store must repeat the EXISTING layout exactly
+    * (Spark rejects a mismatched `bucketBy` spec), so writers read it
+    * from the catalog instead of trusting a caller-supplied number.
+    * `sessionState` is `private[sql]` in Spark 4 — same shim rationale
+    * as above. */
+  def bucketCount(spark: org.apache.spark.sql.SparkSession,
+                  table: String): Option[Int] = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+    ss.catalog.getTableMetadata(ss.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+  }
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]` in Spark 4 — same shim rationale as above; used by
     * the native whole-operator plans in `graft.plans`). */

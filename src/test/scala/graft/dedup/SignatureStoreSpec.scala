@@ -99,6 +99,82 @@ class SignatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("absorb loop: dedup shard1 → absorb → dedup shard2 equals ONE " +
+    "whole-corpus run, and the append preserves the no-Exchange store " +
+    "plan") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val store = docs.filter(col("doc_id") < 17)
+    val shard1 = docs.filter(col("doc_id") >= 17 && col("doc_id") < 34)
+    val shard2 = docs.filter(col("doc_id") >= 34)
+    withStore(store) {
+      val got1 = Dedup.dedupShardAgainst(shard1, "doc_id", "text", pfx,
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+      // absorb the FULL shard: the whole-corpus run drops docs that
+      // pair with already-dropped docs, so the store must remember
+      // losers too (similarity is not transitive) — see scaladoc
+      Dedup.absorbIntoSignatureStore(shard1, "doc_id", "text", pfx)
+      val got2 = Dedup.dedupShardAgainst(shard2, "doc_id", "text", pfx,
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+      val whole = Dedup.dropNearDups(docs, "doc_id", "text",
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0))
+        .toSet.filter(_ >= 17L)
+      (got1 ++ got2) shouldBe whole
+      got2 should not be empty
+      // the appended store keeps its plan contracts: bucket counts
+      // still aggregate with NO Exchange over the (now multi-file)
+      // bucketed scan, and a subsequent shard run still reads the
+      // store as parquet file scans
+      val cnts = Dedup.storeBandCounts(spark, pfx)
+      cnts.queryExecution.executedPlan.toString should not include "Exchange"
+      val shardSh = Dedup.shingleTableForTest(shard2, "doc_id", "text", 3)
+      val shardB = Dedup.lshBands(
+        Dedup.minhashSignatures(shard2, "doc_id", "text", k = 12,
+          shingleN = 3), "doc_id", bands = 4, rowsPerBand = 3)
+        .select(concat_ws(":", col("band_idx"), col("band_key")).as("bk"),
+          col("doc_id"))
+      val plan = Dedup.shardLoserIds(shardSh, shardB, "doc_id", pfx,
+        threshold = 0.5, maxBucket = 10000)
+        .queryExecution.executedPlan.toString
+      s"FileScan parquet [^\\n]*${pfx}_bands".r
+        .findFirstIn(plan) shouldBe defined
+      s"FileScan parquet [^\\n]*${pfx}_shingles".r
+        .findFirstIn(plan) shouldBe defined
+    }
+  }
+
+  test("absorb of SURVIVORS gives online-greedy semantics: a later dup " +
+    "of an absorbed survivor is dropped") {
+    import spark.implicits._
+    val mk = (extra: String) =>
+      s"alpha beta gamma delta epsilon zeta eta theta iota $extra"
+    val store = Seq(1L -> "totally different words about spark engines")
+      .toDF("doc_id", "text")
+    val shard1 = Seq(11L -> mk("kappa"), 12L -> mk("kappa"))
+      .toDF("doc_id", "text")
+    val shard2 = Seq(21L -> mk("kappa")).toDF("doc_id", "text")
+    withStore(store) {
+      val s1 = Dedup.dedupShardAgainst(shard1, "doc_id", "text", pfx,
+        threshold = 0.5)
+      s1.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(11L) // 12 dups 11 shard-internally
+      Dedup.absorbIntoSignatureStore(s1, "doc_id", "text", pfx)
+      // 21 dups survivor 11, which the store now remembers
+      Dedup.dedupShardAgainst(shard2, "doc_id", "text", pfx,
+        threshold = 0.5).count() shouldBe 0L
+    }
+  }
+
+  test("absorb refuses a non-bucketed target table") {
+    import spark.implicits._
+    val d = Seq(1L -> "some text").toDF("doc_id", "text")
+    d.write.mode("overwrite").option("path", s"$path/plain")
+      .format("parquet").saveAsTable("graft_plain_bands")
+    try {
+      an[IllegalStateException] should be thrownBy
+        Dedup.absorbIntoSignatureStore(d, "doc_id", "text", "graft_plain")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_plain_bands")
+  }
+
   test("dedupShardAgainst releases every cache it created — the " +
     "per-shard production loop must not accumulate CacheManager entries " +
     "— and anti-joins the loser set as a broadcast local relation") {
