@@ -29,13 +29,20 @@ import org.apache.spark.sql.functions._
   *  3. bit `i = r·8 + c` (LSB-first, row-major) is set iff cell (r,c)'s
   *     average luma is STRICTLY greater than cell (r,c+1)'s. The compare
   *     is the exact cross-product `sumL·areaR > sumR·areaL` — no
-  *     division, no rounding. (Exact for images up to ~30k×30k: sums are
-  *     ≤ 255000·area, so the cross product stays under 2^63.)
+  *     division, no rounding — evaluated in 128 bits via
+  *     `Math.multiplyHigh`, so it is exact for EVERY decodable image
+  *     (a 64-bit product would overflow past ~4.3e8 total pixels:
+  *     sums reach 255000·area and area ~ W·H/72).
   *
   * Uniform brightness change adds a constant to every luma value, which
   * preserves every strict inequality — the hash is exactly invariant
   * (spec-proven), not just approximately. Scaling by pixel replication
-  * preserves cell averages → hash-invariant. Horizontal flips and crops
+  * is hash-invariant when the grid divides the source dimensions
+  * (9 | W and 8 | H): cell boundaries then land on replication-block
+  * edges and every cell average is unchanged. For other dimensions the
+  * integer floor boundaries `⌊c·kW/9⌋` shift relative to `k·⌊c·W/9⌋`,
+  * so a replicated upscale is only NEAR-invariant (boundary rows/
+  * columns migrate between cells). Horizontal flips and crops
   * change gradient signs → large Hamming distance (dHash is a content
   * hash, not a geometric-invariant descriptor).
   *
@@ -99,14 +106,28 @@ object PerceptualHash {
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        // avg(r,c) > avg(r,c+1) via exact cross-multiplication
-        if (sum(r)(c) * area(r)(c + 1) > sum(r)(c + 1) * area(r)(c))
+        // avg(r,c) > avg(r,c+1) via exact 128-bit cross-multiplication
+        if (gtProduct(sum(r)(c), area(r)(c + 1), sum(r)(c + 1), area(r)(c)))
           hash |= 1L << (r * 8 + c)
         c += 1
       }
       r += 1
     }
     hash
+  }
+
+  /** `a·b > c·d` for NON-NEGATIVE longs, exact in 128 bits: high words
+    * via `Math.multiplyHigh`, low words compared unsigned. A plain
+    * 64-bit product overflows once total pixels pass ~4.3e8
+    * (sum ≤ 255000·area, area ~ W·H/72), silently flipping hash bits
+    * on very large images — a correctness hazard for a PERSISTED
+    * signature format, so the compare is overflow-proof instead of
+    * bound-documented. */
+  private[images] def gtProduct(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 
   /** dHash over an opaque binary image column → nullable LONG (null on

@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * The classic as-of implementations are (a) a correlated lookup per left
   * row or (b) an inequality join + per-left-row top-1 — both quadratic in
   * matches per key and, in Spark, (b) plans as a sort-merge join whose
-  * range residual runs on every (left, right) key pair. Neither survives
-  * a hot key at 100 TB. The union+window form below does: tag both
+  * range residual runs on every (left, right) key pair. The union+window
+  * form below replaces that pair explosion with LINEAR work: tag both
   * inputs, sort ONCE per key on (ts, side, tie), and carry the most
   * recent right payload forward with `last(ignoreNulls)` over a running
   * rows frame. One shuffle (the window's), zero joins, linear in
-  * |left| + |right|, and skew lands in Spark's sort machinery (spillable)
-  * instead of a pair explosion. */
+  * |left| + |right|, and skew lands in Spark's sort machinery (spillable,
+  * so it completes). A truly hot key still serializes in ONE window task
+  * though — window partitions never AQE-split — so when one key can
+  * carry an unbounded share of the data, use [[asofJoinBucketed]], which
+  * adds time granularity to the partition key and splits the hot key
+  * across its timeline. */
 object Joins {
 
   /** As-of join: for each left row, the right row with the greatest
@@ -92,8 +96,15 @@ object Joins {
     * that bucket counts stay small (e.g. a day of epoch-µs for
     * year-span data). `tsCol` must be numeric (epoch-µs LONG) here —
     * bucketing needs exact integer arithmetic (same pmod discipline as
-    * [[rangeJoin]]). Same null semantics as [[asofJoin]]: null-ts right
-    * rows never match, null-ts left rows match nothing. */
+    * [[rangeJoin]]). INT64 ENDPOINT: timestamps in the bottom partial
+    * bucket — within `bucketMicros` of `Long.MinValue` — underflow the
+    * label (`ts − pmod(ts, w)` wraps), which mis-orders the carry
+    * window and, for `bucketMicros ≥ 2`, can collide that bucket's
+    * label with a top-range bucket's. Epoch-µs data spans ±292k years,
+    * so real timestamps never get there; guard the input if your
+    * ts domain is synthetic. Same null semantics as [[asofJoin]]:
+    * null-ts right rows never match, null-ts left rows match
+    * nothing. */
   def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
                        tsCol: String, tieCol: String,
                        rightCols: Seq[String], bucketMicros: Long,
@@ -101,8 +112,9 @@ object Joins {
     require(bucketMicros > 0, "bucket must be positive")
     val w = lit(bucketMicros)
     // the bucket LABEL is the bucket's start timestamp, ts − pmod(ts, w):
-    // pure long arithmetic, exact for the full int64 range. A quotient
-    // form over Column `/` would be IEEE double division (exact only for
+    // pure long arithmetic, exact everywhere except the bottom partial
+    // bucket at Long.MinValue (see scaladoc). A quotient form over
+    // Column `/` would be IEEE double division (exact only for
     // |ts| < 2^53 — a mis-bucketed extreme timestamp silently changes
     // matches); the label only needs to be injective per bucket and
     // ordered with ts, which the start timestamp is.
@@ -176,11 +188,19 @@ object Joins {
     require(lookbackMicros > 0, "lookback must be positive")
     val w = lit(lookbackMicros)
     // cell LABEL = the cell's start timestamp, ts − pmod(ts, W): pure
-    // long arithmetic, exact for the full int64 range. Any division —
-    // even of an exact multiple — would route through IEEE doubles
-    // (Column `/`), which breaks above 2^53; a cell flipped on ONE side
-    // breaks the adjacent-cell guarantee and silently drops pairs. The
-    // successor cell's label is start + W.
+    // long arithmetic. Any division — even of an exact multiple — would
+    // route through IEEE doubles (Column `/`), which breaks above 2^53;
+    // a cell flipped on ONE side breaks the adjacent-cell guarantee and
+    // silently drops pairs. The successor cell's label is start + W.
+    // INT64 ENDPOINTS: within W of Long.MinValue the label underflows
+    // and near Long.MaxValue the successor label overflows — both wrap
+    // CONSISTENTLY (every ts in a cell wraps to the same long, both
+    // sides computing it identically), so equi-join matching still
+    // pairs the right cells; a wrapped-label COLLISION between two
+    // far-apart cells only adds candidate rows that the exact range
+    // residual below then rejects. Unlike the bucketed as-of join, no
+    // ordering is taken over labels here, so results stay exact over
+    // the full int64 range.
     def cell(ts: Column): Column = ts - pmod(ts, w)
     val r = right.select(col(key).as("__rk"), col(tsCol).as("__rts"),
         struct(rightCols.map(col): _*).as("__rv"))

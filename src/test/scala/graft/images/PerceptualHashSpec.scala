@@ -90,6 +90,27 @@ class PerceptualHashSpec extends SparkSpec {
     PerceptualHash.dHash64(up) shouldBe PerceptualHash.dHash64(base)
   }
 
+  test("gtProduct: 128-bit cross-compare is exact where a 64-bit " +
+    "product wraps (giant-image cell sums)") {
+    // 2^32·2^32 = 2^64 wraps to 0L; the 128-bit compare must still see
+    // it as the LARGER product — the exact failure a >4.3e8-pixel
+    // image's sum·area compare would hit
+    PerceptualHash.gtProduct(1L << 32, 1L << 32, 1L << 62, 1L) shouldBe true
+    PerceptualHash.gtProduct(1L << 62, 1L, 1L << 32, 1L << 32) shouldBe false
+    // strict inequality at 2^73 magnitude, one ulp apart
+    PerceptualHash.gtProduct((1L << 40) + 1, 1L << 33,
+      1L << 40, 1L << 33) shouldBe true
+    PerceptualHash.gtProduct(1L << 40, 1L << 33,
+      (1L << 40) + 1, 1L << 33) shouldBe false
+    // equal products (including swapped factors) are NOT greater
+    PerceptualHash.gtProduct(1L << 40, 1L << 33,
+      1L << 33, 1L << 40) shouldBe false
+    PerceptualHash.gtProduct(6L, 4L, 8L, 3L) shouldBe false
+    // small-value sanity: ordinary cells behave as before
+    PerceptualHash.gtProduct(7L, 3L, 5L, 4L) shouldBe true
+    PerceptualHash.gtProduct(0L, 5L, 0L, 9L) shouldBe false
+  }
+
   test("sensitivity: horizontal flip moves far in Hamming space") {
     val base = noisy(13)
     val flip = new BufferedImage(90, 80, BufferedImage.TYPE_INT_RGB)
