@@ -223,10 +223,10 @@ object Dedup {
     * the r2 self-join recompute nor the r2 persist leak), the count
     * collapses map-side, and an oversized bucket is dropped by the
     * equi-join filter BEFORE any collect_list buffers it. Dropped
-    * buckets lose recall, never precision — the drop count is recorded
-    * in-flight under [[graft.util.Metrics.LshBucketCap]] (zero extra
-    * work; the eager wrappers warn-log it, lazy callers read it off
-    * the executed frame); the oracle mirrors the same cap. */
+    * buckets lose recall, never precision — the matching
+    * [[lshBucketCapReport]] counts them (the eager wrappers warn-log
+    * it from their live caches, lazy callers run the report
+    * standalone); the oracle mirrors the same cap. */
   private def pairsFromSignatures(sig: DataFrame, idCol: String, bands: Int,
                                   rowsPerBand: Int,
                                   maxBucket: Int): DataFrame = {
@@ -1161,9 +1161,15 @@ object Dedup {
     * is one small count shuffle. */
   private[graft] def combinedBucketSizes(shardB: DataFrame,
                                          tablePrefix: String): DataFrame =
+    combinedSizes(shardB,
+      storeBandCounts(shardB.sparkSession, tablePrefix))
+
+  /** Combined store+shard sizes against an arbitrary store-count frame
+    * (`(bk, __sn)`) — shared by the text and image store paths. */
+  private def combinedSizes(shardB: DataFrame,
+                            storeCounts: DataFrame): DataFrame =
     shardB.groupBy("bk").agg(count(lit(1)).as("__nn"))
-      .join(storeBandCounts(shardB.sparkSession, tablePrefix),
-        Seq("bk"), "left")
+      .join(storeCounts, Seq("bk"), "left")
       .withColumn("__tot", col("__nn") + coalesce(col("__sn"), lit(0L)))
 
   /** Recall-loss report for the incremental store's combined bucket
@@ -1193,6 +1199,35 @@ object Dedup {
     * (id, shingle-array) frame, `shardB` = its (bk, id) band frame
     * (the wrapper passes them persisted; the pipeline reads each
     * more than once). */
+  /** Candidate pairs (a < b, distinct) of a shard band frame against a
+    * store band table, over cap-approved buckets only: cross pairs from
+    * the band equi-join (store side scans its bucketed table in place),
+    * shard-internal pairs from the sorted-id bucket explode. Shared by
+    * the text ([[shardLoserIds]]) and image ([[imagePairsAgainstStore]])
+    * incremental paths — identical pair emission is what keeps both
+    * exactly ≡ their whole-corpus runs. A capped bucket with ONE shard
+    * member yields only cross pairs; it must not reach the pair explode
+    * (sequence(0, -1) DESCENDS in Spark — the lower bound is not a
+    * guard — and the descending index then trips ANSI element_at). */
+  private def shardCandidatePairs(okShardB: DataFrame, storeB: DataFrame,
+                                  idCol: String): DataFrame = {
+    val cross = okShardB.select(col("bk"), col(idCol).as("__sid"))
+      .join(storeB.select(col("bk"), col(idCol).as("__tid")), Seq("bk"))
+      .select(least(col("__sid"), col("__tid")).as("id_a"),
+        greatest(col("__sid"), col("__tid")).as("id_b"))
+    val buckets = okShardB.groupBy("bk")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+    val n = size(col("__ids"))
+    val internal = buckets.select(explode(flatten(
+        transform(sequence(lit(0), n - 2), i =>
+          transform(sequence(i + 1, n - 1), j =>
+            struct(element_at(col("__ids"), i + 1).as("id_a"),
+              element_at(col("__ids"), j + 1).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    cross.filter(col("id_a") < col("id_b")).union(internal).distinct()
+  }
+
   private[graft] def shardLoserIds(shardSh: DataFrame, shardB: DataFrame,
                                    idCol: String, tablePrefix: String,
                                    threshold: Double,
@@ -1205,26 +1240,7 @@ object Dedup {
       .filter(col("__tot") >= 2 && col("__tot") <= maxBucket)
       .select("bk")
     val okShardB = shardB.join(ok, Seq("bk"))
-    val cross = okShardB.select(col("bk"), col(idCol).as("__sid"))
-      .join(storeB.select(col("bk"), col(idCol).as("__tid")), Seq("bk"))
-      .select(least(col("__sid"), col("__tid")).as("id_a"),
-        greatest(col("__sid"), col("__tid")).as("id_b"))
-    // a capped bucket with ONE shard member yields only cross pairs;
-    // it must not reach the pair explode (sequence(0, -1) DESCENDS in
-    // Spark — the lower bound is not a guard — and the descending index
-    // then trips ANSI element_at)
-    val buckets = okShardB.groupBy("bk")
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
-    val n = size(col("__ids"))
-    val internal = buckets.select(explode(flatten(
-        transform(sequence(lit(0), n - 2), i =>
-          transform(sequence(i + 1, n - 1), j =>
-            struct(element_at(col("__ids"), i + 1).as("id_a"),
-              element_at(col("__ids"), j + 1).as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-    val cand = cross.filter(col("id_a") < col("id_b"))
-      .union(internal).distinct()
+    val cand = shardCandidatePairs(okShardB, storeB, idCol)
     val allSh = storeSh.unionByName(shardSh)
     val a = allSh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
     val b = allSh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
@@ -1234,6 +1250,147 @@ object Dedup {
       .filter(when(uni === 0, 0.0)
         .otherwise(inter.cast("double") / uni) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
+  }
+
+  // -------------------------------- image signature store (d14 × d15)
+
+  /** Band rows (bk, id) of a 64-bit perceptual-hash column — the image
+    * twin of the text band pipeline. Routes through the SAME
+    * [[lshBands]] + [[bandJoinKey]] machinery as [[imageNearDupPairs]]
+    * (4 bands × 1 row, band key = md5 of the 16-bit slice), so the
+    * store path's bucket granularity — and therefore its cap
+    * semantics — match the whole-corpus run exactly. Map-only. */
+  private def imageBandRows(h: DataFrame, idCol: String): DataFrame = {
+    val sig = h.select(col(idCol) +:
+      (0 until 4).map(b => shiftright(col("__ph"), 16 * b)
+        .bitwiseAND(lit(0xffffL)).as(s"mh$b")): _*)
+    lshBands(sig, idCol, bands = 4, rowsPerBand = 1)
+      .select(bandJoinKey.as("bk"), col(idCol))
+  }
+
+  /** Image twin of [[writeSignatureStore]]: persists a corpus's
+    * perceptual-hash signatures for INCREMENTAL image near-dedup as two
+    * bucketed tables (`<tablePrefix>_ibands` / `<tablePrefix>_ihashes`,
+    * files under `path`) — bands for the no-Exchange candidate join,
+    * the 8-byte hashes for exact popcount verification. The store is
+    * O(corpus) LONGs (vs O(corpus tokens) for the text store — hashes
+    * ARE the full verification evidence, so the image store is tiny).
+    * `hashCol` is the caller's [[graft.images.PerceptualHash.dHashCol]]
+    * (or any 64-bit LSH-able fingerprint); hash once at ingest, store
+    * forever — the decode never re-runs. Null hashes (undecodable
+    * payloads) are excluded. */
+  def writeImageSignatureStore(df: DataFrame, idCol: String,
+                               hashCol: String, tablePrefix: String,
+                               path: String, nBuckets: Int = 8): Unit = {
+    val h = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("__ph"))
+    imageBandRows(h, idCol)
+      .write.mode("overwrite").option("path", s"$path/ibands")
+      .bucketBy(nBuckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
+    h.write.mode("overwrite").option("path", s"$path/ihashes")
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+  }
+
+  /** Per-bucket counts over the image store's band table — bucket-local
+    * aggregate, NO Exchange (the [[storeBandCounts]] property). */
+  private[graft] def imageStoreBandCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): DataFrame =
+    spark.table(s"${tablePrefix}_ibands")
+      .groupBy("bk").agg(count(lit(1)).as("__sn"))
+
+  /** Incremental image near-dup: (id_a, id_b, hamming) pairs of a NEW
+    * SHARD against a [[writeImageSignatureStore]] store — EXACTLY the
+    * pairs whole-corpus [[imageNearDupPairs]](store ∪ shard) emits
+    * that touch ≥ 1 shard id (spec-proven). Same shape as the text
+    * path ([[dedupShardAgainst]]): the shard's band keys equi-join the
+    * bucketed band table (store side scans in place, never recomputed),
+    * the bucket cap is the COMBINED store+shard membership, and
+    * verification is the codegen'd `bit_count(xor)` against stored
+    * hashes. Unlike the text path there is nothing to cache or
+    * release — the shard side is four shift/mask expressions over one
+    * LONG column — so the result is LAZY; compose downstream freely.
+    * Ids must be disjoint between store and shard (caller
+    * contract). */
+  def imagePairsAgainstStore(shard: DataFrame, idCol: String,
+                             hashCol: String, tablePrefix: String,
+                             maxHamming: Int = 10,
+                             maxBucket: Int = 10000): DataFrame = {
+    val spark = shard.sparkSession
+    val h = shard.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("__ph"))
+    val shardB = imageBandRows(h, idCol)
+    val storeB = spark.table(s"${tablePrefix}_ibands")
+    val storeH = spark.table(s"${tablePrefix}_ihashes")
+    val ok = combinedSizes(shardB, imageStoreBandCounts(spark, tablePrefix))
+      .filter(col("__tot") >= 2 && col("__tot") <= maxBucket)
+      .select("bk")
+    val cand = shardCandidatePairs(shardB.join(ok, Seq("bk")), storeB,
+      idCol)
+    val allH = storeH.unionByName(h)
+    cand
+      .join(allH.select(col(idCol).as("id_a"), col("__ph").as("__pa")),
+        "id_a")
+      .join(allH.select(col(idCol).as("id_b"), col("__ph").as("__pb")),
+        "id_b")
+      .withColumn("hamming",
+        bit_count(col("__pa").bitwiseXOR(col("__pb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Surviving shard rows under incremental image near-dedup: drops
+    * every shard doc a verified [[imagePairsAgainstStore]] pair ranks
+    * second (`id_b` — pairs whose larger id is a store doc would drop
+    * the STORE doc in a whole-corpus run and are ignored here, same
+    * discipline as [[dedupShardAgainst]]). Lazy, like the pair
+    * builder. */
+  def dedupImageShardAgainst(shard: DataFrame, idCol: String,
+                             hashCol: String, tablePrefix: String,
+                             maxHamming: Int = 10,
+                             maxBucket: Int = 10000): DataFrame = {
+    val losers = imagePairsAgainstStore(shard, idCol, hashCol,
+      tablePrefix, maxHamming, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    shard.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Image twin of [[absorbIntoSignatureStore]]: appends a processed
+    * shard's band and hash rows into the existing image store (bucket
+    * count read from the catalog — appends can't mismatch the layout).
+    * Same full-shard vs survivors-only semantics tradeoff; see the
+    * text absorb's scaladoc. */
+  def absorbIntoImageSignatureStore(docs: DataFrame, idCol: String,
+                                    hashCol: String,
+                                    tablePrefix: String): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val nBuckets = Bridge.bucketCount(docs.sparkSession,
+      s"${tablePrefix}_ibands")
+      .getOrElse(throw new IllegalStateException(
+        s"${tablePrefix}_ibands is not a bucketed table — was the " +
+          "store written by writeImageSignatureStore?"))
+    val h = docs.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("__ph"))
+    imageBandRows(h, idCol)
+      .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
+    h.write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+  }
+
+  /** Recall-loss report for the incremental image store's combined
+    * bucket cap — the [[shardBucketCapReport]] twin; see
+    * [[graft.util.Metrics]]. */
+  def imageShardBucketCapReport(shard: DataFrame, idCol: String,
+                                hashCol: String, tablePrefix: String,
+                                maxBucket: Int = 10000): DataFrame = {
+    val h = shard.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("__ph"))
+    Metrics.capReport(combinedSizes(imageBandRows(h, idCol),
+      imageStoreBandCounts(shard.sparkSession, tablePrefix)),
+      "__tot", maxBucket)
   }
 
   /** CDC latest-wins compaction: one surviving row per key set — the row

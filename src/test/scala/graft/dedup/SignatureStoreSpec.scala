@@ -199,6 +199,127 @@ class SignatureStoreSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- image store
+
+  private val ipfx = "graft_test_imgstore"
+
+  /** Deterministic 64-bit "perceptual hashes": a few planted near-dup
+    * clusters (Hamming ≤ 3 of a base) plus well-separated singletons. */
+  private def imageCorpus = {
+    import spark.implicits._
+    val bases = Seq(0x0123456789abcdefL, 0x7edcba9876543210L,
+      0x5a5a5a5ac3c3c3c3L)
+    // ids 1..30; id i perturbs base (i%3) by flipping (i%4) low bits —
+    // same-base docs are within Hamming 6 of each other, cross-base far
+    (1L to 30L).map { i =>
+      val base = bases((i % 3).toInt)
+      val flipped = base ^ ((1L << (i % 4).toInt) - 1)
+      (i, flipped)
+    }.toDF("doc_id", "ph")
+  }
+
+  private def withImageStore(store: org.apache.spark.sql.DataFrame)(
+      body: => Unit): Unit = {
+    Dedup.writeImageSignatureStore(store, "doc_id", "ph", ipfx,
+      "/tmp/graft_test_sinks/imgstore")
+    try body
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${ipfx}_ibands")
+      spark.sql(s"DROP TABLE IF EXISTS ${ipfx}_ihashes")
+    }
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+
+  test("image shard-vs-store pairs equal whole-corpus imageNearDupPairs " +
+    "restricted to pairs touching shard ids") {
+    val corpus = imageCorpus
+    val store = corpus.filter(col("doc_id") <= 20)
+    val shard = corpus.filter(col("doc_id") > 20)
+    withImageStore(store) {
+      val got = pairSet(Dedup.imagePairsAgainstStore(shard, "doc_id",
+        "ph", ipfx, maxHamming = 6))
+      val whole = pairSet(Dedup.imageNearDupPairs(corpus, "doc_id", "ph",
+        maxHamming = 6)).filter(p => p._1 > 20L || p._2 > 20L)
+      got shouldBe whole
+      got should not be empty
+      // survivors drop exactly the id_b ends of those pairs
+      val surv = Dedup.dedupImageShardAgainst(shard, "doc_id", "ph",
+        ipfx, maxHamming = 6)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val losers = got.map(_._2).filter(_ > 20L)
+      surv shouldBe (21L to 30L).toSet -- losers
+    }
+  }
+
+  test("image absorb loop: pairs for shard2 after absorbing shard1 " +
+    "equal the whole-corpus run; combined cap and report behave as in " +
+    "the text store") {
+    import spark.implicits._
+    val corpus = imageCorpus
+    val store = corpus.filter(col("doc_id") <= 10)
+    val shard1 = corpus.filter(col("doc_id") > 10 && col("doc_id") <= 20)
+    val shard2 = corpus.filter(col("doc_id") > 20)
+    withImageStore(store) {
+      Dedup.absorbIntoImageSignatureStore(shard1, "doc_id", "ph", ipfx)
+      val got = pairSet(Dedup.imagePairsAgainstStore(shard2, "doc_id",
+        "ph", ipfx, maxHamming = 6))
+      val whole = pairSet(Dedup.imageNearDupPairs(corpus, "doc_id", "ph",
+        maxHamming = 6)).filter(p => p._1 > 20L || p._2 > 20L)
+      got shouldBe whole
+      // combined-size cap: 3 store + 3 shard copies of ONE hash → all
+      // four band buckets hold 6 members; cap 5 drops them (no pairs)
+      // and the report counts 4 groups × 6 members
+      val same = 0x0f0f0f0f0f0f0f0fL
+      val s3 = (101L to 103L).map((_, same)).toDF("doc_id", "ph")
+      val h3 = (111L to 113L).map((_, same)).toDF("doc_id", "ph")
+      Dedup.absorbIntoImageSignatureStore(s3, "doc_id", "ph", ipfx)
+      Dedup.imagePairsAgainstStore(h3, "doc_id", "ph", ipfx,
+        maxBucket = 5).count() shouldBe 0L
+      import graft.util.Metrics
+      Metrics.drops(Dedup.imageShardBucketCapReport(h3, "doc_id", "ph",
+        ipfx, maxBucket = 5)) shouldBe ((4L, 24L))
+      Dedup.imagePairsAgainstStore(h3, "doc_id", "ph", ipfx)
+        .count() shouldBe 12L // C(3,2) internal + 3×3 cross
+    }
+  }
+
+  test("image store plan proofs: bucket counts aggregate with NO " +
+    "Exchange, pairs read the store as file scans, null hashes are " +
+    "excluded, non-bucketed absorb target refused") {
+    import spark.implicits._
+    val corpus = imageCorpus
+    val withNull = corpus.union(
+      Seq((99L, null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "ph").select(col("doc_id"), col("ph").cast("long")))
+    val store = withNull.filter(col("doc_id") <= 20 || col("doc_id") === 99L)
+    val shard = corpus.filter(col("doc_id") > 20)
+    withImageStore(store) {
+      spark.table(s"${ipfx}_ihashes").filter(col("doc_id") === 99L)
+        .count() shouldBe 0L // nulls never enter the store
+      val cnts = Dedup.imageStoreBandCounts(spark, ipfx)
+      cnts.queryExecution.executedPlan.toString should not include "Exchange"
+      cnts.count() should be > 0L
+      val plan = Dedup.imagePairsAgainstStore(shard, "doc_id", "ph", ipfx)
+        .queryExecution.executedPlan.toString
+      s"FileScan parquet [^\\n]*${ipfx}_ibands".r
+        .findFirstIn(plan) shouldBe defined
+      s"FileScan parquet [^\\n]*${ipfx}_ihashes".r
+        .findFirstIn(plan) shouldBe defined
+      corpus.limit(1).write.mode("overwrite")
+        .option("path", "/tmp/graft_test_sinks/plainimg")
+        .format("parquet").saveAsTable("graft_plainimg_ibands")
+      try {
+        an[IllegalStateException] should be thrownBy
+          Dedup.absorbIntoImageSignatureStore(shard, "doc_id", "ph",
+            "graft_plainimg")
+      } finally spark.sql("DROP TABLE IF EXISTS graft_plainimg_ibands")
+    }
+  }
+
   test("plan proof: store bucket counts aggregate with NO Exchange, and " +
     "the store side of the shard run is a scan, not a recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
