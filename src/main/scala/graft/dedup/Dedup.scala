@@ -1002,23 +1002,53 @@ object Dedup {
     *
     * `k`/`bands`/`shingleN` must match the later
     * [[dedupShardAgainst]] call (same LSH family — caller contract).
-    * `nBuckets` sizes the bucket layout: at real scale use
-    * O(corpus size / target partition size), not the fixture default. */
+    * `nBuckets` sizes the bucket layout — FIXED at first write (appends
+    * inherit it), so a silent small default is an at-scale footgun.
+    * The default 0 means "derive": [[suggestedStoreBuckets]] sizes it
+    * from Catalyst's input-size estimate (floor 8, so tiny fixtures
+    * keep the historical 8-bucket layout); pass an explicit count when
+    * you know the target corpus better than the estimate does. */
   def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
                           tablePrefix: String, path: String,
                           k: Int = 12, bands: Int = 4, shingleN: Int = 3,
-                          nBuckets: Int = 8): Unit = {
+                          nBuckets: Int = 0): Unit = {
+    val nb = if (nBuckets > 0) nBuckets else suggestedStoreBuckets(df)
     val sh = shingleTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lshBands(signaturesFrom(sh, idCol, k), idCol, bands, k / bands)
       .select(bandJoinKey.as("bk"), col(idCol))
       .write.mode("overwrite").option("path", s"$path/bands")
-      .bucketBy(nBuckets, "bk").sortBy("bk")
+      .bucketBy(nb, "bk").sortBy("bk")
       .format("parquet").saveAsTable(s"${tablePrefix}_bands")
     sh.write.mode("overwrite").option("path", s"$path/shingles")
-      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .bucketBy(nb, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
     sh.unpersist(blocking = false)
+  }
+
+  /** Bucket-count derivation for the signature stores: estimated store
+    * bytes / `targetBytes` per bucket, rounded UP to a power of two,
+    * floor 8. The input-size estimate is Catalyst's
+    * (`optimizedPlan.stats.sizeInBytes` — filter/column-pruned, no job
+    * runs), scaled by `expansion` for the store's dominant table (text:
+    * shingles ≈ one 16-byte digest per corpus token, roughly 2× the
+    * raw text; images: bands ≈ 4 short rows per hash, well under 1×).
+    * Power-of-two so future manual re-bucketing can split/merge
+    * cleanly; capped at 2^20 buckets (beyond that, partition the store
+    * by shard epoch instead — one table's bucket count should not be
+    * the only scaling axis). The floor keeps tiny fixtures on the
+    * historical 8-bucket layout. */
+  def suggestedStoreBuckets(df: DataFrame,
+                            targetBytes: Long = 256L << 20,
+                            expansion: Double = 2.0): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = (BigDecimal(in) * expansion).toBigInt
+    val need = ((est + targetBytes - 1) / targetBytes)
+      .max(BigInt(8)).min(BigInt(1 << 20)).toInt
+    var b = 8
+    while (b < need) b <<= 1
+    b
   }
 
   /** ABSORB a processed shard into an existing [[writeSignatureStore]]
@@ -1281,15 +1311,19 @@ object Dedup {
     * payloads) are excluded. */
   def writeImageSignatureStore(df: DataFrame, idCol: String,
                                hashCol: String, tablePrefix: String,
-                               path: String, nBuckets: Int = 8): Unit = {
+                               path: String, nBuckets: Int = 0): Unit = {
     val h = df.filter(col(hashCol).isNotNull)
       .select(col(idCol), col(hashCol).cast("long").as("__ph"))
+    // nBuckets = 0 derives from the (id, hash) frame — ~24 bytes/row,
+    // already the store's own size, so no expansion
+    val nb = if (nBuckets > 0) nBuckets
+      else suggestedStoreBuckets(h, expansion = 1.0)
     imageBandRows(h, idCol)
       .write.mode("overwrite").option("path", s"$path/ibands")
-      .bucketBy(nBuckets, "bk").sortBy("bk")
+      .bucketBy(nb, "bk").sortBy("bk")
       .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
     h.write.mode("overwrite").option("path", s"$path/ihashes")
-      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .bucketBy(nb, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
   }
 

@@ -164,6 +164,37 @@ class SignatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("suggestedStoreBuckets: tiny inputs floor at 8, large inputs " +
+    "scale as pow2(size × expansion / target), cap respected — and " +
+    "writeSignatureStore's default derives it") {
+    // spark.range stats are 8 bytes/row, known without running a job
+    Dedup.suggestedStoreBuckets(spark.range(100).toDF()) shouldBe 8
+    // 1G rows × 8 B × 2.0 expansion = 16 GiB / 256 MiB = 64 buckets
+    Dedup.suggestedStoreBuckets(spark.range(1L << 30).toDF()) shouldBe 64
+    // non-pow2 need rounds UP: 65 × 256 MiB worth → 128
+    Dedup.suggestedStoreBuckets(spark.range((1L << 30) + (1L << 25))
+      .toDF()) shouldBe 128
+    // explicit target: same frame, smaller buckets → more of them
+    Dedup.suggestedStoreBuckets(spark.range(1L << 30).toDF(),
+      targetBytes = 128L << 20) shouldBe 128
+    // cap: an absurd estimate stays at 2^20
+    Dedup.suggestedStoreBuckets(spark.range(Long.MaxValue >> 4).toDF())
+      .shouldBe(1 << 20)
+    // the default store write derives (fixture-sized → the floor 8)
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val d = Seq(1L -> "alpha beta gamma delta").toDF("doc_id", "text")
+    Dedup.writeSignatureStore(d, "doc_id", "text", "graft_nb_test",
+      "/tmp/graft_test_sinks/nbtest")
+    try {
+      Bridge.bucketCount(spark, "graft_nb_test_bands") shouldBe Some(8)
+      Bridge.bucketCount(spark, "graft_nb_test_shingles") shouldBe Some(8)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_nb_test_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_nb_test_shingles")
+    }
+  }
+
   test("absorb refuses a non-bucketed target table") {
     import spark.implicits._
     val d = Seq(1L -> "some text").toDF("doc_id", "text")
