@@ -2952,6 +2952,60 @@ object Queries {
           AND doc_id NOT IN (SELECT id_b FROM verified)
         ORDER BY doc_id""")),
 
+    // ---- D17: incremental image near-dup vs a persisted store ----------
+    // d14 × d15: the payload-side incremental path. The corpus side's
+    // perceptual hashes are persisted ONCE as bucketed band + hash
+    // tables (Dedup.writeImageSignatureStore — the image store is
+    // O(corpus) LONGs, hashes ARE the verification evidence); a new
+    // shard's band keys equi-join the store with no store-side Exchange
+    // or recompute, verify is codegen'd bit_count(xor) against stored
+    // hashes. Fingerprint is d14's embedding sign-hash (no image column
+    // in testdata; structurally identical to dHash). The oracle is the
+    // WHOLE-CORPUS d14 pipeline restricted to pairs touching a shard
+    // id — passing proves incremental ≡ full recompute, including the
+    // combined store+shard bucket cap.
+    QueryDef("d17_image_incremental",
+      (s, dir) => {
+        val hash = (0 until 64).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+        val h = t(s, dir, "embeddings")
+          .select(col("vec_id"), hash.as("phash"))
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/imgstore"
+        Dedup.writeImageSignatureStore(h.filter(col("vec_id") < 200),
+          "vec_id", "phash", "graft_imgstore", out)
+        Dedup.imagePairsAgainstStore(h.filter(col("vec_id") >= 200),
+          "vec_id", "phash", "graft_imgstore", maxHamming = 24)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        def band(k: Int) = (0 until 16).map(j =>
+          s"(CASE WHEN embedding[${16 * k + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        val bandCands = (0 until 4).map { k =>
+          s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM h x JOIN h y ON x.b$k = y.b$k AND x.vec_id < y.vec_id
+          WHERE x.b$k IN (SELECT b$k FROM h GROUP BY b$k
+            HAVING count(*) <= 10000)"""
+        }.mkString(" UNION ")
+        s"""WITH h AS (
+          SELECT vec_id,
+            ${(0 until 4).map(k => s"${band(k)} AS b$k").mkString(", ")},
+            b0 + b1 * 65536::BIGINT + b2 * 4294967296::BIGINT +
+              (CASE WHEN b3 >= 32768 THEN b3 - 65536 ELSE b3 END)
+                * 281474976710656::BIGINT AS ph
+          FROM embeddings),
+        cand AS ($bandCands)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(hx.ph, hy.ph)) AS INTEGER) AS hamming
+        FROM cand JOIN h hx ON hx.vec_id = id_a
+          JOIN h hy ON hy.vec_id = id_b
+        WHERE bit_count(xor(hx.ph, hy.ph)) <= 24
+          AND (id_a >= 200 OR id_b >= 200)
+        ORDER BY id_a, id_b"""
+      }),
+
     // ---- M10: BM25 retrieval (top-k docs for a term query) -------------
     // The classic lexical-retrieval scorer, the workhorse for sourcing
     // pretraining/RAG candidates: score(d) = Σ_t idf(t) · tf·(k1+1) /
