@@ -6,7 +6,7 @@ import graft.sources.Readers
 import graft.filters.RangeFilters
 import graft.filters.RangeFilters.RangeFilter
 import graft.enrich.{CaptionStats, Readability}
-import graft.vocab.Vocab
+import graft.vocab.{Bpe, Vocab}
 import graft.analytics.Summary
 import graft.functions.TextFunctions
 import graft.text.TextAnalysis
@@ -3004,6 +3004,63 @@ object Queries {
         WHERE bit_count(xor(hx.ph, hy.ph)) <= 24
           AND (id_a >= 200 OR id_b >= 200)
         ORDER BY id_a, id_b"""
+      }),
+
+    // ---- M12: BPE tokenizer training (Sennrich et al. 2016) ------------
+    // Vocabulary learning, distributed over the WORD HISTOGRAM: the
+    // corpus collapses to (word, count) in one token shuffle, then each
+    // of 8 merge rounds is one map-combined pair-count aggregate + a
+    // 1-row top-1 collect (Bpe.learnMerges — the Lloyd/PageRank driver-
+    // round discipline; at web scale the histogram is vocabulary-sized
+    // regardless of corpus). Both engines share the " a b "→" ab "
+    // literal-replace merge (left-to-right non-overlapping = BPE's
+    // leftmost-first greedy) and the (count desc, left, right) tie
+    // rule, so they learn IDENTICAL merge tables; the oracle re-derives
+    // all 8 rounds in SQL (MATERIALIZED CTEs — inlined scalar-subquery
+    // chains explode exponentially in the optimizer) and the hash
+    // compares the SEGMENTED token histogram — any divergent merge
+    // anywhere flips it. Output n_occ is CAST to BIGINT (DuckDB sum →
+    // HUGEINT, the d12 discipline).
+    QueryDef("m12_bpe_tokens",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(CaptionStats.tokens(lower(col("text"))))
+            .as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val merges = Bpe.learnMerges(words, "w", "n", nMerges = 8)
+        words.select(explode(Bpe.segment(col("w"),
+            merges.map(m => (m._1, m._2)))).as("token"), col("n"))
+          .groupBy("token").agg(sum("n").as("n_occ"))
+          .orderBy("token")
+      },
+      Some {
+        val iters = (1 to 8).map { i =>
+          s"""t$i AS MATERIALIZED (
+            SELECT ' ' || a || ' ' || b || ' ' AS pat,
+              ' ' || a || b || ' ' AS rep
+            FROM (SELECT l[i] AS a, l[i + 1] AS b, sum(n) AS c
+              FROM (SELECT l, n, unnest(range(1, len(l))) AS i
+                FROM (SELECT string_split(trim(s), ' ') AS l, n
+                  FROM w${i - 1}))
+              GROUP BY 1, 2)
+            ORDER BY c DESC, a, b LIMIT 1),
+          w$i AS MATERIALIZED (
+            SELECT replace(s, (SELECT pat FROM t$i),
+              (SELECT rep FROM t$i)) AS s, n FROM w${i - 1})"""
+        }.mkString(",\n")
+        s"""WITH words AS MATERIALIZED (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z]+$$')
+          GROUP BY w),
+        w0 AS MATERIALIZED (
+          SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
+          FROM words),
+        $iters
+        SELECT token, CAST(sum(n) AS BIGINT) AS n_occ FROM (
+          SELECT unnest(string_split(trim(s), ' ')) AS token, n FROM w8)
+        GROUP BY token ORDER BY token"""
       }),
 
     // ---- M10: BM25 retrieval (top-k docs for a term query) -------------

@@ -1,0 +1,116 @@
+package graft.vocab
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding tokenizer TRAINING and segmentation (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the vocabulary-learning step of an LLM data pipeline,
+  * distributed the way the original algorithm already wants to be:
+  * over the WORD HISTOGRAM, never the corpus.
+  *
+  * Training never touches corpus rows after the first count: the
+  * corpus collapses to a (word, count) histogram in one token-keyed
+  * shuffle (bounded by vocabulary size × partitions — the [[Vocab]]
+  * scale argument), and every merge iteration runs on that histogram:
+  * one map-combined pair-count aggregate, one `TakeOrderedAndProject`
+  * top-1, one driver collect of a SINGLE row (the Lloyd/PageRank
+  * driver-round discipline — the loop state is one merge rule, not
+  * data). At web scale the histogram is ~10⁷ rows regardless of corpus
+  * size, so a 30k-merge training run is 30k tiny jobs over megabytes;
+  * the classic optimization (incremental pair-count deltas instead of
+  * recounts) trades that recount for driver state and is deliberately
+  * NOT taken — recounting keeps every iteration a stateless, re-runnable
+  * aggregate.
+  *
+  * Symbol representation: a word is its symbols joined and WRAPPED by
+  * single spaces (`" l o w "`), so a merge is one literal
+  * `replace(" a b " → " ab ")` — left-to-right, non-overlapping, which
+  * is exactly BPE's leftmost-first greedy application (a shared border
+  * symbol merges once: `a a a` + rule (a,a) → `aa a`). Spark's
+  * codegen'd `replace` and the oracle's `replace` share those
+  * semantics, so the two engines learn IDENTICAL merge tables. Ties in
+  * pair counts break deterministically by (count desc, left asc,
+  * right asc).
+  *
+  * No end-of-word marker is added: merges never cross word boundaries
+  * (each histogram row is one word), matching the reference
+  * formulation with per-word symbol sequences. Callers wanting `</w>`
+  * semantics append it to words before training. Symbols must be
+  * whitespace-free (guaranteed for `\s+`-tokenized words — caller
+  * contract). */
+object Bpe {
+
+  /** `" c h a r s "` spaced-symbol form of a word — each character a
+    * symbol, single-space separated, one leading and one trailing
+    * space (the merge patterns' anchor). */
+  private[vocab] def spaced(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+
+  /** Weighted adjacent-pair counts (a, b, c) over a spaced-symbol
+    * histogram (`s`, `n`) — one Generate + one map-combined aggregate;
+    * the shuffle carries distinct pairs × partitions. */
+  private def pairCounts(hist: DataFrame): DataFrame = {
+    val syms = split(trim(col("s")), " ")
+    hist.select(syms.as("l"), col("n"))
+      .filter(size(col("l")) >= 2) // sequence(1, 0) would DESCEND
+      .select(explode(transform(sequence(lit(1), size(col("l")) - 1),
+        i => struct(element_at(col("l"), i).as("a"),
+          element_at(col("l"), i + 1).as("b")))).as("p"), col("n"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("c"))
+  }
+
+  /** Learn `nMerges` merge rules from a word histogram
+    * (`wordCol`, `countCol`). Returns (left, right, pairCount) in
+    * merge order — fewer than `nMerges` when the histogram runs out of
+    * adjacent pairs. The histogram is persisted for the loop and every
+    * intermediate is released before returning (the per-call cache
+    * ownership contract of the dedup family). */
+  def learnMerges(words: DataFrame, wordCol: String, countCol: String,
+                  nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    var cur = words
+      .select(spaced(col(wordCol)).as("s"),
+        col(countCol).cast("long").as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var exhausted = false
+    while (out.length < nMerges && !exhausted) {
+      val top = pairCounts(cur)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((a, b, c))
+        val next = cur
+          .select(replace(col("s"), lit(s" $a $b "), lit(s" $a$b "))
+            .as("s"), col("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent
+        cur.unpersist(blocking = false)
+        cur = next
+      }
+    }
+    cur.unpersist(blocking = false)
+    out.toSeq
+  }
+
+  /** Segment a word column with a learned merge table: the spaced form
+    * folded through each rule's literal replace IN MERGE ORDER (BPE
+    * encoding applies rules by learned priority), split back to a
+    * symbol array. Map-only — `merges` folds into the plan as literal
+    * expressions, zero joins, zero shuffles, codegen-fused into the
+    * scan; a 30k-rule table becomes a 30k-deep expression, so segment
+    * via a broadcast scalar loop in `mapPartitions` beyond ~1k rules
+    * (the k-means literal-centroid tradeoff, `Clustering.scala`). */
+  def segment(word: Column, merges: Seq[(String, String)]): Column =
+    split(trim(merges.foldLeft(spaced(word)) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+    }), " ")
+}

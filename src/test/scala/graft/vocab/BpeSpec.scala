@@ -1,0 +1,71 @@
+package graft.vocab
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training + segmentation: the Sennrich et al. 2016 worked
+  * example, hand-computed merge-by-merge, plus the greedy
+  * leftmost-first replace semantics and the cache-release contract. */
+class BpeSpec extends SparkSpec {
+
+  // the paper's fixture: low×5, lower×2, newest×6, widest×3
+  private def fixture = {
+    import spark.implicits._
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "n")
+  }
+
+  test("learnMerges reproduces the hand-computed Sennrich sequence " +
+    "with deterministic tie-breaks") {
+    // pair counts round 1: (e,s)=9 and (s,t)=9 tie → left asc picks
+    // (e,s); then (es,t)=9; then (l,o)=(o,w)=7 tie → (l,o); (lo,w)=7;
+    // then 6-ties (e,w)/(n,e)/(w,est) → (e,w); (ew,est) vs (n,ew) →
+    // "ew" < "n"; (n,ewest)=6; then 3-ties → (d,est)
+    Bpe.learnMerges(fixture, "w", "n", nMerges = 8) shouldBe Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L),
+      ("e", "w", 6L), ("ew", "est", 6L), ("n", "ewest", 6L),
+      ("d", "est", 3L))
+  }
+
+  test("segment applies merges in learned order; histogram over " +
+    "segmented fixture matches the hand computation") {
+    val merges = Bpe.learnMerges(fixture, "w", "n", nMerges = 8)
+      .map(m => (m._1, m._2))
+    val hist = fixture
+      .select(explode(Bpe.segment(col("w"), merges)).as("token"),
+        col("n"))
+      .groupBy("token").agg(sum("n").as("n_occ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // low→[low], lower→[low,e,r], newest→[newest], widest→[w,i,dest]
+    hist shouldBe Map("low" -> 7L, "e" -> 2L, "r" -> 2L,
+      "newest" -> 6L, "w" -> 3L, "i" -> 3L, "dest" -> 3L)
+  }
+
+  test("greedy leftmost-first: a run of three merges once, the border " +
+    "symbol survives") {
+    import spark.implicits._
+    val d = Seq(("aaa", 1L)).toDF("w", "n")
+    // rule (a,a): " a a a " → " aa a " (left pair first, no overlap)
+    d.select(Bpe.segment(col("w"), Seq(("a", "a"))).as("t"))
+      .head().getSeq[String](0) shouldBe Seq("aa", "a")
+    // learning on aaa alone: (a,a)=2 then (aa,a)=1
+    Bpe.learnMerges(d, "w", "n", 3) shouldBe Seq(("a", "a", 2L),
+      ("aa", "a", 1L))
+  }
+
+  test("single-char and empty-ish words never pair; merge exhaustion " +
+    "stops early; caches are released") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    spark.catalog.clearCache()
+    val d = Seq(("a", 3L), ("b", 2L)).toDF("w", "n")
+    Bpe.learnMerges(d, "w", "n", 5) shouldBe Seq.empty
+    Bridge.cacheIsEmpty(spark) shouldBe true
+    Bpe.learnMerges(fixture, "w", "n", 8)
+    Bridge.cacheIsEmpty(spark) shouldBe true
+    // zero requested merges = identity segmentation into characters
+    fixture.select(Bpe.segment(col("w"), Seq.empty).as("t"))
+      .filter(col("w") === "low").head().getSeq[String](0) shouldBe
+      Seq("l", "o", "w")
+  }
+}
