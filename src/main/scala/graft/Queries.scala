@@ -1054,6 +1054,53 @@ object Queries {
         ORDER BY doc_id"""
       }),
 
+    // ---- D18: per-doc contamination report (the d8 measurement half) ---
+    // Overlap DISTRIBUTION before any dropping: distinct 5-gram count
+    // per doc, how many also appear in the benchmark (exact digest
+    // semi-join — the Bloom only prefilters the scan), and their exact
+    // int/int ratio. Thresholding + anti-join reproduces a tunable d8.
+    QueryDef("d18_contamination_report",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.decontaminationReport(d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "doc_id", "text",
+          shingleN = 5)
+          .orderBy("doc_id")
+      },
+      Some {
+        val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
+          ELSE list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
+        s"""WITH toked AS (
+          SELECT doc_id, source,
+            ${toksSql("lower(nfc_normalize(text))")} AS toks
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT substr(md5(unnest($five)), 1, 16) AS bd
+          FROM toked WHERE source = 'src0'),
+        corp AS (
+          SELECT doc_id, unnest($five) AS sh
+          FROM toked WHERE source <> 'src0'),
+        tot AS (
+          SELECT doc_id, count(*) AS n FROM corp GROUP BY doc_id),
+        hit AS (
+          SELECT c.doc_id, count(*) AS n
+          FROM (SELECT doc_id, substr(md5(sh), 1, 16) AS bd FROM corp) c
+          JOIN bench b USING (bd) GROUP BY c.doc_id)
+        SELECT d.doc_id,
+          coalesce(tot.n, 0) AS n_shingles,
+          coalesce(hit.n, 0) AS n_overlap,
+          CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0
+            ELSE CAST(coalesce(hit.n, 0) AS DOUBLE) / tot.n END
+            AS overlap_frac
+        FROM documents d
+        LEFT JOIN tot ON d.doc_id = tot.doc_id
+        LEFT JOIN hit ON d.doc_id = hit.doc_id
+        WHERE d.source <> 'src0'
+        ORDER BY d.doc_id"""
+      }),
+
     // ---- D9: C4-style corpus-level sentence dedup -------------------
     // every distinct sentence survives only at its first (doc, pos)
     // occurrence; docs rebuilt from survivors, emptied docs drop out

@@ -595,6 +595,67 @@ object Dedup {
     out
   }
 
+  /** Per-document contamination REPORT — the measurement half of
+    * [[decontaminate]]: before dropping anything, a corpus owner wants
+    * the overlap DISTRIBUTION (is the benchmark leaking wholesale, or
+    * are these incidental shared n-grams?). Returns one row per corpus
+    * doc: (idCol, n_shingles, n_overlap, overlap_frac) where
+    * `n_shingles` counts the doc's DISTINCT word `shingleN`-grams,
+    * `n_overlap` those also present in the benchmark (exact digest
+    * semi-join — the Bloom only prefilters the scan, so false
+    * positives never reach the counts), and `overlap_frac` their
+    * exact int/int ratio (IEEE-identical across engines). Docs too
+    * short to shingle report (0, 0, 0.0).
+    *
+    * Same scale shape as [[decontaminate]] (bloom-prefiltered scan +
+    * BINARY(8) digest semi-join) plus two map-combined per-doc
+    * aggregates; thresholding the result (`overlap_frac >= x`) and
+    * anti-joining reproduces a tunable decontamination pass. */
+  def decontaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 5, bloomFpp: Double = 0.01,
+                            nfc: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    graft.util.OptimizerTuning.tune(corpus.sparkSession)
+    def key64(tok: Column): Column = unhex(substring(md5(tok), 1, 16))
+    val benchToks = shingleTable(benchmark, idCol, textCol, shingleN, nfc)
+      .select(explode(col("__s")).as("token")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = math.max(benchToks.count(), 1L)
+    val bloom = benchToks.select(xxhash64(col("token")).as("__h"))
+      .stat.bloomFilter("__h", nBench, bloomFpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    def mightContain(tok: Column): Column = Bridge.column(
+      new BloomFilterMightContain(Literal(bloomBytes),
+        Bridge.expression(xxhash64(tok))))
+    val bench = benchToks.select(key64(col("token")).as("__bd")).distinct()
+    // per-doc shingle arrays are already distinct (hash-set Shingles),
+    // so both counts are DISTINCT-shingle counts without a distinct
+    val docSh = shingleTable(corpus, idCol, textCol, shingleN, nfc)
+      .select(col(idCol), explode(col("__s")).as("token"))
+    val tot = docSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val hits = docSh.filter(mightContain(col("token")))
+      .select(col(idCol), key64(col("token")).as("__bd"))
+      .join(bench, Seq("__bd"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    val out = corpus.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_overlap").cast("double") /
+            col("n_shingles").cast("double")))
+    benchToks.unpersist(blocking = false)
+    out
+  }
+
   /** Driver-built Bloom filter (serialized sketch bytes) over a benchmark
     * table's distinct shingle keys (`xxhash64` of each n-gram) — the
     * shareable half of [[decontaminate]], also consumed by the stateless

@@ -288,6 +288,31 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(2L, 3L)
   }
 
+  test("decontaminationReport: exact per-doc overlap counts and " +
+    "fraction, zero-shingle docs report zeros") {
+    import spark.implicits._
+    val corpus = Seq(
+      // doc 1: tokens t1..t6 → 5-grams g(1..5), g(2..6); benchmark has
+      // g(1..5) ("the quick brown fox jumps") but not g(2..6) → 1 of 2
+      (1L, "the quick brown fox jumps high above"),
+      (2L, "a completely unrelated sentence about spark and catalyst"),
+      (3L, "too short to shingle")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "we saw the quick brown fox jumps over a fence")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminationReport(corpus, bench, "doc_id",
+      "text", shingleN = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: 3 shingles ("the quick brown fox jumps", "quick brown fox
+    // jumps high", "brown fox jumps high above"), 1 overlaps → 1/3
+    got shouldBe Array(
+      (1L, 3L, 1L, 1.0 / 3.0),
+      (2L, 4L, 0L, 0.0),
+      (3L, 0L, 0L, 0.0))
+  }
+
   test("maxBucket skew guard: a hot band bucket is dropped, small ones kept") {
     import spark.implicits._
     // 30 identical docs land in ONE band bucket per band (the LSH skew
