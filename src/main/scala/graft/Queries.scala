@@ -7,7 +7,7 @@ import graft.filters.RangeFilters
 import graft.filters.RangeFilters.RangeFilter
 import graft.enrich.{CaptionStats, Readability}
 import graft.vocab.{Bpe, Vocab}
-import graft.analytics.Summary
+import graft.analytics.{Mixture, Summary}
 import graft.functions.TextFunctions
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -782,6 +782,44 @@ object Queries {
         t AS (SELECT sum(n_chars) AS total FROM documents)
         SELECT doc_id, n_chars FROM o, t
         WHERE (cum * 100) // total > ((cum - n_chars) * 100) // total
+        ORDER BY doc_id""")),
+
+    // ---- O10: source-weighted data mixture to a token budget ----------
+    // The LLM-pretraining mixing recipe ("50% src1, 30% src2, 20%
+    // src3" of a 2000-token budget): per source, docs taken in the
+    // engine's (md5(id), id) permutation until the source's budget
+    // share fills; the budget-crossing doc is included (cum − w <
+    // budget — greedy take-until-exceeded). Deterministic end to end:
+    // no RNG, stable under retries and cluster resizing. Execution is
+    // Cumsum.mdOrderCumsumBy — per-(source, md5-bucket) windows with
+    // driver-folded literal offsets, so a 90%-weight source fans out
+    // over 16^hexChars partitions, never one task.
+    QueryDef("o10_data_mixture",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          size(CaptionStats.tokens(col("text"))).cast("long")
+            .as("n_toks"))
+        Mixture.mix(d, "doc_id", "source", "n_toks",
+          Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
+          budget = 2000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, source,
+            len(${toksSql("text")}) AS n_toks
+          FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+        budgets(source, b) AS (VALUES
+          ('src1', 1000), ('src2', 600), ('src3', 400)),
+        c AS (
+          SELECT doc_id, source, n_toks,
+            sum(n_toks) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT doc_id, source, n_toks
+        FROM c JOIN budgets USING (source)
+        WHERE cum - n_toks < b
         ORDER BY doc_id""")),
 
     // ---- D1: exact dedup groups -------------------------------------

@@ -47,4 +47,56 @@ class CumsumSpec extends SparkSpec {
     plan should include("hashpartitioning(__b")
     plan should not include "SinglePartition"
   }
+
+  test("grouped cumsum equals a per-group single-window cumsum and " +
+    "fans out on (group, bucket)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val bucketed = Cumsum.mdOrderCumsumBy(docs, "source", "doc_id",
+      "n_chars")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = docs.withColumn("__cum",
+      sum(col("n_chars").cast("long")).over(w))
+    bucketed.select("doc_id", "__cum").orderBy("doc_id")
+      .collect().map(_.toSeq) shouldBe
+      global.select("doc_id", "__cum").orderBy("doc_id")
+        .collect().map(_.toSeq)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning")
+    plan should include("__b")
+    plan should not include "SinglePartition"
+  }
+
+  test("mixture: per-source budgets fill greedily in md5 order, " +
+    "crossing doc included, sources outside targets dropped") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val targets = Seq("src1" -> 0.5, "src2" -> 0.5)
+    val budget = 4000L // each source budget 2000 chars
+    val got = Mixture.mix(docs, "doc_id", "source", "n_chars",
+      targets, budget)
+    val bySrc = got.groupBy("source").agg(sum("n_chars").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.keySet shouldBe Set("src1", "src2")
+    bySrc.values.foreach { t =>
+      t should be >= 2000L // crossing doc included: never under budget
+      t should be < (2000L + 2000L) // and overshoot < one max doc
+    }
+    // reference semantics: per-source window cumsum, keep while the
+    // doc STARTS before the budget end
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.filter(col("source").isin("src1", "src2"))
+      .withColumn("__cum", sum(col("n_chars").cast("long")).over(w))
+      .filter(col("__cum") - col("n_chars") < 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
+    // determinism: a re-run selects the identical set
+    Mixture.mix(docs, "doc_id", "source", "n_chars", targets, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
+  }
 }
