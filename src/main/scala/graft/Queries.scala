@@ -739,6 +739,35 @@ object Queries {
             AS top_2gram_char_frac
         FROM top WHERE rn = 1 ORDER BY doc_id""")),
 
+    // ---- T11: unigram surprisal score (integer-exact LM proxy) ---------
+    // CCNet-style corpus bucketing by LM score, in its training-free
+    // degenerate form: per-token surprisal = len(bin(N)) − len(bin(cnt))
+    // whole bits — exact integer arithmetic on both engines (no libm),
+    // monotone in −log2 p and within 1 bit. High mean = rare-token-heavy
+    // (gibberish/OCR noise), low = template-heavy. Everything integer
+    // until the final int/int → double mean.
+    QueryDef("t11_unigram_surprisal",
+      (s, dir) => TextAnalysis.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+          FROM tk GROUP BY doc_id, tok),
+        counts AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+          FROM tf GROUP BY tok),
+        st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+        SELECT doc_id,
+          CAST(sum(tf) AS BIGINT) AS n_toks,
+          CAST(sum(tf * (length(bin(total)) - length(bin(cnt))))
+            AS BIGINT) AS total_bits,
+          CAST(CAST(sum(tf * (length(bin(total)) - length(bin(cnt))))
+              AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS mean_bits
+        FROM tf JOIN counts USING (tok) CROSS JOIN st
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- O7: deterministic stratified sample (n per group) ----------
     // Per-language quota via md5-rank — the stratified twin of O5;
     // one shuffle on the stratum key.

@@ -206,6 +206,41 @@ object TextAnalysis {
   }
 
   /** Convenience: append all text-analysis columns. */
+  /** Per-document UNIGRAM SURPRISAL score — the integer-exact stand-in
+    * for CCNet-style LM-perplexity filtering (Wenzek et al. 2020 bucket
+    * corpora by LM score; the unigram model is its degenerate, training-
+    * free case). A token's surprisal is `⌈log2⌉`-approximated in whole
+    * BITS as `len(bin(N)) − len(bin(count))` (N = corpus token total) —
+    * bit-length is exact integer arithmetic on both engines (no libm,
+    * no last-ulp rank flips), monotone in the true −log2 p and within
+    * 1 bit of it. High mean surprisal = rare-token-heavy (gibberish,
+    * boilerplate-free, OCR noise); low = stopword/template-heavy.
+    *
+    * Scale shape: token counts are ONE map-combined vocabulary-sized
+    * shuffle; per-doc term frequencies aggregate BEFORE the vocabulary
+    * join (join input is (doc, distinct-token) pairs, not corpus
+    * tokens; AQE broadcasts the count table while the vocab is small);
+    * the corpus total derives from the count table — no second corpus
+    * scan. Output: (idCol, n_toks, total_bits, mean_bits), all exact
+    * integers except the final int/int → double division. */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val tk = df.select(col(idCol),
+      explode(CaptionStats.tokens(lower(col(textCol)))).as("tok"))
+    val tf = tk.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+    val st = counts.agg(sum("cnt").as("total"))
+    val bits = length(bin(col("total"))) - length(bin(col("cnt")))
+    tf.join(counts, "tok")
+      .crossJoin(broadcast(st))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * bits.cast("long")).as("total_bits"))
+      .withColumn("mean_bits",
+        col("total_bits").cast("double") / col("n_toks").cast("double"))
+  }
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.withColumn("pred_lang", langId(c))

@@ -121,4 +121,18 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.bigramLift(df, "text", minCount = 2L, k = 10)
       .collect().map(_.getString(0)).toSeq shouldBe Seq("a b")
   }
+
+  test("unigramSurprisal: hand-computed bit counts, rare tokens score " +
+    "higher, all-integer until the final mean") {
+    import spark.implicits._
+    // corpus counts: a=2, b=2, c=1, total=5 → len(bin(5))=3;
+    // bits(a)=3−2=1, bits(b)=1, bits(c)=3−1=2
+    val d = Seq((1L, "a A b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got shouldBe Array(
+      (1L, 3L, 3L, 1.0), // a,a,b → 1+1+1
+      (2L, 2L, 3L, 1.5)) // b,c → 1+2
+  }
 }
