@@ -739,6 +739,31 @@ object Queries {
             AS top_2gram_char_frac
         FROM top WHERE rn = 1 ORDER BY doc_id""")),
 
+    // ---- T12: C4-style line filters (Raffel et al. 2020 §2.2) ----------
+    // The boilerplate pass before document-level dedup: keep lines that
+    // look like prose, drop emptied pages. The synthetic corpus has no
+    // newlines or terminal punctuation, so the oracle exercises the
+    // line machinery with the punctuation rule relaxed and a 55-word
+    // minimum (docs average ~56 words — a genuine split); the full rule
+    // set (terminal punctuation, markers, multi-line rebuild) is
+    // spec-pinned on constructed fixtures (TextAnalysisSpec).
+    QueryDef("t12_c4_line_filters",
+      (s, dir) => TextAnalysis.c4LineFilters(t(s, dir, "documents"),
+        "doc_id", "text", minWordsPerLine = 55,
+        requireTerminalPunct = false)
+        .orderBy("doc_id"),
+      Some(raw"""WITH lf AS (
+          SELECT doc_id, list_filter(string_split(text, chr(10)),
+            l -> len(list_filter(string_split_regex(l, '\s+'),
+                  x -> x <> '')) >= 55
+              AND NOT contains(lower(l), 'lorem ipsum')
+              AND NOT contains(lower(l), 'javascript')
+              AND NOT contains(l, '{')) AS ls
+          FROM documents)
+        SELECT doc_id, array_to_string(ls, chr(10)) AS text_kept,
+          CAST(len(ls) AS BIGINT) AS n_lines_kept
+        FROM lf WHERE len(ls) > 0 ORDER BY doc_id""")),
+
     // ---- T11: unigram surprisal score (integer-exact LM proxy) ---------
     // CCNet-style corpus bucketing by LM score, in its training-free
     // degenerate form: per-token surprisal = len(bin(N)) − len(bin(cnt))

@@ -206,6 +206,43 @@ object TextAnalysis {
   }
 
   /** Convenience: append all text-analysis columns. */
+  /** C4-style LINE filters (Raffel et al. 2020 §2.2) — the boilerplate
+    * pass every web corpus runs before document-level dedup: pages are
+    * cleaned line by line, keeping only lines that look like prose.
+    * A line survives iff it has ≥ `minWordsPerLine` whitespace words,
+    * (optionally) ends in terminal punctuation (`. ! ? "`, trailing
+    * whitespace ignored — the C4 rule), and contains none of
+    * `dropMarkers` case-insensitively (C4 drops "javascript" lines and
+    * pages with "lorem ipsum" / "{"; marker matching here is per-line,
+    * the stricter direction). Documents whose every line drops are
+    * removed (emptied pages discipline, as d9/d16).
+    *
+    * Map-only: one `split` on newlines + a `filter` HOF of pure string
+    * predicates + `array_join` — fuses into the scan, zero shuffles,
+    * no UDF. Output: (idCol, text_kept, n_lines_kept). */
+  def c4LineFilters(df: DataFrame, idCol: String, textCol: String,
+                    minWordsPerLine: Int = 5,
+                    requireTerminalPunct: Boolean = true,
+                    dropMarkers: Seq[String] =
+                      Seq("lorem ipsum", "javascript", "{"))
+  : DataFrame = {
+    def ok(l: Column): Column = {
+      val words = size(filter(split(l, "\\s+"), w => w =!= ""))
+      val punct =
+        if (requireTerminalPunct) l.rlike("[.!?\"]\\s*$") else lit(true)
+      val clean = dropMarkers.foldLeft(lit(true)) { (acc, m) =>
+        acc && !lower(l).contains(m.toLowerCase)
+      }
+      words >= minWordsPerLine && punct && clean
+    }
+    df.select(col(idCol),
+        filter(split(col(textCol), "\n"), ok _).as("__ls"))
+      .filter(size(col("__ls")) > 0)
+      .select(col(idCol),
+        array_join(col("__ls"), "\n").as("text_kept"),
+        size(col("__ls")).cast("long").as("n_lines_kept"))
+  }
+
   /** Per-document UNIGRAM SURPRISAL score — the integer-exact stand-in
     * for CCNet-style LM-perplexity filtering (Wenzek et al. 2020 bucket
     * corpora by LM score; the unigram model is its degenerate, training-

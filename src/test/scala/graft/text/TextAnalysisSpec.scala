@@ -122,6 +122,33 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq shouldBe Seq("a b")
   }
 
+  test("c4LineFilters: full rule set — word minimum, terminal " +
+    "punctuation, markers, multi-line rebuild, emptied pages drop") {
+    import spark.implicits._
+    val page =
+      "This is a perfectly fine prose sentence with enough words.\n" +
+        "short line.\n" + // < 5 words → drops
+        "Please enable javascript to view the comments powered here.\n" +
+        "Another good long sentence that certainly ends properly!\n" +
+        "this long line has plenty of words but no terminal punct"
+    val d = Seq(
+      (1L, page),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+      (3L, "every { line } here fails the curly brace marker rule."),
+      (4L, "no line survives here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineFilters(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got shouldBe Array((1L,
+      "This is a perfectly fine prose sentence with enough words.\n" +
+        "Another good long sentence that certainly ends properly!", 2L))
+    // relaxed punctuation keeps the last line of page 1 too
+    TextAnalysis.c4LineFilters(d, "doc_id", "text",
+      requireTerminalPunct = false)
+      .filter(col("doc_id") === 1L).head().getLong(2) shouldBe 3L
+  }
+
   test("unigramSurprisal: hand-computed bit counts, rare tokens score " +
     "higher, all-integer until the final mean") {
     import spark.implicits._
