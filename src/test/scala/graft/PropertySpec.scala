@@ -44,6 +44,37 @@ class PropertySpec extends SparkSpec {
     bad.count() shouldBe 0L
   }
 
+  test("BPE invariants on generated vocabularies: segments concatenate " +
+    "back to the word, never cross boundaries, and merge counts are " +
+    "positive and non-increasing") {
+    import graft.vocab.Bpe
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    // space-free lowercase words with duplicates (weights force merges)
+    val w = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val vocab = (0 until 60).flatMap(i => w.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)))
+      .groupBy(identity).map { case (s, xs) => (s, xs.size.toLong + 2L) }
+      .toSeq
+    val df = vocab.toDF("w", "n")
+    val merges = Bpe.learnMerges(df, "w", "n", nMerges = 10)
+    // counts positive; the best pair's count never increases as merges
+    // consume pair mass (not strictly — a merge can create a new pair —
+    // but never above the previous max, which was globally maximal)
+    merges.foreach(_._3 should be > 0L)
+    merges.sliding(2).foreach {
+      case Seq(a, b) => b._3 should be <= a._3
+      case _ =>
+    }
+    // segmentation round-trip: concatenating a word's segments yields
+    // the word, for every vocab word (merges never cross boundaries)
+    val back = df.select(col("w"),
+      concat_ws("", Bpe.segment(col("w"), merges.map(m => (m._1, m._2))))
+        .as("r"))
+      .filter(col("w") =!= col("r"))
+    back.count() shouldBe 0L
+  }
+
   test("syllables ≥ 1 and ≤ word length; total = Σ per-token") {
     val words = sample(word, 300)
     val df = words.toDF("w")

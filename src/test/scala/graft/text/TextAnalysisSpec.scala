@@ -149,6 +149,16 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).head().getLong(2) shouldBe 3L
   }
 
+  test("unigramSurprisal stage reuse: the vocabulary branch resolves " +
+    "to a ReusedExchange of the per-doc tf branch at runtime") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val q = TextAnalysis.unigramSurprisal(d, "doc_id", "text")
+    q.collect() // finalize AQE — the static plan prints both branches
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should include("ReusedExchange")
+  }
+
   test("unigramSurprisal: hand-computed bit counts, rare tokens score " +
     "higher, all-integer until the final mean") {
     import spark.implicits._
