@@ -229,6 +229,41 @@ class StreamsSpec extends SparkSpec {
     streamFilter shouldBe exactBatch
   }
 
+  test("c4 line filters compose onto a stream statelessly: streamed " +
+    "output equals the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    val pages = Seq(
+      (1L, "A good long prose line with enough words to survive here.\n" +
+        "short.\nAnother surviving sentence that ends with a period."),
+      (2L, "no terminal punctuation on this single long line of text"),
+      (3L, "Please enable javascript to read the following comments."))
+    val input = MemoryStream[(Long, String)]
+    input.addData(pages: _*)
+    val q = graft.text.TextAnalysis.c4LineFilters(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("c4_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val got = spark.sql("SELECT doc_id, n_lines_kept FROM c4_out")
+        .collect()
+        .map(r => r.getAs[Number]("doc_id").longValue ->
+          r.getAs[Number]("n_lines_kept").longValue).toMap
+      got shouldBe Map(1L -> 2L) // 2 and 3 empty out entirely
+      val batch = graft.text.TextAnalysis.c4LineFilters(
+        pages.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => r.getAs[Number]("doc_id").longValue ->
+          r.getAs[Number]("n_lines_kept").longValue).toMap
+      got shouldBe batch
+    } finally gracefulStop(q)
+  }
+
   test("stream-stream interval join pairs within the lookback, across " +
     "batches (j5's streaming twin)") {
     import spark.implicits._
