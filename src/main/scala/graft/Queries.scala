@@ -2600,6 +2600,102 @@ object Queries {
             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- Q4: end-to-end training-data pipeline (composition proof) -----
+    // The full pretraining recipe as ONE chained query — clean (C4 line
+    // filters) → exact dedup (NFC keep-first) → decontaminate (vs the
+    // src0 benchmark) → score (unigram surprisal) → mix (source-
+    // weighted token budget) — proving the operators COMPOSE: each
+    // stage consumes the previous stage's frame, and the oracle
+    // re-derives every stage in order, so a divergence anywhere in the
+    // chain flips the hash. Every stage keeps its own scale shape
+    // (map-only filter; one fingerprint groupBy; bloom+digest semi-
+    // join; tf-before-vocab-join aggregate; per-(source, bucket)
+    // cumsum) — composition adds no new shuffles beyond the stages'
+    // own.
+    QueryDef("q4_training_pipeline",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cleaned = TextAnalysis.c4LineFilters(
+            d.filter(col("source") =!= "src0"), "doc_id", "text",
+            minWordsPerLine = 30, requireTerminalPunct = false)
+          .join(d.select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("source"),
+            col("text_kept").as("text"))
+        val deduped = Dedup.dropExactDups(cleaned, "doc_id", "text")
+        val corpus = Dedup.decontaminate(deduped,
+          d.filter(col("source") === "src0"), "doc_id", "text")
+        val scored = TextAnalysis.unigramSurprisal(corpus, "doc_id",
+          "text")
+        val withW = corpus.select("doc_id", "source")
+          .join(scored.select("doc_id", "n_toks", "mean_bits"), "doc_id")
+        Mixture.mix(withW, "doc_id", "source", "n_toks",
+          Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
+          budget = 2000L)
+          .select("doc_id", "source", "n_toks", "mean_bits")
+          .orderBy("doc_id")
+      },
+      Some {
+        val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
+          ELSE list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
+        raw"""WITH cleaned AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE source <> 'src0'
+            AND len(${toksSql("text")}) >= 30),
+        dd AS (
+          SELECT doc_id, source, text FROM cleaned
+          QUALIFY row_number() OVER (
+            PARTITION BY md5(regexp_replace(
+              trim(lower(nfc_normalize(text))), '\s+', ' ', 'g'))
+            ORDER BY doc_id) = 1),
+        bt AS (
+          SELECT ${toksSql("lower(nfc_normalize(text))")} AS toks
+          FROM documents WHERE source = 'src0'),
+        bench AS (
+          SELECT DISTINCT substr(md5(unnest($five)), 1, 16) AS bd
+          FROM bt),
+        ct AS (
+          SELECT doc_id, ${toksSql("lower(nfc_normalize(text))")} AS toks
+          FROM dd),
+        corpsh AS (
+          SELECT doc_id, substr(md5(unnest($five)), 1, 16) AS bd
+          FROM ct),
+        bad AS (
+          SELECT DISTINCT c.doc_id FROM corpsh c JOIN bench b USING (bd)),
+        corpus AS (
+          SELECT * FROM dd
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        tk AS (
+          SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+          FROM corpus),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+          FROM tk GROUP BY doc_id, tok),
+        counts AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+          FROM tf GROUP BY tok),
+        st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        sc AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+            CAST(CAST(sum(tf * (length(bin(total)) - length(bin(cnt))))
+                AS BIGINT) AS DOUBLE)
+              / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS mean_bits
+          FROM tf JOIN counts USING (tok) CROSS JOIN st
+          GROUP BY doc_id),
+        mixin AS (
+          SELECT c.doc_id, c.source, sc.n_toks, sc.mean_bits,
+            sum(sc.n_toks) OVER (PARTITION BY c.source
+              ORDER BY md5(CAST(c.doc_id AS VARCHAR)), c.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM corpus c JOIN sc USING (doc_id)
+          WHERE c.source IN ('src1', 'src2', 'src3')),
+        budgets(source, b) AS (VALUES
+          ('src1', 1000), ('src2', 600), ('src3', 400))
+        SELECT doc_id, source, n_toks, mean_bits
+        FROM mixin JOIN budgets USING (source)
+        WHERE cum - n_toks < b
+        ORDER BY doc_id"""
+      }),
+
     // ---- M9: MinHash estimator quality ---------------------------------
     // The estimate the MinHash theory promises, emitted as data: for
     // every LSH candidate pair, est_jaccard = (# agreeing signature
