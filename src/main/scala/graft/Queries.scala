@@ -764,6 +764,28 @@ object Queries {
           CAST(len(ls) AS BIGINT) AS n_lines_kept
         FROM lf WHERE len(ls) > 0 ORDER BY doc_id""")),
 
+    // ---- T13: wordlist (blocklist) filter ------------------------------
+    // Corpus hygiene against a keyword list (the C4 "bad words" pass):
+    // per-doc flagged-token fraction, thresholded with EXACT integer
+    // arithmetic (n_flagged·1000 ≤ maxPerMille·n_toks — the cut never
+    // moves with float rounding). Blocklist folds into the plan as a
+    // literal array; map-only + one per-doc aggregate.
+    QueryDef("t13_blocklist_filter",
+      (s, dir) => TextAnalysis.dropFlagged(t(s, dir, "documents"),
+        "doc_id", "text", Seq("table", "key"), maxPerMille = 60L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS (
+          SELECT doc_id, count(*) AS n,
+            sum(CASE WHEN tok IN ('table', 'key') THEN 1 ELSE 0 END) AS fl
+          FROM (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+            FROM documents)
+          GROUP BY doc_id)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        WHERE f.doc_id IS NULL OR f.fl * 1000 <= 60 * f.n
+        ORDER BY d.doc_id""")),
+
     // ---- T11: unigram surprisal score (integer-exact LM proxy) ---------
     // CCNet-style corpus bucketing by LM score, in its training-free
     // degenerate form: per-token surprisal = len(bin(N)) − len(bin(cnt))

@@ -206,6 +206,43 @@ object TextAnalysis {
   }
 
   /** Convenience: append all text-analysis columns. */
+  /** Per-document flagged-token stats against a WORDLIST — the
+    * blocklist pass of corpus hygiene (toxicity / NSFW / spam keyword
+    * lists à la the C4 "bad words" filter): (idCol, n_toks, n_flagged,
+    * flagged_frac) where tokens are lowercased whitespace words and a
+    * token is flagged iff it equals a (lowercased) blocklist entry.
+    * Map-only + one per-doc aggregate; the blocklist folds into the
+    * plan as a literal array (wordlists are thousands of entries —
+    * well inside literal comfort; beyond ~10⁵ switch to a broadcast
+    * join on the token). Docs with zero tokens are absent (no rows to
+    * aggregate), matching the oracle's GROUP BY. */
+  def flaggedTokenStats(df: DataFrame, idCol: String, textCol: String,
+                        blocklist: Seq[String]): DataFrame = {
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val toks = CaptionStats.tokens(lower(col(textCol)))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_toks"),
+        size(filter(toks, t => array_contains(bl, t))).cast("long")
+          .as("n_flagged"))
+      .filter(col("n_toks") > 0)
+      .withColumn("flagged_frac",
+        col("n_flagged").cast("double") / col("n_toks").cast("double"))
+  }
+
+  /** Keep documents whose flagged-token fraction is ≤
+    * `maxPerMille`/1000 — the threshold compares EXACT integers
+    * (`n_flagged·1000 ≤ maxPerMille·n_toks`), so the cut never moves
+    * with float rounding. Zero-token docs are kept (nothing flagged —
+    * the d8 "cannot be contaminated" direction). */
+  def dropFlagged(df: DataFrame, idCol: String, textCol: String,
+                  blocklist: Seq[String], maxPerMille: Long): DataFrame = {
+    val bad = flaggedTokenStats(df, idCol, textCol, blocklist)
+      .filter(col("n_flagged") * lit(1000L) >
+        lit(maxPerMille) * col("n_toks"))
+      .select(col(idCol))
+    df.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** C4-style LINE filters (Raffel et al. 2020 §2.2) — the boilerplate
     * pass every web corpus runs before document-level dedup: pages are
     * cleaned line by line, keeping only lines that look like prose.

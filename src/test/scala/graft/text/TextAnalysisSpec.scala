@@ -122,6 +122,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq shouldBe Seq("a b")
   }
 
+  test("blocklist filter: exact per-mille threshold, case-insensitive " +
+    "matching, zero-token docs kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "BAD bad ok ok ok ok ok ok ok ok"), // 2/10 = 200‰
+      (2L, "bad ok ok ok ok ok ok ok ok ok"),  // 1/10 = 100‰
+      (3L, "clean text with nothing wrong"),
+      (4L, "   ")                              // zero tokens → kept
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.flaggedTokenStats(d, "doc_id", "text",
+      Seq("BAD")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    stats shouldBe Array((1L, 10L, 2L), (2L, 10L, 1L), (3L, 5L, 0L))
+    // threshold exactly at 100‰: doc 2 (exactly at) kept, doc 1 dropped
+    TextAnalysis.dropFlagged(d, "doc_id", "text", Seq("BAD"),
+      maxPerMille = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 3L, 4L)
+  }
+
   test("c4LineFilters: full rule set — word minimum, terminal " +
     "punctuation, markers, multi-line rebuild, emptied pages drop") {
     import spark.implicits._
