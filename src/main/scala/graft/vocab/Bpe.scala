@@ -113,4 +113,42 @@ object Bpe {
     split(trim(merges.foldLeft(spaced(word)) { case (acc, (a, b)) =>
       replace(acc, lit(s" $a $b "), lit(s" $a$b "))
     }), " ")
+
+  /** The scalar greedy merge application [[segment]] encodes as column
+    * replaces — one pass per rule, leftmost-first non-overlapping.
+    * Shared by [[segmentWords]] and the parity spec. */
+  private[vocab] def applyMerges(word: String,
+                                 merges: Seq[(String, String)])
+  : Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      if (syms.length >= 2) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** Segment a (word → symbol-array) DataFrame column with a LARGE
+    * merge table: the rules ship once per executor as a broadcast and
+    * apply in a scalar loop per row — the path [[segment]]'s scaladoc
+    * promises beyond ~1k rules, where a literal-fold would compile a
+    * rule-table-deep expression (codegen blowup, 64KB method limits).
+    * Same greedy leftmost-first semantics (spec-proven equal to
+    * [[segment]] on generated vocabularies). Returns `df` plus
+    * `outCol: array<string>`. */
+  def segmentWords(df: DataFrame, wordCol: String, outCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toVector)
+    val seg = udf((w: String) =>
+      if (w == null) null else applyMerges(w, bc.value))
+    df.withColumn(outCol, seg(col(wordCol)))
+  }
 }

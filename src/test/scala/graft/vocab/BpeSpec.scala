@@ -53,6 +53,30 @@ class BpeSpec extends SparkSpec {
       ("aa", "a", 1L))
   }
 
+  test("segmentWords (broadcast scalar path) equals the literal-fold " +
+    "segment on the fixture and on generated vocabularies") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val merges8 = Bpe.learnMerges(fixture, "w", "n", 8)
+      .map(m => (m._1, m._2))
+    val both = fixture
+      .select(col("w"), Bpe.segment(col("w"), merges8).as("a"))
+    val withB = Bpe.segmentWords(both, "w", "b", merges8)
+    withB.filter(col("a") =!= col("b")).count() shouldBe 0L
+    // generated: 40 random lowercase words, rules learned from them
+    val w = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val vocab = (0 until 40).flatMap(i => w.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(100 + i.toLong)))
+      .groupBy(identity).map { case (s, xs) => (s, xs.size.toLong + 1L) }
+      .toSeq.toDF("w", "n")
+    val m2 = Bpe.learnMerges(vocab, "w", "n", 6).map(m => (m._1, m._2))
+    val cmp = Bpe.segmentWords(
+      vocab.select(col("w"), Bpe.segment(col("w"), m2).as("a")),
+      "w", "b", m2)
+    cmp.filter(col("a") =!= col("b")).count() shouldBe 0L
+  }
+
   test("single-char and empty-ish words never pair; merge exhaustion " +
     "stops early; caches are released") {
     import spark.implicits._
