@@ -3181,6 +3181,49 @@ object Queries {
         ORDER BY id_a, id_b"""
       }),
 
+    // ---- D19: whole-corpus image near-dedup, keep-first ----------------
+    // The drop complement of d14 (text has d6's dropNearDups; this is
+    // the payload side): every vector a verified Hamming pair ranks
+    // second drops, keep-first greedy. Same sign-hash fingerprint and
+    // band/cap machinery as d14.
+    QueryDef("d19_image_dedup",
+      (s, dir) => {
+        val hash = (0 until 64).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+        Dedup.dropImageNearDups(
+          t(s, dir, "embeddings").select(col("vec_id"), hash.as("phash")),
+          "vec_id", "phash", maxHamming = 24)
+          .select("vec_id")
+          .orderBy("vec_id")
+      },
+      Some {
+        def band(k: Int) = (0 until 16).map(j =>
+          s"(CASE WHEN embedding[${16 * k + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        val bandCands = (0 until 4).map { k =>
+          s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM h x JOIN h y ON x.b$k = y.b$k AND x.vec_id < y.vec_id
+          WHERE x.b$k IN (SELECT b$k FROM h GROUP BY b$k
+            HAVING count(*) <= 10000)"""
+        }.mkString(" UNION ")
+        s"""WITH h AS (
+          SELECT vec_id,
+            ${(0 until 4).map(k => s"${band(k)} AS b$k").mkString(", ")},
+            b0 + b1 * 65536::BIGINT + b2 * 4294967296::BIGINT +
+              (CASE WHEN b3 >= 32768 THEN b3 - 65536 ELSE b3 END)
+                * 281474976710656::BIGINT AS ph
+          FROM embeddings),
+        cand AS ($bandCands),
+        losers AS (
+          SELECT DISTINCT id_b FROM cand
+          JOIN h hx ON hx.vec_id = id_a JOIN h hy ON hy.vec_id = id_b
+          WHERE bit_count(xor(hx.ph, hy.ph)) <= 24)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id_b FROM losers)
+        ORDER BY vec_id"""
+      }),
+
     // ---- D15: incremental dedup against a persisted signature store ----
     // The production shape at 100 TB: nobody re-deduplicates the whole
     // corpus per crawl — the already-ingested side is materialized ONCE

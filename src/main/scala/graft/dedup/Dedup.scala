@@ -994,6 +994,21 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Whole-corpus image near-dedup, keep-first: drops every row a
+    * verified [[imageNearDupPairs]] pair ranks second (`id_b`) — the
+    * d6 greedy policy on the payload side. For transitive-chain
+    * semantics compose [[componentLabels]] over the pair frame instead
+    * (it is generic over (id_a, id_b) frames), keeping each
+    * component's min label — the d7 policy. */
+  def dropImageNearDups(df: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 10,
+                        maxBucket: Int = 10000): DataFrame = {
+    val losers = imageNearDupPairs(df, idCol, hashCol, maxHamming,
+      maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Recall-loss report for the image Hamming-band bucket cap: ONE row
     * (dropped_groups, dropped_members) counting the buckets
     * [[imageNearDupPairs]] skips at the same `maxBucket`. Map-only

@@ -184,6 +184,30 @@ class PerceptualHashSpec extends SparkSpec {
       maxBucket = 5).count() shouldBe 0L
   }
 
+  test("dropImageNearDups keeps first per pair; componentLabels " +
+    "composes over image pairs for transitive chains") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // chain: 1~2 (Hamming 1), 2~3 (Hamming 1), but 1~3 at Hamming 2 —
+    // with maxHamming = 1 the greedy pass sees pairs (1,2) and (2,3)
+    val base = 0x0123456789abcdefL
+    val hashes = Seq(1L -> base, 2L -> (base ^ 1L), 3L -> (base ^ 3L),
+      9L -> ~base).toDF("id", "ph")
+    val pairs = Dedup.imageNearDupPairs(hashes, "id", "ph",
+      maxHamming = 1)
+    pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 2L), (2L, 3L))
+    // greedy: 2 and 3 both appear as id_b → only 1 and 9 survive
+    Dedup.dropImageNearDups(hashes, "id", "ph", maxHamming = 1)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 9L)
+    // CC over the same pair frame: {1,2,3} one component labeled 1
+    Dedup.componentLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
   test("imageNearDupPairsFromBytes: end-to-end over binary payloads, " +
     "undecodable payloads never pair") {
     def enc(i: BufferedImage): Array[Byte] = {
