@@ -66,6 +66,36 @@ class QueriesEdgeSpec extends SparkSpec {
     all(out.values) should be > 0.0
   }
 
+  test("round-13 text queries: null-text docs behave per contract — " +
+    "t12/t11 drop them, t13 keeps them (nothing flagged), m12 ignores " +
+    "them") {
+    import spark.implicits._
+    val long = Seq.fill(60)("w").mkString(" ") // 60 tokens ≥ t12's 55
+    val docs = Seq(
+      (1L, long, "s1", "en", long.length.toLong),
+      (2L, null: String, "s1", "en", 0L),
+      (3L, "a b c", "s1", "en", 5L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val dir = Files.createTempDirectory("r13edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // t12: doc 1 survives the 55-word minimum; 3 is short; null drops
+    SparkEntry.queries("t12_c4_line_filters")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // t11: null-text doc contributes no tokens and emits no row
+    val t11 = SparkEntry.queries("t11_unigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t11.keySet shouldBe Set(1L, 3L)
+    t11(1L) shouldBe 60L
+    // t13: nothing flagged anywhere — null-text doc KEPT (the d8
+    // cannot-be-contaminated direction)
+    SparkEntry.queries("t13_blocklist_filter")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    // m12: learns from the [a-z]+ words only, null text ignored
+    val m12 = SparkEntry.queries("m12_bpe_tokens")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    m12.values.sum shouldBe 63L // 60 w's + a + b + c, all as merged toks
+  }
+
   test("x10: a null source row flows through NFC normalization as a " +
     "null group, not a crash") {
     import spark.implicits._
