@@ -30,7 +30,15 @@ import graft.operators.Joins
   *    textually in the oracle SQL;
   *  - md5 is the only hash family (identical everywhere);
   *  - the oracle SQL strings are *generated from the same fragment
-  *    builders* as far as practical, so semantics can't drift.
+  *    builders* as far as practical, so semantics can't drift;
+  *  - integer log2 via `length(bin(x))` when a logarithm is needed
+  *    (t11/q4) — libm log differs in the last ulp across engines;
+  *  - iterative-algorithm oracles (m12) write every chained CTE stage
+  *    `AS MATERIALIZED`: a stage referenced more than once (data +
+  *    scalar subqueries) otherwise inlines ~3^n ways and hangs the
+  *    optimizer;
+  *  - DuckDB `sum(BIGINT)` is HUGEINT — always CAST back to BIGINT
+  *    before it reaches the output (or a comparison operand).
   */
 object Queries {
 
