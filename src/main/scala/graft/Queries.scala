@@ -2181,6 +2181,34 @@ object Queries {
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
+    // ---- K8: JSONL sink/source roundtrip -------------------------------
+    // The standard training-data interchange format (one JSON object
+    // per line — what tokenizer/trainer tooling ingests). Write text +
+    // metadata as JSONL, read it back via schema inference, aggregate;
+    // hash equality with the parquet-side oracle proves the roundtrip
+    // lossless including the text payload (length sum over the text
+    // column catches any mangling). JSONL is line-delimited → the read
+    // is split-parallel like any text scan.
+    QueryDef("k8_jsonl_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}/jsonl"
+        t(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .write.mode("overwrite").json(out)
+        s.read.json(out)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
     // ---- W5: lag / cume_dist / ntile window ----------------------------
     // The remaining analytic-window family: per-customer order history
     // with the previous-order delta (lag), running distribution position
