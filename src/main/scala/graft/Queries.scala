@@ -1279,6 +1279,50 @@ object Queries {
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
       }),
 
+    // ---- N8: IVF top-k against a PERSISTED index -----------------------
+    // The ANN serving shape: assignment runs once at build time, the
+    // index lands hive-partitioned by cell, and a probe-limited query
+    // reads ONLY the probed cell directories (driver-chosen literal
+    // `cid IN (...)` → planning-time partition pruning; AnnSpec proves
+    // it via the scan's selectedPartitions). Centroid derivation is
+    // deterministic, so the oracle is n3's SQL verbatim — two
+    // implementations (recompute vs index), one oracle.
+    QueryDef("n8_ivf_index_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/ivfindex"
+        Ann.writeIvfIndex(e, "vec_id", "embedding", nCentroids = 8, out)
+        Ann.ivfTopKFromIndex(s, out, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
+          .orderBy(desc("cos_sim"), col("vec_id"))
+      },
+      Some {
+        val assignCos = cosineSql("e.embedding", "c.ce")
+        val probeCos = cosineSql("q.qe", "c.ce")
+        val finalCos = cosineSql("a.embedding", "q.qe")
+        s"""WITH cent AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $assignCos DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid, $probeCos AS cs FROM cent c, q
+            ORDER BY cs DESC, c.cid LIMIT 2)),
+        res AS (
+          SELECT a.vec_id, round($finalCos, 4) AS cos_sim
+          FROM assign a JOIN probes USING (cid), q)
+        SELECT vec_id, cos_sim FROM res
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+      }),
+
     // ---- W1: tumbling-window aggregation over events ----------------
     QueryDef("w1_event_window",
       (s, dir) => events(s, dir)

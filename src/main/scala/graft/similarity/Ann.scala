@@ -211,6 +211,49 @@ object Ann {
       .limit(k)
   }
 
+  /** Persist an IVF INDEX: the corpus assigned to centroid cells and
+    * written hive-partitioned BY `cid`, plus the (tiny) centroid table —
+    * the ANN serving shape at scale. Assignment (the expensive
+    * one-dot-per-(row × centroid) pass) runs ONCE at build time; a
+    * probe-limited query then reads ONLY the probed cell directories
+    * (planning-time partition pruning, the k7 machinery applied to
+    * vector search — plan-proven in AnnSpec). Centroid derivation is
+    * deterministic ([[ivfCentroids]]), so index results are exactly
+    * [[ivfTopK]]'s at the same parameters (shared oracle, n8 vs n3). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, path: String): Unit = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssignTo(corpus, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/cells")
+  }
+
+  /** IVF top-k against a [[writeIvfIndex]] index: centroids load once
+    * (kilobytes), the probe cells are chosen DRIVER-SIDE so the cell
+    * filter is a literal `cid IN (...)` — the precondition for
+    * planning-time directory pruning (a join-based probe would read
+    * every cell and prune at runtime, if at all). The probed cells are
+    * then brute-forced against the broadcast query. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String, vecCol: String,
+                       query: DataFrame, queryVecCol: String,
+                       k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = broadcast(query.select(col(queryVecCol).as("__q")))
+    val probeCids = q.crossJoin(centroids)
+      .withColumn("__cs", cosine(col("__q"), col("__ce")))
+      .orderBy(desc("__cs"), col("cid")).limit(nProbe)
+      .select("cid").collect().map(_.get(0))
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(probeCids: _*))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic dedup by
     * clustering embeddings FIRST and searching for duplicates only

@@ -126,6 +126,30 @@ class AnnSpec extends SparkSpec {
     assigned.select("cid").distinct().count() should be <= 8L
   }
 
+  test("persisted IVF index: results equal the recompute path, and the " +
+    "probe query reads ONLY the probed cell directories") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+    val path = "/tmp/graft_sinks/spec/ivfindex"
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", nCentroids = 8, path)
+    val fromIndex = Ann.ivfTopKFromIndex(spark, path, "vec_id",
+      "embedding", q, "embedding", k = 10, nProbe = 2)
+    val recompute = Ann.ivfTopK(emb, "vec_id", "embedding", q,
+      "embedding", k = 10, nCentroids = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    fromIndex.collect().map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+      recompute
+    // planning-time pruning: the cells scan selects exactly the nProbe
+    // probed cid=… directories (literal IN filter, the k7 property)
+    val scan = fromIndex.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("cells")) => f
+    }.get
+    scan.selectedPartitions.partitionCount shouldBe 2
+    fromIndex.queryExecution.sparkPlan.toString should
+      include("PartitionFilters")
+  }
+
   test("quantized rerank: equals brute force when candidates cover the " +
     "corpus; subset of its scores otherwise") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
