@@ -794,6 +794,60 @@ object Queries {
         WHERE f.doc_id IS NULL OR f.fl * 1000 <= 60 * f.n
         ORDER BY d.doc_id""")),
 
+    // ---- T14: Gopher quality composite (Rae et al. 2021 §A1.1) --------
+    // The MassiveText FORMAT filter next to t7/t10's repetition pass and
+    // t12's line pass: word-count and mean-word-length bounds, symbol-
+    // to-word ratio (# and ...), bullet/ellipsis line fractions, alpha-
+    // word fraction, stopword anchors. Every signal is an exact integer
+    // and every threshold a cross-multiplied integer compare (t13's
+    // discipline) — the keep bit cannot move with float rounding.
+    // Map-only: fuses into the scan at 100 TB. Fixture thresholds
+    // minWords=20/minStopHits=1 split the synthetic corpus both ways;
+    // production defaults (50/2) are the paper's.
+    QueryDef("t14_gopher_quality",
+      (s, dir) => TextAnalysis.gopherQualitySignals(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("keep",
+          TextAnalysis.gopherKeep(minWords = 20L, minStopHits = 1L)
+            .cast("long"))
+        .orderBy("doc_id"),
+      Some {
+        val stops = sqlList(TextAnalysis.gopherStopwords)
+        raw"""WITH m AS (
+          SELECT doc_id, ${toksSql("text")} AS toks,
+            string_split(text, chr(10)) AS ls, text
+          FROM documents),
+        sg AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(toks,
+              t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(ls, l ->
+              regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+              AS n_bullet_lines,
+            CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+              OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+            CAST(length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+              AS n_symbols,
+            CAST(len(list_filter(toks, t ->
+              regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+            CAST(len(list_filter([$stops], w ->
+              list_contains(list_transform(toks, t -> lower(t)), w)))
+              AS BIGINT) AS n_stop_hits
+          FROM m)
+        SELECT *, CAST(CASE WHEN n_words >= 20 AND n_words <= 100000
+            AND 3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM sg ORDER BY doc_id"""
+      }),
+
     // ---- T11: unigram surprisal score (integer-exact LM proxy) ---------
     // CCNet-style corpus bucketing by LM score, in its training-free
     // degenerate form: per-token surprisal = len(bin(N)) − len(bin(cnt))

@@ -315,6 +315,98 @@ object TextAnalysis {
         col("total_bits").cast("double") / col("n_toks").cast("double"))
   }
 
+  /** The Gopher stopword-anchor set (Rae et al. 2021 §A1.1): a document
+    * must contain at least `minStopHits` DISTINCT members to pass the
+    * "contains common English words" rule. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher / MassiveText document-quality signals (Rae et al. 2021
+    * §A1.1) — the composite FORMAT filter that runs alongside the
+    * repetition pass ([[repetitionSignals]]) and the line-level C4 pass
+    * ([[c4LineFilters]]): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#` and `...`), bullet-started and
+    * ellipsis-ended line fractions, fraction of words with an alphabetic
+    * character, and the stopword-presence rule.
+    *
+    * Every signal is an exact INTEGER (counts and sums — no ratio is ever
+    * materialized as a float), and every threshold in
+    * [[gopherKeep]]/[[gopherDropLowQuality]] compares cross-multiplied
+    * integers (`10·n_symbols ≤ n_words`), so the cut is bit-identical in
+    * any engine — the same discipline as t13's per-mille compare.
+    *
+    * Scale shape: pure column expressions over one row — map-only, fuses
+    * into the scan, zero shuffles, no UDF; at 100 TB this is scan-speed.
+    * Output: (idCol, n_words, sum_word_len, n_lines, n_bullet_lines,
+    * n_ellipsis_lines, n_symbols, n_alpha_words, n_stop_hits) — all long. */
+  /** The nine signal expressions over one text column, named — shared by
+    * the signal projection and the filter form so the two can never
+    * drift. */
+  private def gopherSignalExprs(c: Column): Seq[(String, Column)] = {
+    val toks = CaptionStats.tokens(c)
+    val lines = split(c, "\n")
+    val nHash = length(c) - length(regexp_replace(c, "#", ""))
+    val nDots = size(regexp_extract_all(c, lit("\\.\\.\\."), lit(0)))
+    val stopArr = array(gopherStopwords.map(lit): _*)
+    val lowToks = transform(toks, t => lower(t))
+    Seq(
+      "n_words" -> size(toks).cast("long"),
+      "sum_word_len" ->
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")),
+      "n_lines" -> size(lines).cast("long"),
+      "n_bullet_lines" ->
+        size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("long"),
+      "n_ellipsis_lines" ->
+        size(filter(lines, l => rtrim(l).endsWith("...") ||
+          rtrim(l).endsWith("…"))).cast("long"),
+      "n_symbols" -> (nHash + nDots).cast("long"),
+      "n_alpha_words" ->
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"),
+      "n_stop_hits" ->
+        size(filter(stopArr, w => array_contains(lowToks, w))).cast("long"))
+  }
+
+  def gopherQualitySignals(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    df.select(col(idCol) +:
+      gopherSignalExprs(col(textCol)).map { case (n, e) => e.as(n) }: _*)
+
+  /** The Gopher keep-predicate over named signal expressions — exact
+    * cross-multiplied integer comparisons of the paper's published
+    * thresholds: words in [minWords, maxWords], mean word length in
+    * [3, 10], symbol-to-word ratio ≤ 1/10, bullet lines ≤ 1/10,
+    * ellipsis lines ≤ 3/10, alphabetic words ≥ 4/5, ≥ `minStopHits`
+    * distinct stopword anchors. */
+  private def gopherKeepOver(sig: Map[String, Column], minWords: Long,
+                             maxWords: Long, minStopHits: Long): Column =
+    sig("n_words") >= minWords && sig("n_words") <= maxWords &&
+      lit(3L) * sig("n_words") <= sig("sum_word_len") &&
+      sig("sum_word_len") <= lit(10L) * sig("n_words") &&
+      lit(10L) * sig("n_symbols") <= sig("n_words") &&
+      lit(10L) * sig("n_bullet_lines") <= sig("n_lines") &&
+      lit(10L) * sig("n_ellipsis_lines") <= lit(3L) * sig("n_lines") &&
+      lit(5L) * sig("n_alpha_words") >= lit(4L) * sig("n_words") &&
+      sig("n_stop_hits") >= minStopHits
+
+  /** [[gopherKeepOver]] against the OUTPUT COLUMNS of
+    * [[gopherQualitySignals]] — for filtering an already-materialized
+    * signal table. */
+  def gopherKeep(minWords: Long = 50L, maxWords: Long = 100000L,
+                 minStopHits: Long = 2L): Column =
+    gopherKeepOver(
+      gopherSignalExprs(lit("")).map { case (n, _) => n -> col(n) }.toMap,
+      minWords, maxWords, minStopHits)
+
+  /** Keep only documents passing the Gopher rules — the filter form
+    * (t13's `dropFlagged` shape but with NO join: the signals are pure
+    * per-row expressions, so the predicate inlines them and fuses into
+    * the scan — map-only, zero shuffles). */
+  def gopherDropLowQuality(df: DataFrame, textCol: String,
+                           minWords: Long = 50L, maxWords: Long = 100000L,
+                           minStopHits: Long = 2L): DataFrame =
+    df.filter(gopherKeepOver(gopherSignalExprs(col(textCol)).toMap,
+      minWords, maxWords, minStopHits))
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.withColumn("pred_lang", langId(c))

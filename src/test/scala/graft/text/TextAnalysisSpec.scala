@@ -192,4 +192,63 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 3L, 3L, 1.0), // a,a,b → 1+1+1
       (2L, 2L, 3L, 1.5)) // b,c → 1+2
   }
+
+  test("gopherQualitySignals: hand-computed counts incl. bullet/ellipsis " +
+    "lines, #/... symbols, unicode ellipsis, empty text") {
+    import spark.implicits._
+    val d = Seq(
+      // 3 lines: bullet-start (after indent), ellipsis-end (with trailing
+      // ws), unicode-ellipsis end; symbols: 2 '#' + "....." counts ONE
+      // non-overlapping "..." (both engines scan left-to-right)
+      (1L, "  - bullet item\nto be continued...  \nwait…"),
+      (2L, "the cat #1 ##..... sat"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualitySignals(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: toks = [-,bullet,item,to,be,continued...,wait…] = 7 words,
+    // lens 1+6+4+2+2+12+5 = 32; 1 bullet line, 2 ellipsis lines (ascii +
+    // unicode), 1 "..." symbol; 6 alpha words; stop hits {to,be} = 2
+    r(0).toSeq shouldBe Seq(1L, 7L, 32L, 3L, 1L, 2L, 1L, 6L, 2L)
+    // doc 2: 5 words, sum_len 18, 1 line, symbols 4 (#1→1, ##→2,
+    // .....→ONE non-overlapping "..."), alpha words {the,cat,sat} = 3
+    r(1).toSeq shouldBe Seq(2L, 5L, 18L, 1L, 0L, 0L, 4L, 3L, 1L)
+    // empty text: split("\n") yields [""] → 1 line, zero words
+    r(2).toSeq shouldBe Seq(3L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L)
+  }
+
+  test("gopher keep: each rule flips the bit independently, exact " +
+    "integer thresholds") {
+    import spark.implicits._
+    val goodWords = (Seq("the", "of", "and") ++
+      Seq.fill(27)("word")).mkString(" ") // 30 words, mean len 3.6, ok
+    val d = Seq(
+      (1L, goodWords),                            // passes all at 20/1
+      (2L, "the of and word"),                    // too few words
+      (3L, (Seq("the", "of") ++ Seq.fill(28)("a")).mkString(" ")), // mean<3
+      (4L, (Seq("the") ++ Seq.fill(29)("###")).mkString(" ")), // symbols+alpha
+      (5L, goodWords.replace("the", "zzz").replace("of", "qqq")
+        .replace("and", "vvv"))                   // no stopword anchor
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.gopherDropLowQuality(d, "text",
+      minWords = 20L, minStopHits = 1L)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L)
+    // boundary exactness: 31 words, 3 symbols → 10*3 ≤ 31 keeps; 4 drops
+    val b = Seq(
+      (10L, (Seq("the") ++ Seq.fill(26)("word") ++ Seq.fill(3)("#"))
+        .mkString(" ") + " end"),
+      (11L, (Seq("the") ++ Seq.fill(25)("word") ++ Seq.fill(4)("#"))
+        .mkString(" ") + " end")).toDF("doc_id", "text")
+    TextAnalysis.gopherQualitySignals(b, "doc_id", "text")
+      .withColumn("k", TextAnalysis.gopherKeep(20L, 100000L, 1L))
+      .orderBy("doc_id").select("k").as[Boolean].collect() shouldBe
+      Array(true, false)
+  }
+
+  test("gopherDropLowQuality is map-only: no Exchange in the plan") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = TextAnalysis.gopherDropLowQuality(d, "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
 }
