@@ -3688,6 +3688,49 @@ object Queries {
           min(doc_id) AS keep_id, count(*) AS n_variants
         FROM raw GROUP BY 1 ORDER BY term_nfc""")),
 
+    // ---- X11: HTML boilerplate strip ----------------------------------
+    // TextFunctions.stripHtml over markup derived from doc columns (the
+    // corpus is plain text, so — as x10 does — the query synthesizes the
+    // HTML identically in both engines, then each strips it with its own
+    // regex engine): script/style/comment blocks drop whole, tags strip,
+    // entities unescape once (&amp; last), whitespace collapses. Every
+    // pattern is shared Java-regex/RE2 syntax with no backreferences —
+    // the hash match proves the chain is portable across the two regex
+    // implementations. Map-only; fuses into the scan at 100 TB.
+    QueryDef("x11_html_strip",
+      (s, dir) => {
+        val html = concat(
+          lit("<div class=\"doc\"><p id=\""), col("source"), lit("\">"),
+          col("text"),
+          lit(" &amp;lt; tail &#39;q&#39;&nbsp;end</p>"),
+          lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
+          lit("<!-- hidden --><style>p { color: red }</style></div>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.stripHtml(html).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH h AS (
+          SELECT doc_id,
+            '<div class="doc"><p id="' || source || '">' || text ||
+            ' &amp;lt; tail &#39;q&#39;&nbsp;end</p>' ||
+            '<script type="text/javascript">var x = 1 < 2;</script>' ||
+            '<!-- hidden --><style>p { color: red }</style></div>' AS html
+          FROM documents)
+        SELECT doc_id, trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+            '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean
+        FROM h ORDER BY doc_id""")),
+
     // ---- DQ1: per-column data-quality profile --------------------------
     // The deequ-style pre-training sanity check: one row per column with
     // row/non-null/distinct counts and min/max (stringified for a

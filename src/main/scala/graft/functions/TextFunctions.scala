@@ -44,4 +44,32 @@ object TextFunctions {
   /** X9: image filename pattern `wikicaps_{id}.{fmt}` (`utils.py:83`). */
   def imageFileName(id: Column, fmt: String): Column =
     format_string(s"wikicaps_%d.$fmt", id)
+
+  /** X11: HTML → prose, the boilerplate-strip step every web corpus runs
+    * before the text filters (t12/t14 expect prose, not markup):
+    * drop `<script>`/`<style>` blocks and comments whole, strip remaining
+    * tags, unescape the five XML entities plus `&#39;`/`&nbsp;`, collapse
+    * whitespace.
+    *
+    * Deliberately regex-only (no DOM): every pattern is shared Java-regex/
+    * RE2 syntax — `(?is)` inline flags and lazy quantifiers, NO
+    * backreferences (RE2 has none, so script and style get separate
+    * patterns) — making the chain oracle-portable. Entity unescape order
+    * matters: `&amp;` is LAST, so `&amp;lt;` unescapes exactly once to
+    * the literal text `&lt;` (the HTML5 double-escape rule). Tags become
+    * spaces (block boundaries keep words apart), then `\s+` collapses.
+    * Map-only codegen'd replaces — fuses into the scan at 100 TB. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noCmt = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noCmt, "(?s)<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) =>
+        replace(acc, lit(k), lit(v))
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
 }
