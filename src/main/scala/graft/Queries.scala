@@ -3358,6 +3358,46 @@ object Queries {
         ORDER BY vec_id"""
       }),
 
+    // ---- D20: near-dedup, quality-representative policy ----------------
+    // d7's connected components but the survivor per component is the
+    // BEST member, not the first: here the longest doc (n_chars — an
+    // exact integer, so the argmax never moves with float rounding;
+    // any orderable score column plugs in, e.g. t2's quality). The
+    // representative is a min-struct aggregate min(struct(−score, id))
+    // — d9's first-occurrence discipline, no Window — over the member
+    // set only (docs in ≥1 verified pair), never the corpus. The oracle
+    // re-derives the same graph via d6/d7's shared CTE chain and picks
+    // representatives with row_number, proving aggregate ≡ window.
+    QueryDef("d20_keep_best_dedup",
+      (s, dir) => Dedup.dropNearDupsKeepBest(
+        t(s, dir, "documents"), "doc_id", "text", "n_chars",
+        threshold = 0.5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $lshVerifiedCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        members AS (
+          SELECT l.id, l.lbl, d.n_chars AS score
+          FROM labels l JOIN documents d ON d.doc_id = l.id),
+        reps AS (
+          SELECT id FROM (
+            SELECT id, row_number() OVER (PARTITION BY lbl
+              ORDER BY score DESC, id) AS rn
+            FROM members) WHERE rn = 1),
+        losers AS (
+          SELECT id FROM members
+          WHERE id NOT IN (SELECT id FROM reps))
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id""")),
+
     // ---- D15: incremental dedup against a persisted signature store ----
     // The production shape at 100 TB: nobody re-deduplicates the whole
     // corpus per crawl — the already-ingested side is materialized ONCE

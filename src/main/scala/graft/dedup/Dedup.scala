@@ -529,6 +529,39 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dedup, QUALITY-REPRESENTATIVE policy: per connected component
+    * of the verified-pair graph, keep the member with the HIGHEST
+    * `scoreCol` (ties → smallest id) instead of the smallest id — the
+    * "keep the best copy, not the first copy" rule real corpus curation
+    * wants (longest doc, highest quality score, freshest crawl; pass any
+    * orderable score column). [[dropNearDupsCC]] is the scoreCol = const
+    * degenerate case.
+    *
+    * Scale shape: everything downstream of [[componentLabels]] operates
+    * on the MEMBER set (docs appearing in ≥1 verified pair — tiny
+    * relative to the corpus), never the corpus: one broadcast-sized join
+    * to attach scores, then the representative per component is a
+    * min-STRUCT aggregate `min(struct(−score, id))` (the d9
+    * first-occurrence discipline — map-side combined, no Window, a
+    * monster component collapses in its mapper), then one anti-join back.
+    * Corpus-side work stays the one LSH pipeline scan. */
+  def dropNearDupsKeepBest(df: DataFrame, idCol: String, textCol: String,
+                           scoreCol: String, threshold: Double,
+                           k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                           maxBucket: Int = 10000): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, k, bands,
+      shingleN, maxBucket)
+    val members = componentLabels(pairs)
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+        Seq("id"))
+    val reps = members.groupBy("label")
+      .agg(min(struct(negate(col("__score")), col("id"))).as("__m"))
+      .select(col("__m.id").as("id"))
+    val losers = members.select("id").join(reps, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: drop from `corpus` every doc sharing at
     * least one word n-gram shingle with `benchmark` — the standard
     * train/eval overlap guard for LLM training corpora (n-gram collision

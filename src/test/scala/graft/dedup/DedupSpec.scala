@@ -255,6 +255,33 @@ class DedupSpec extends SparkSpec {
     cc shouldBe Array(1L, 9L)
   }
 
+  test("keep-best policy: the highest-score member survives the " +
+    "component, ties break to smallest id, singletons untouched") {
+    import spark.implicits._
+    // same star component {1,2,5} as above; score makes 2 the best
+    val t = (1 to 8).map(i => s"tok$i")
+    def star(scores: Map[Long, Long]) = Seq(
+      (1L, (t.take(6) ++ Seq("alpha", "bravo")).mkString(" ")),
+      (2L, (t.drop(2) ++ Seq("charlie", "delta")).mkString(" ")),
+      (5L, t.mkString(" ")),
+      (9L, "entirely unrelated words about catalyst plans and shuffles")
+    ).map { case (id, tx) => (id, tx, scores(id)) }
+      .toDF("doc_id", "text", "score")
+    val best = Dedup.dropNearDupsKeepBest(
+      star(Map(1L -> 10L, 2L -> 99L, 5L -> 50L, 9L -> 1L)),
+      "doc_id", "text", "score", threshold = 0.5,
+      k = 12, bands = 12, shingleN = 1)
+      .select("doc_id").as[Long].collect().sorted
+    best shouldBe Array(2L, 9L) // NOT min-id 1: quality wins
+    // all-equal scores degenerate to the CC min-id policy
+    val tied = Dedup.dropNearDupsKeepBest(
+      star(Map(1L -> 7L, 2L -> 7L, 5L -> 7L, 9L -> 7L)),
+      "doc_id", "text", "score", threshold = 0.5,
+      k = 12, bands = 12, shingleN = 1)
+      .select("doc_id").as[Long].collect().sorted
+    tied shouldBe Array(1L, 9L)
+  }
+
   test("sentence dedup keeps first occurrence, rebuilds docs in order") {
     import spark.implicits._
     val docs = Seq(
