@@ -2756,6 +2756,45 @@ object Queries {
             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- S8: compressed text-source roundtrip (gzip CSV) ---------------
+    // The Hadoop compression-codec path: write quoted CSV with gzip,
+    // read it back through the codec auto-detect (.csv.gz extension) with
+    // an explicit schema, aggregate — the oracle recomputes from parquet,
+    // so the hash proves bytes survive compress → decompress → parse.
+    // At 100 TB the caveat is SPLITTABILITY, not speed: one gzip stream
+    // decompresses on one task, so a single huge .gz file serializes its
+    // scan — the production layout is many shard-sized files (exactly
+    // what a partitioned write produces) or a block-splittable codec;
+    // the read path here is identical either way.
+    QueryDef("s8_gzip_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}/gzcsv"
+        t(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .write.mode("overwrite")
+          .option("compression", "gzip").option("header", "true")
+          // univocity's writer trims field edge-whitespace by default;
+          // preserve bytes so the parquet oracle stays the truth
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(out)
+        s.read.option("header", "true")
+          .schema("doc_id LONG, lang STRING, source STRING, " +
+            "n_chars LONG, text STRING")
+          .csv(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---- Q4: end-to-end training-data pipeline (composition proof) -----
     // The full pretraining recipe as ONE chained query — clean (C4 line
     // filters) → exact dedup (NFC keep-first) → decontaminate (vs the

@@ -151,4 +151,29 @@ class ReadersSpec extends SparkSpec {
       spark.read.parquet(dir).count()
     }
   }
+
+  test("gzip CSV roundtrip: .csv.gz files, exact row-level equality " +
+    "incl. quoted commas and embedded quotes (S8 codec path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gzcsv").toString
+    val rows = Seq(
+      (1L, "plain text"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "trailing space ")).toDF("id", "text")
+    // univocity's WRITER trims leading/trailing field whitespace by
+    // default — byte-exact roundtrip needs the preserve options on write
+    rows.write.mode("overwrite")
+      .option("compression", "gzip").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(dir)
+    val parts = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    parts should not be empty
+    all(parts) should endWith(".csv.gz")
+    val back = spark.read.option("header", "true")
+      .schema("id LONG, text STRING").csv(dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    back shouldBe rows.as[(Long, String)].collect().sortBy(_._1)
+  }
 }
