@@ -877,6 +877,51 @@ object Queries {
         FROM tf JOIN counts USING (tok) CROSS JOIN st
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- M13: bigram surprisal (integer-exact first-order LM) ----------
+    // t11 upgraded to a context-sensitive model: token i scores the
+    // bit-length of its corpus bigram probability count(prev,cur)/
+    // count(prev,·); the first token backs off to the unigram model.
+    // Common words in an uncommon ORDER now score high — word-salad
+    // detection the unigram proxy cannot see. Same no-libm discipline:
+    // everything integer until the final int/int mean. See
+    // TextAnalysis.bigramSurprisal for the shuffle budget.
+    QueryDef("m13_bigram_surprisal",
+      (s, dir) => TextAnalysis.bigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, ${toksSql("lower(text)")} AS toks
+          FROM documents WHERE regexp_matches(text, '\\S')),
+        tk AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+        uni AS (SELECT tok, count(*) AS c_u FROM tk GROUP BY tok),
+        tot AS (SELECT CAST(sum(c_u) AS BIGINT) AS total FROM uni),
+        pos AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i
+          FROM base WHERE len(toks) >= 2),
+        bgr AS (SELECT doc_id, toks[i - 1] AS prev, toks[i] AS cur
+          FROM pos),
+        btf AS (SELECT doc_id, prev, cur, count(*) AS tf
+          FROM bgr GROUP BY doc_id, prev, cur),
+        bcnt AS (SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c_pc
+          FROM btf GROUP BY prev, cur),
+        ccnt AS (SELECT prev, CAST(sum(c_pc) AS BIGINT) AS c_p
+          FROM bcnt GROUP BY prev),
+        fb AS (SELECT b.doc_id,
+            CAST(length(bin(total)) - length(bin(c_u)) AS BIGINT) AS fbits
+          FROM (SELECT doc_id, toks[1] AS tok FROM base) b
+          JOIN uni USING (tok) CROSS JOIN tot),
+        bb AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nbg,
+            CAST(sum(tf * (length(bin(c_p)) - length(bin(c_pc))))
+              AS BIGINT) AS bbits
+          FROM btf JOIN bcnt USING (prev, cur) JOIN ccnt USING (prev)
+          GROUP BY doc_id)
+        SELECT fb.doc_id,
+          1 + coalesce(nbg, 0) AS n_toks,
+          fbits + coalesce(bbits, 0) AS total_bits,
+          CAST(fbits + coalesce(bbits, 0) AS DOUBLE)
+            / CAST(1 + coalesce(nbg, 0) AS DOUBLE) AS mean_bits
+        FROM fb LEFT JOIN bb ON fb.doc_id = bb.doc_id
+        ORDER BY fb.doc_id""")),
+
     // ---- O7: deterministic stratified sample (n per group) ----------
     // Per-language quota via md5-rank — the stratified twin of O5;
     // one shuffle on the stratum key.

@@ -315,6 +315,64 @@ object TextAnalysis {
         col("total_bits").cast("double") / col("n_toks").cast("double"))
   }
 
+  /** Per-document BIGRAM surprisal — [[unigramSurprisal]] upgraded to a
+    * first-order LM: token i ≥ 2 scores `⌈log2⌉`-bits of its corpus
+    * bigram probability `count(prev,cur)/count(prev,·)` as
+    * `len(bin(ctx)) − len(bin(cnt))`; the first token backs off to the
+    * unigram model (its bigram has no context). Same integer-exactness
+    * contract as t11 — bit-length arithmetic only, no libm, the ranking
+    * never flips in the last ulp — but context-sensitive: a doc of
+    * common words in an uncommon ORDER now scores high (word-salad
+    * detection the unigram model is blind to).
+    *
+    * Scale shape (t11's discipline, one level up): bigrams materialize
+    * map-side from the token array (`transform(sequence)` — no Window,
+    * no lag shuffle); per-doc (prev,cur) term frequencies aggregate
+    * BEFORE any join, so join input is distinct doc-bigrams, not corpus
+    * positions; the context table derives from the bigram-count table
+    * (second-stage aggregate — no extra corpus scan); corpus totals
+    * broadcast. Two vocabulary-sized shuffles (bigram counts, per-doc
+    * tf) + one doc-keyed aggregate. Zero-token docs are absent (as t11);
+    * one-token docs score the back-off bit count alone.
+    * Output: (idCol, n_toks, total_bits, mean_bits). */
+  def bigramSurprisal(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val base = df.filter(col(textCol).rlike("\\S"))
+      .select(col(idCol),
+        CaptionStats.tokens(lower(col(textCol))).as("__toks"))
+    val tk = base.select(col(idCol), explode(col("__toks")).as("tok"))
+    val uni = tk.groupBy("tok").agg(count(lit(1)).as("c_u"))
+    val tot = uni.agg(sum("c_u").as("total"))
+    val bg = base.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(__toks)), i -> named_struct(" +
+          "'prev', element_at(__toks, i - 1), " +
+          "'cur', element_at(__toks, i)))")).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val btf = bg.groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("tf"))
+    val bcnt = btf.groupBy("prev", "cur").agg(sum("tf").as("c_pc"))
+    val ccnt = bcnt.groupBy("prev").agg(sum("c_pc").as("c_p"))
+    val fb = base.select(col(idCol), element_at(col("__toks"), 1).as("tok"))
+      .join(uni, "tok")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (length(bin(col("total"))) - length(bin(col("c_u"))))
+          .cast("long").as("__fbits"))
+    val bb = btf.join(bcnt, Seq("prev", "cur")).join(ccnt, Seq("prev"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("__nbg"),
+        sum(col("tf") * (length(bin(col("c_p"))) - length(bin(col("c_pc"))))
+          .cast("long")).as("__bbits"))
+    fb.join(bb, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(1L) + coalesce(col("__nbg"), lit(0L))).as("n_toks"),
+        (col("__fbits") + coalesce(col("__bbits"), lit(0L)))
+          .as("total_bits"))
+      .withColumn("mean_bits",
+        col("total_bits").cast("double") / col("n_toks").cast("double"))
+  }
+
   /** The Gopher stopword-anchor set (Rae et al. 2021 §A1.1): a document
     * must contain at least `minStopHits` DISTINCT members to pass the
     * "contains common English words" rule. */

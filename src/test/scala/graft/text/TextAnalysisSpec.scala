@@ -193,6 +193,38 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 2L, 3L, 1.5)) // b,c → 1+2
   }
 
+  test("bigramSurprisal: hand-computed bits, unigram back-off for first/" +
+    "only tokens, one-token doc survives") {
+    import spark.implicits._
+    // counts: a=3, b=3, z=1, total=7 → len(bin(7))=3;
+    // uni bits: a→1, b→1, z→2. bigrams: (a,b)=2, (b,a)=2; ctx a=2, b=2
+    // → every bigram scores len(bin(2))−len(bin(2)) = 0 bits
+    val d = Seq((1L, "a b a b"), (2L, "b a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got shouldBe Array(
+      (1L, 4L, 1L, 0.25), // first a=1 bit, three 0-bit bigrams
+      (2L, 2L, 1L, 0.5),  // first b=1 bit, one 0-bit bigram
+      (3L, 1L, 2L, 2.0))  // back-off only
+  }
+
+  test("bigramSurprisal is order-sensitive where unigramSurprisal is " +
+    "blind: same multiset, scrambled order scores strictly higher") {
+    import spark.implicits._
+    // 6 docs share one natural order; the 7th permutes the same words
+    val natural = "the cat sat on the mat"
+    val d = ((1 to 6).map(i => (i.toLong, natural)) :+
+      (7L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val bg = TextAnalysis.bigramSurprisal(d, "doc_id", "text")
+      .select("doc_id", "mean_bits").as[(Long, Double)].collect().toMap
+    val ug = TextAnalysis.unigramSurprisal(d, "doc_id", "text")
+      .select("doc_id", "mean_bits").as[(Long, Double)].collect().toMap
+    ug(7L) shouldBe ug(1L) // unigram model cannot tell them apart
+    bg(7L) should be > bg(1L) // bigram model can
+  }
+
   test("gopherQualitySignals: hand-computed counts incl. bullet/ellipsis " +
     "lines, #/... symbols, unicode ellipsis, empty text") {
     import spark.implicits._
