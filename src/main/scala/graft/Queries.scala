@@ -922,6 +922,43 @@ object Queries {
         FROM fb LEFT JOIN bb ON fb.doc_id = bb.doc_id
         ORDER BY fb.doc_id""")),
 
+    // ---- M14: per-source vocabulary statistics -------------------------
+    // The corpus lexical report card (Heaps/Zipf diagnostics): tokens,
+    // distinct types, hapax legomena (freq-1 types — the Zipf tail whose
+    // share predicts OCR noise and vocabulary growth), and type-token
+    // ratio per source. ONE (source, token)-keyed map-combined shuffle
+    // collapses the corpus; everything after is a second-stage aggregate
+    // over the count table (vocabulary-sized, not corpus-sized). TTR is
+    // the only double — one exact int/int division at the end.
+    QueryDef("m14_vocab_stats",
+      (s, dir) => {
+        val cnt = t(s, dir, "documents")
+          .filter(col("text").rlike("\\S"))
+          .select(col("source"),
+            explode(CaptionStats.tokens(lower(col("text")))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        cnt.groupBy("source")
+          .agg(sum("c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+          .withColumn("ttr",
+            col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("source")
+      },
+      Some(s"""WITH cnt AS (
+          SELECT source, tok, count(*) AS c
+          FROM (SELECT source, unnest(${toksSql("lower(text)")}) AS tok
+            FROM documents WHERE regexp_matches(text, '\\S'))
+          GROUP BY source, tok)
+        SELECT source,
+          CAST(sum(c) AS BIGINT) AS n_tokens,
+          count(*) AS n_types,
+          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax,
+          CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+            AS ttr
+        FROM cnt GROUP BY source ORDER BY source""")),
+
     // ---- O7: deterministic stratified sample (n per group) ----------
     // Per-language quota via md5-rank — the stratified twin of O5;
     // one shuffle on the stratum key.
