@@ -848,6 +848,95 @@ object Queries {
         FROM sg ORDER BY doc_id"""
       }),
 
+    // ---- T15: Gopher repetition composite (char-weighted) --------------
+    // The other half of Rae et al. 2021 §A1.1: t14 enforces the FORMAT
+    // rules, this enforces the REPETITION rules — char-fraction metrics
+    // (dup sentences, top {2,3,4}-gram coverage, dup {5..10}-gram
+    // coverage) with the paper's per-n thresholds as exact
+    // cross-multiplied integer compares. One explode emits all nine
+    // n-gram sizes in a single pass; counts are (doc, n, gram)-keyed so
+    // no corpus-wide hot key exists and the aggregate map-combines
+    // (t10's discipline, ×9 sizes in one shuffle).
+    QueryDef("t15_gopher_repetition",
+      (s, dir) => TextAnalysis.gopherRepetitionStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val dupSents = "list_filter(sents, s -> " +
+          "len(list_filter(sents, x -> x = s)) > 1)"
+        s"""WITH base AS (
+          SELECT doc_id, length(text) AS tc,
+            ${toksSql("lower(text)")} AS toks, ${sentsSql("text")} AS sents
+          FROM documents),
+        ss AS (
+          SELECT doc_id, CAST(tc AS BIGINT) AS tc,
+            CAST(len(sents) AS BIGINT) AS n_sents,
+            CAST(len($dupSents) AS BIGINT) AS n_dup_sents,
+            CAST(coalesce(list_sum(list_transform(sents,
+              s -> length(s))), 0) AS BIGINT) AS sum_sent_chars,
+            CAST(coalesce(list_sum(list_transform($dupSents,
+              s -> length(s))), 0) AS BIGINT) AS dup_sent_chars
+          FROM base),
+        grams AS (
+          SELECT doc_id, n, unnest(list_transform(
+            range(1, len(toks) - n + 2),
+            i -> array_to_string(list_slice(toks, i, i + n - 1), ' ')))
+            AS gram
+          FROM base, range(2, 11) t(n) WHERE len(toks) >= n),
+        counts AS (SELECT doc_id, n, gram, count(*) AS c
+          FROM grams GROUP BY 1, 2, 3),
+        top AS (
+          SELECT doc_id, n, c * length(gram) AS topcov,
+            row_number() OVER (PARTITION BY doc_id, n
+              ORDER BY c DESC, gram) AS rn
+          FROM counts),
+        dup AS (
+          SELECT doc_id, n, CAST(sum(CASE WHEN c > 1
+            THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dupcov
+          FROM counts GROUP BY 1, 2),
+        pern AS (
+          SELECT d.doc_id, d.n, t.topcov, d.dupcov
+          FROM dup d JOIN (SELECT doc_id, n, topcov FROM top WHERE rn = 1)
+            t USING (doc_id, n)),
+        pd AS (
+          SELECT doc_id,
+            max(CASE WHEN n = 2 THEN topcov END) AS top2_chars,
+            max(CASE WHEN n = 3 THEN topcov END) AS top3_chars,
+            max(CASE WHEN n = 4 THEN topcov END) AS top4_chars,
+            max(CASE WHEN n = 5 THEN dupcov END) AS dup5_chars,
+            max(CASE WHEN n = 6 THEN dupcov END) AS dup6_chars,
+            max(CASE WHEN n = 7 THEN dupcov END) AS dup7_chars,
+            max(CASE WHEN n = 8 THEN dupcov END) AS dup8_chars,
+            max(CASE WHEN n = 9 THEN dupcov END) AS dup9_chars,
+            max(CASE WHEN n = 10 THEN dupcov END) AS dup10_chars
+          FROM pern GROUP BY doc_id)
+        SELECT s.doc_id, s.tc, s.n_sents, s.n_dup_sents,
+          s.sum_sent_chars, s.dup_sent_chars,
+          CAST(coalesce(top2_chars, 0) AS BIGINT) AS top2_chars,
+          CAST(coalesce(top3_chars, 0) AS BIGINT) AS top3_chars,
+          CAST(coalesce(top4_chars, 0) AS BIGINT) AS top4_chars,
+          CAST(coalesce(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+          CAST(coalesce(dup6_chars, 0) AS BIGINT) AS dup6_chars,
+          CAST(coalesce(dup7_chars, 0) AS BIGINT) AS dup7_chars,
+          CAST(coalesce(dup8_chars, 0) AS BIGINT) AS dup8_chars,
+          CAST(coalesce(dup9_chars, 0) AS BIGINT) AS dup9_chars,
+          CAST(coalesce(dup10_chars, 0) AS BIGINT) AS dup10_chars,
+          CAST(CASE WHEN
+              5 * coalesce(top2_chars, 0) <= s.tc
+              AND 50 * coalesce(top3_chars, 0) <= 9 * s.tc
+              AND 25 * coalesce(top4_chars, 0) <= 4 * s.tc
+              AND 20 * coalesce(dup5_chars, 0) <= 3 * s.tc
+              AND 50 * coalesce(dup6_chars, 0) <= 7 * s.tc
+              AND 100 * coalesce(dup7_chars, 0) <= 13 * s.tc
+              AND 25 * coalesce(dup8_chars, 0) <= 3 * s.tc
+              AND 100 * coalesce(dup9_chars, 0) <= 11 * s.tc
+              AND 10 * coalesce(dup10_chars, 0) <= s.tc
+              AND 10 * s.n_dup_sents <= 3 * s.n_sents
+              AND 5 * s.dup_sent_chars <= s.sum_sent_chars
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM ss s LEFT JOIN pd USING (doc_id) ORDER BY s.doc_id"""
+      }),
+
     // ---- T11: unigram surprisal score (integer-exact LM proxy) ---------
     // CCNet-style corpus bucketing by LM score, in its training-free
     // degenerate form: per-token surprisal = len(bin(N)) − len(bin(cnt))

@@ -465,6 +465,111 @@ object TextAnalysis {
     df.filter(gopherKeepOver(gopherSignalExprs(col(textCol)).toMap,
       minWords, maxWords, minStopHits))
 
+  /** Gopher REPETITION rules (Rae et al. 2021 §A1.1, Table A1) — the
+    * char-weighted half that [[gopherQualitySignals]]'s format rules
+    * deliberately left out (t7's duplicate-fractions are the count-based
+    * simplification; t10 computes the top-2-gram coverage alone). Per
+    * document:
+    *
+    *   - duplicate "line" stats over the sentence split (the synthetic
+    *     corpus has no newlines — same relaxation as t12; the metric
+    *     machinery is identical, only the delimiter differs):
+    *     `n_sents`, `n_dup_sents` (sentences whose exact text occurs
+    *     more than once, ALL occurrences counted — the Dolma/NemoCurator
+    *     reading of the paper), `sum_sent_chars`, `dup_sent_chars`.
+    *   - `top{2,3,4}_chars`: chars covered by the single most frequent
+    *     n-gram (count × gram length; ties → lexicographically smallest
+    *     gram, t10's rule). Raw by contract — overlapping occurrences
+    *     can push coverage past the doc length.
+    *   - `dup{5..10}_chars`: chars covered by ALL occurrences of
+    *     n-grams appearing more than once (Σ count × gram length over
+    *     grams with count > 1).
+    *   - `keep`: the paper's thresholds as EXACT cross-multiplied
+    *     integer comparisons against `tc` = doc chars — dup-sent frac
+    *     ≤ 3/10, dup-sent-char frac ≤ 1/5, top-gram char frac ≤
+    *     {2: 1/5, 3: 9/50, 4: 4/25}, dup-gram char frac ≤ {5: 3/20,
+    *     6: 7/50, 7: 13/100, 8: 3/25, 9: 11/100, 10: 1/10}. A
+    *     repetition-free (or empty) doc keeps; word-count floors are
+    *     [[gopherKeep]]'s job.
+    *
+    * Scale shape: sentence stats are in-row HOF expressions (quadratic
+    * in sentences-per-doc, fine — docs have tens of sentences). The
+    * n-gram table CANNOT be in-row at scale (distinct-grams ×
+    * positions per doc is quadratic in doc length), so it distributes
+    * exactly like t10: ONE explode emits (doc, n, gram) for all nine n
+    * in a single pass, the count map-combines with doc_id in the key
+    * (no corpus-wide hot key), two doc-keyed rollups collapse it, and
+    * one doc-keyed join attaches the sentence stats. Total: one wide
+    * gram shuffle (the inherent cost), two vocabulary-sized rollups,
+    * one per-doc join. */
+  def gopherRepetitionStats(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val id = col(idCol)
+    val c = col(textCol)
+    val sents = CaptionStats.sentences(c)
+    val isDup = (s: Column) => size(filter(sents, x => x === s)) > 1
+    val dupSents = filter(sents, s => isDup(s))
+    val sentStats = df.select(
+      id,
+      length(c).cast("long").as("tc"),
+      CaptionStats.tokens(lower(c)).as("__toks"),
+      size(sents).cast("long").as("n_sents"),
+      size(dupSents).cast("long").as("n_dup_sents"),
+      aggregate(sents, lit(0L), (a, s) => a + length(s)).as("sum_sent_chars"),
+      aggregate(dupSents, lit(0L), (a, s) => a + length(s))
+        .as("dup_sent_chars"))
+
+    // Gram emission is TWO chained Generates over plain built-ins
+    // (explode n → explode start positions → slice + concat_ws), NOT a
+    // higher-order transform/flatten: lambda HOFs have no doGenCode, so
+    // a flatten-of-transforms emits grams through interpreted eval —
+    // measured 20× slower than this codegen'd pipeline at sf0.1.
+    val grams = sentStats
+      .select(id, col("__toks"),
+        explode(array((2 to 10).map(lit): _*)).as("__n"))
+      .filter(size(col("__toks")) >= col("__n"))
+      .select(id, col("__n"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - col("__n") + 1))
+          .as("__i"))
+      .select(id, col("__n"),
+        concat_ws(" ", slice(col("__toks"), col("__i"), col("__n")))
+          .as("__gram"))
+    val perN = grams
+      .groupBy(id, col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(id, col("__n"))
+      .agg(
+        min_by((col("__c") * length(col("__gram"))).cast("long"),
+          struct((-col("__c")).as("nc"), col("__gram"))).as("__topcov"),
+        sum(when(col("__c") > 1, col("__c") * length(col("__gram")))
+          .otherwise(0L)).cast("long").as("__dupcov"))
+    val pivotCols = Seq(2, 3, 4).map(n =>
+      max(when(col("__n") === n, col("__topcov"))).as(s"top${n}_chars")) ++
+      (5 to 10).map(n =>
+        max(when(col("__n") === n, col("__dupcov"))).as(s"dup${n}_chars"))
+    val perDoc = perN.groupBy(id).agg(pivotCols.head, pivotCols.tail: _*)
+
+    val joined = sentStats.drop("__toks")
+      .join(perDoc, Seq(idCol), "left")
+    val covCols = Seq("top2_chars", "top3_chars", "top4_chars") ++
+      (5 to 10).map(n => s"dup${n}_chars")
+    val filled = covCols.foldLeft(joined)((d, cn) =>
+      d.withColumn(cn, coalesce(col(cn), lit(0L))))
+    // (threshold numerator, threshold denominator) per metric: frac ≤ d/n
+    val gramRules = Seq(
+      ("top2_chars", 5L, 1L), ("top3_chars", 50L, 9L),
+      ("top4_chars", 25L, 4L), ("dup5_chars", 20L, 3L),
+      ("dup6_chars", 50L, 7L), ("dup7_chars", 100L, 13L),
+      ("dup8_chars", 25L, 3L), ("dup9_chars", 100L, 11L),
+      ("dup10_chars", 10L, 1L))
+    val keep = gramRules
+      .map { case (cn, m, k) => lit(m) * col(cn) <= lit(k) * col("tc") }
+      .reduce(_ && _) &&
+      lit(10L) * col("n_dup_sents") <= lit(3L) * col("n_sents") &&
+      lit(5L) * col("dup_sent_chars") <= col("sum_sent_chars")
+    filled.withColumn("keep", keep.cast("long"))
+  }
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.withColumn("pred_lang", langId(c))

@@ -283,4 +283,41 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("gopherRepetitionStats: hand-computed char coverages — top-gram " +
+    "tie rule, dup 5..10-gram overlap, sentence dups, empty doc keeps") {
+    import spark.implicits._
+    val d = Seq(
+      // 1: tiny clean doc — top2 ties broken lexicographically ("ab cd"
+      //    over "cd ef."), no gram of length ≥ 4, but top2 cov 5/9 > 1/5
+      (1L, "ab cd ef."),
+      // 2: 30 distinct 3-char tokens — every cov under threshold → keep
+      (2L, (0 until 30).map(i => f"t$i%02d").mkString(" ")),
+      // 3: "p q r s t" ×3 — every dup-n rule fires; top2 = "p q" (count
+      //    3, tie vs "q r"/"r s"/"s t" broken lexicographically)
+      (3L, Seq.fill(3)("p q r s t").mkString(" ")),
+      // 4: empty — no sentences, no grams, keeps by contract
+      (4L, ""),
+      // 5: duplicate sentence "xx" ×2 — the sentence rules fire
+      (5L, "xx. xx. yy zz.")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // columns: doc_id, tc, n_sents, n_dup_sents, sum_sent_chars,
+    // dup_sent_chars, top2, top3, top4, dup5..dup10, keep
+    r(0).toSeq shouldBe Seq(1L, 9L, 1L, 0L, 8L, 0L,
+      5L, 9L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    r(1).toSeq shouldBe Seq(2L, 119L, 1L, 0L, 119L, 0L,
+      7L, 11L, 15L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)
+    // doc 3 (15 tokens, tc 29): dup5 = 3·9 + 4·(2·9) = 99,
+    // dup6 = 5·2·11 = 110, dup7 = 4·2·13 = 104, dup8 = 3·2·15 = 90,
+    // dup9 = 2·2·17 = 68, dup10 = 1·2·19 = 38
+    r(2).toSeq shouldBe Seq(3L, 29L, 1L, 0L, 29L, 0L,
+      9L, 15L, 21L, 99L, 110L, 104L, 90L, 68L, 38L, 0L)
+    r(3).toSeq shouldBe Seq(4L, 0L, 0L, 0L, 0L, 0L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)
+    // doc 5: sents [xx, xx, yy zz] → 2 dup sents (4 chars of 9);
+    // 10·2 > 3·3 fails the dup-sentence rule
+    r(4).toSeq shouldBe Seq(5L, 14L, 3L, 2L, 9L, 4L,
+      7L, 10L, 14L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+  }
 }
