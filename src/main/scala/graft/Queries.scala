@@ -51,10 +51,11 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set in
-    * Verify/Bench) `ts` arrives as nanos-since-epoch LONG. Floor-convert to
-    * microseconds — exactly what DuckDB does natively (µs timestamps). */
+  /** events.parquet's `ts` has shipped as TIMESTAMP(NANOS) (arrives as a
+    * nanos LONG under `spark.sql.legacy.parquet.nanosAsLong`, set in
+    * Verify/Bench) and as TIMESTAMP(MICROS, NTZ). Normalize either to µs
+    * TimestampType — exactly what DuckDB reads natively (naive µs; our
+    * sessions pin UTC so the mapping is identical). */
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.util.Timestamps.nanosLongToMicros(t(s, dir, "events"), "ts")
 

@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long, convert in
-      // Queries.events (floor to µs — matches DuckDB's µs timestamps)
+      // older events.parquet generations carry TIMESTAMP(NANOS); read as
+      // long, normalized in Queries.events (floor to µs — matches DuckDB).
+      // Newer generations are µs NTZ; the conf is then inert.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

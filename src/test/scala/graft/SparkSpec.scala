@@ -16,6 +16,16 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    // getOrCreate does NOT apply builder configs to an already-existing
+    // default session (SPARK-31532) — and a suite that builds its own
+    // session first (GraftExtensionsSpec) can be that default. Re-assert
+    // the session-level SQL confs unconditionally so every spec sees the
+    // same semantics (most critically nanosAsLong: without it
+    // events.parquet's TIMESTAMP(NANOS) ts arrives as TIMESTAMP_NTZ
+    // instead of a nanos LONG) regardless of suite execution order.
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.sparkContext.setLogLevel("WARN")
     s
   }

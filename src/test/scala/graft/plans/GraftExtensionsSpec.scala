@@ -20,6 +20,14 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    // getOrCreate registered this session as the process-wide default;
+    // clear that so later TestSpark.spark getOrCreate calls don't adopt
+    // it (suite-order-dependent: builder configs are NOT applied to an
+    // existing default session per SPARK-31532, so adopting this one
+    // would silently drop nanosAsLong for every SparkSpec suite). Our
+    // lazy val keeps the reference; the SparkContext stays shared.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     s.sparkContext.setLogLevel("WARN")
     s
   }

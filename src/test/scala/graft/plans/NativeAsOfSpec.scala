@@ -39,9 +39,10 @@ class NativeAsOfSpec extends SparkSpec {
 
   test("self-join shape (both sides from one source, j11's): shared " +
     "exprIds are re-aliased, results match the window form") {
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val ev = graft.util.Timestamps.nanosLongToMicros(
+        spark.read.parquet(s"$sf0001/events.parquet"), "ts")
       .select(col("event_id"), col("user_id"),
-        (col("ts") / 1000L).cast("long").as("ts_us"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
         col("value"))
     val right = ev.filter(col("event_type") === "view")
       .groupBy("user_id", "ts_us").agg(max("value").as("r_value"))
