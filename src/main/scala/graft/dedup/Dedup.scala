@@ -894,8 +894,11 @@ object Dedup {
     * docs collapses per map task; the residual h-join back is
     * AQE-skew-splittable, a Window over h would funnel the viral h
     * into one task). Excision explodes positions only for EXCISED
-    * occurrences (the dup tail, not the corpus), and the rebuild is a
-    * position anti-join + one groupBy on the doc id. Windows-per-doc ≈
+    * occurrences (the dup tail, not the corpus), aggregated to ONE
+    * coverage array per affected doc; the rebuild is a doc-level left
+    * join of the corpus against those arrays plus a codegen'd indexed
+    * `filter` HOF over the original token array — no corpus-wide token
+    * explode or token-level shuffle. Windows-per-doc ≈
     * tokens-per-doc — the inherent substring-dedup cost, same as
     * [[dupSpans]]; bound it upstream with a length filter if needed.
     *
@@ -935,21 +938,31 @@ object Dedup {
         when(col(idCol) === col("__f.__fid"),
           filter(col("__ps"), p => p =!= col("__f.__fp")))
           .otherwise(col("__ps"))).as("__sp"))
-    // positional coverage union: duplicates across overlapping windows
-    // are harmless — the anti-join below ignores right-side multiplicity
-    val covered = exc.select(col(idCol).as("__cid"),
-      explode(sequence(col("__sp"), col("__sp") + (n - 1))).as("__cp"))
-    val toks = base.select(col(idCol),
-      posexplode(col("__ot")).as(Seq("__p0", "__tok")))
-      .select(col(idCol), (col("__p0") + 1).as("__p"), col("__tok"))
-    toks.join(covered,
-        col(idCol) === col("__cid") && col("__p") === col("__cp"),
-        "left_anti")
-      .groupBy(col(idCol))
-      .agg(concat_ws(" ", transform(
-        sort_array(collect_list(struct(col("__p"), col("__tok")))),
-        s => s.getField("__tok"))).as("text_kept"),
-        count(lit(1)).as("n_kept"))
+    // per-doc positional coverage union: one array per AFFECTED doc
+    // (the dup tail, not the corpus). Overlapping windows of one shared
+    // passage union via array_distinct — a position is covered once no
+    // matter how many excised windows span it.
+    val covered = exc.groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("__sp"), col("__sp") + (n - 1))))).as("__cov"))
+    // rebuild MAP-SIDE: the corpus joins `covered` at DOC granularity
+    // (one row per affected doc — AQE can broadcast it when the dup
+    // tail is small) and each doc excises its own covered positions
+    // with a codegen'd indexed filter HOF over the original token
+    // array, preserving order natively. No corpus-wide token
+    // posexplode, no token-level shuffle: the pre-r14 form anti-joined
+    // every token of every document against the covered set. `filter`'s
+    // index is 0-based; coverage is 1-based (slice discipline).
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, col("__ot"))
+          .otherwise(filter(col("__ot"),
+            (t, i) => !array_contains(col("__cov"), i + 1)))
+          .as("__kt"))
+      .filter(size(col("__kt")) >= 1)
+      .select(col(idCol),
+        concat_ws(" ", col("__kt")).as("text_kept"),
+        size(col("__kt")).cast("long").as("n_kept"))
   }
 
   /** Word n-gram Jaccard similarity between two text columns (distinct
