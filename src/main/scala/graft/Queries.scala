@@ -938,6 +938,124 @@ object Queries {
         FROM ss s LEFT JOIN pd USING (doc_id) ORDER BY s.doc_id"""
       }),
 
+    // ---- T16: combined Gopher keep/drop (format AND repetition) --------
+    // Rae et al. apply BOTH §A1.1 rule families and DROP; t14/t15 score
+    // each family alone. This is the drop composite (d19/d20 pattern,
+    // the reference's chained-filter semantics): survivors =
+    // format-keep ∧ repetition-keep, original columns out. The Spark
+    // side reuses the audited t14/t15 signal frames verbatim; the
+    // map-only format predicate runs first so t15's gram shuffle only
+    // sees format survivors (per-doc metrics — pre-filtering cannot
+    // move any verdict). Fixture thresholds 20/1 as in t14.
+    QueryDef("t16_gopher_drop",
+      (s, dir) => TextAnalysis.gopherFilter(t(s, dir, "documents"),
+        "doc_id", "text", minWords = 20L, minStopHits = 1L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some {
+        val stops = sqlList(TextAnalysis.gopherStopwords)
+        val dupSents = "list_filter(sents, s -> " +
+          "len(list_filter(sents, x -> x = s)) > 1)"
+        raw"""WITH m AS (
+          SELECT doc_id, ${toksSql("text")} AS toks,
+            string_split(text, chr(10)) AS ls, text
+          FROM documents),
+        sg AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(toks,
+              t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(ls, l ->
+              regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+              AS n_bullet_lines,
+            CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+              OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+            CAST(length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+              AS n_symbols,
+            CAST(len(list_filter(toks, t ->
+              regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+            CAST(len(list_filter([$stops], w ->
+              list_contains(list_transform(toks, t -> lower(t)), w)))
+              AS BIGINT) AS n_stop_hits
+          FROM m),
+        fmt AS (
+          SELECT doc_id FROM sg
+          WHERE n_words >= 20 AND n_words <= 100000
+            AND 3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_hits >= 1),
+        base AS (
+          SELECT doc_id, length(text) AS tc,
+            ${toksSql("lower(text)")} AS toks, ${sentsSql("text")} AS sents
+          FROM documents),
+        ss AS (
+          SELECT doc_id, CAST(tc AS BIGINT) AS tc,
+            CAST(len(sents) AS BIGINT) AS n_sents,
+            CAST(len($dupSents) AS BIGINT) AS n_dup_sents,
+            CAST(coalesce(list_sum(list_transform(sents,
+              s -> length(s))), 0) AS BIGINT) AS sum_sent_chars,
+            CAST(coalesce(list_sum(list_transform($dupSents,
+              s -> length(s))), 0) AS BIGINT) AS dup_sent_chars
+          FROM base),
+        grams AS (
+          SELECT doc_id, n, unnest(list_transform(
+            range(1, len(toks) - n + 2),
+            i -> array_to_string(list_slice(toks, i, i + n - 1), ' ')))
+            AS gram
+          FROM base, range(2, 11) t(n) WHERE len(toks) >= n),
+        counts AS (SELECT doc_id, n, gram, count(*) AS c
+          FROM grams GROUP BY 1, 2, 3),
+        top AS (
+          SELECT doc_id, n, c * length(gram) AS topcov,
+            row_number() OVER (PARTITION BY doc_id, n
+              ORDER BY c DESC, gram) AS rn
+          FROM counts),
+        dup AS (
+          SELECT doc_id, n, CAST(sum(CASE WHEN c > 1
+            THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dupcov
+          FROM counts GROUP BY 1, 2),
+        pern AS (
+          SELECT d.doc_id, d.n, t.topcov, d.dupcov
+          FROM dup d JOIN (SELECT doc_id, n, topcov FROM top WHERE rn = 1)
+            t USING (doc_id, n)),
+        pd AS (
+          SELECT doc_id,
+            max(CASE WHEN n = 2 THEN topcov END) AS top2_chars,
+            max(CASE WHEN n = 3 THEN topcov END) AS top3_chars,
+            max(CASE WHEN n = 4 THEN topcov END) AS top4_chars,
+            max(CASE WHEN n = 5 THEN dupcov END) AS dup5_chars,
+            max(CASE WHEN n = 6 THEN dupcov END) AS dup6_chars,
+            max(CASE WHEN n = 7 THEN dupcov END) AS dup7_chars,
+            max(CASE WHEN n = 8 THEN dupcov END) AS dup8_chars,
+            max(CASE WHEN n = 9 THEN dupcov END) AS dup9_chars,
+            max(CASE WHEN n = 10 THEN dupcov END) AS dup10_chars
+          FROM pern GROUP BY doc_id),
+        rep AS (
+          SELECT s.doc_id
+          FROM ss s LEFT JOIN pd USING (doc_id)
+          WHERE 5 * coalesce(top2_chars, 0) <= s.tc
+            AND 50 * coalesce(top3_chars, 0) <= 9 * s.tc
+            AND 25 * coalesce(top4_chars, 0) <= 4 * s.tc
+            AND 20 * coalesce(dup5_chars, 0) <= 3 * s.tc
+            AND 50 * coalesce(dup6_chars, 0) <= 7 * s.tc
+            AND 100 * coalesce(dup7_chars, 0) <= 13 * s.tc
+            AND 25 * coalesce(dup8_chars, 0) <= 3 * s.tc
+            AND 100 * coalesce(dup9_chars, 0) <= 11 * s.tc
+            AND 10 * coalesce(dup10_chars, 0) <= s.tc
+            AND 10 * s.n_dup_sents <= 3 * s.n_sents
+            AND 5 * s.dup_sent_chars <= s.sum_sent_chars)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        JOIN fmt USING (doc_id) JOIN rep USING (doc_id)
+        ORDER BY d.doc_id"""
+      }),
+
     // ---- T11: unigram surprisal score (integer-exact LM proxy) ---------
     // CCNet-style corpus bucketing by LM score, in its training-free
     // degenerate form: per-token surprisal = len(bin(N)) − len(bin(cnt))

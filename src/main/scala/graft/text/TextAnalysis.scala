@@ -570,6 +570,38 @@ object TextAnalysis {
     filled.withColumn("keep", keep.cast("long"))
   }
 
+  /** The COMBINED Gopher pass (Rae et al. 2021 §A1.1 applies both rule
+    * families and drops): FORMAT rules ([[gopherQualitySignals]] / t14)
+    * AND REPETITION rules ([[gopherRepetitionStats]] / t15) in one
+    * call, returning the SURVIVING documents with their original
+    * columns — the d19/d20 drop-variant shape, and the reference's own
+    * chained-filter semantics (`filters/filter_base.py:14-19`:
+    * successive keeps conjoin).
+    *
+    * Both halves REUSE the t14/t15 signal frames ([[gopherKeepOver]]
+    * over [[gopherSignalExprs]]; [[gopherRepetitionStats]]'s `keep`
+    * bit) — the composite adds no new metric definitions that could
+    * drift from the audited singles.
+    *
+    * Scale shape: the format keep is a pure per-row predicate, so it
+    * runs FIRST and fuses into the scan — the expensive part (t15's
+    * nine-size gram shuffle) only ever sees format-survivors. The
+    * repetition verdict attaches back as a doc-keyed LEFT SEMI join
+    * (no payload duplication, AQE-broadcastable when few docs are
+    * repetitive). Per-doc metrics only — the keep bit of a doc never
+    * depends on other docs, so the pre-filter cannot change verdicts. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Long = 50L, maxWords: Long = 100000L,
+                   minStopHits: Long = 2L): DataFrame = {
+    val fmt = df.filter(gopherKeepOver(
+      gopherSignalExprs(col(textCol)).toMap,
+      minWords, maxWords, minStopHits))
+    val repKeep = gopherRepetitionStats(fmt, idCol, textCol)
+      .filter(col("keep") === 1L)
+      .select(col(idCol))
+    fmt.join(repKeep, Seq(idCol), "left_semi")
+  }
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.withColumn("pred_lang", langId(c))

@@ -320,4 +320,23 @@ class TextAnalysisSpec extends SparkSpec {
     r(4).toSeq shouldBe Seq(5L, 14L, 3L, 2L, 9L, 4L,
       7L, 10L, 14L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
   }
+
+  test("gopherFilter = exact intersection of the t14 format keep and the " +
+    "t15 repetition keep over the corpus fixture; original columns out") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fmtIds = TextAnalysis.gopherQualitySignals(d, "doc_id", "text")
+      .withColumn("k", TextAnalysis.gopherKeep(20L, 100000L, 1L))
+      .filter(col("k")).select("doc_id")
+    val repIds = TextAnalysis.gopherRepetitionStats(d, "doc_id", "text")
+      .filter(col("keep") === 1L).select("doc_id")
+    val expected = fmtIds.join(repIds, Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val got = TextAnalysis.gopherFilter(d, "doc_id", "text",
+      minWords = 20L, minStopHits = 1L)
+    got.columns shouldBe d.columns
+    got.collect().map(_.getAs[Long]("doc_id")).toSet shouldBe expected
+    // the composite must genuinely split: neither all-keep nor all-drop
+    expected.size should be > 0
+    expected.size should be < d.count().toInt
+  }
 }
