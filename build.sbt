@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (TestSpark) and one suite installs
+// SparkSessionExtensions via its own default session; running suites
+// sequentially keeps session adoption deterministic.
+Test / parallelExecution := false
 run / fork := true
 // Forked run output normally passes through sbt's logger, which prefixes
 // every stdout line with "[info] " — that breaks any harness parsing

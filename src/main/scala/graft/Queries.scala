@@ -57,7 +57,7 @@ object Queries {
     * TimestampType — exactly what DuckDB reads natively (naive µs; our
     * sessions pin UTC so the mapping is identical). */
   private def events(s: SparkSession, dir: String): DataFrame =
-    graft.util.Timestamps.nanosLongToMicros(t(s, dir, "events"), "ts")
+    graft.util.Timestamps.normalizeEventTs(t(s, dir, "events"), "ts")
 
   // ---------------------------------------------------------------- SQL
   // fragments (DuckDB dialect) mirroring CaptionStats/TextAnalysis exprs.
@@ -153,11 +153,22 @@ object Queries {
     if (i == 0) "min(d) AS mh0"
     else s"min(substr(d, ${i + 1}, ${32 - i}) || substr(d, 1, $i)) AS mh$i"
 
-  /** Shared d6/d7 oracle CTE chain: documents → 3-gram shingles →
-    * single-digest minhash signatures → 4 bands → skew-capped buckets →
-    * candidate pairs → Jaccard-verified pairs at threshold 0.5. Mirrors
-    * Dedup.nearDupPairs(k=12, bands=4, shingleN=3, maxBucket=10000). */
-  private def lshVerifiedCtes: String = {
+  /** Shared d6/d7 oracle CTE chain: `src` (doc_id, text) → 3-gram
+    * shingles → single-digest minhash signatures → 4 bands →
+    * skew-capped buckets → candidate pairs → Jaccard-verified pairs at
+    * threshold 0.5. Mirrors Dedup.nearDupPairs(k=12, bands=4,
+    * shingleN=3, maxBucket=10000).
+    *
+    * `materialized = true` pins every CTE in the chain with DuckDB's
+    * AS MATERIALIZED: required when the chain feeds a RECURSIVE CTE or
+    * is referenced through long downstream chains (q4) — DuckDB
+    * re-inlines plain CTEs per reference, so each recursion step would
+    * otherwise re-run the whole LSH pipeline (observed: q4's oracle ran
+    * 20+ min inline vs seconds materialized). The single-query oracles
+    * (d6/d7/d15/d20/m9) keep the default — their reference counts are
+    * small and the inline plans are known-fast. */
+  private def lshVerifiedCtes(src: String = "documents",
+                              materialized: Boolean = false): String = {
     val mins = (0 until 12).map(rotMinSql).mkString(", ")
     val bandSelects = (0 until 4).map { b =>
       val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
@@ -168,24 +179,25 @@ object Queries {
       ELSE list_transform(range(1, len(toks) - 1),
         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"""
     val inter = "len(list_filter(a.s, x -> list_contains(b.s, x)))"
-    s"""base AS (
-      SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
-    shs AS (SELECT doc_id, $tri AS s FROM base),
-    tok AS (SELECT doc_id, unnest(s) AS token FROM shs),
-    dig AS (SELECT doc_id, md5(token) AS d FROM tok),
-    sig AS (SELECT doc_id, $mins FROM dig GROUP BY doc_id),
-    bands AS ($bandSelects),
-    ok_bands AS (
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""base AS $m(
+      SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM $src),
+    shs AS $m(SELECT doc_id, $tri AS s FROM base),
+    tok AS $m(SELECT doc_id, unnest(s) AS token FROM shs),
+    dig AS $m(SELECT doc_id, md5(token) AS d FROM tok),
+    sig AS $m(SELECT doc_id, $mins FROM dig GROUP BY doc_id),
+    bands AS $m($bandSelects),
+    ok_bands AS $m(
       SELECT band_idx, band_key FROM bands
       GROUP BY band_idx, band_key HAVING count(*) <= 10000),
-    cand AS (
+    cand AS $m(
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
         AND a.doc_id < b.doc_id
       JOIN ok_bands k
         ON k.band_idx = a.band_idx AND k.band_key = a.band_key),
-    verified AS (
+    verified AS $m(
       SELECT id_a, id_b FROM cand p
       JOIN shs a ON a.doc_id = p.id_a
       JOIN shs b ON b.doc_id = p.id_b
@@ -1455,7 +1467,7 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
-      Some(s"""WITH $lshVerifiedCtes
+      Some(s"""WITH ${lshVerifiedCtes()}
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM verified)
         ORDER BY doc_id""")),
@@ -1471,8 +1483,8 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $lshVerifiedCtes,
-        edges AS (
+      Some(s"""WITH RECURSIVE ${lshVerifiedCtes()},
+        edges AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM verified
           UNION ALL SELECT id_b, id_a FROM verified),
         reach AS (
@@ -3087,16 +3099,19 @@ object Queries {
 
     // ---- Q4: end-to-end training-data pipeline (composition proof) -----
     // The full pretraining recipe as ONE chained query — clean (C4 line
-    // filters) → exact dedup (NFC keep-first) → decontaminate (vs the
-    // src0 benchmark) → score (unigram surprisal) → mix (source-
-    // weighted token budget) — proving the operators COMPOSE: each
-    // stage consumes the previous stage's frame, and the oracle
-    // re-derives every stage in order, so a divergence anywhere in the
-    // chain flips the hash. Every stage keeps its own scale shape
-    // (map-only filter; one fingerprint groupBy; bloom+digest semi-
-    // join; tf-before-vocab-join aggregate; per-(source, bucket)
-    // cumsum) — composition adds no new shuffles beyond the stages'
-    // own.
+    // filters) → exact dedup (NFC keep-first) → near-dedup keeping the
+    // BEST copy (d20's quality-representative policy, score = kept
+    // chars) → cross-doc duplicated-span removal (d16's excision) →
+    // decontaminate (vs the src0 benchmark) → score (unigram
+    // surprisal) → mix (source-weighted token budget) — proving the
+    // operators COMPOSE: each stage consumes the previous stage's
+    // frame, and the oracle re-derives every stage in order, so a
+    // divergence anywhere in the chain flips the hash. Every stage
+    // keeps its own scale shape (map-only filter; one fingerprint
+    // groupBy; member-set-only component labeling; per-affected-doc
+    // coverage arrays + map-side HOF excision; bloom+digest semi-join;
+    // tf-before-vocab-join aggregate; per-(source, bucket) cumsum) —
+    // composition adds no new shuffles beyond the stages' own.
     QueryDef("q4_training_pipeline",
       (s, dir) => {
         val d = t(s, dir, "documents")
@@ -3106,8 +3121,16 @@ object Queries {
           .join(d.select("doc_id", "source"), "doc_id")
           .select(col("doc_id"), col("source"),
             col("text_kept").as("text"))
-        val deduped = Dedup.dropExactDups(cleaned, "doc_id", "text")
-        val corpus = Dedup.decontaminate(deduped,
+        val exact = Dedup.dropExactDups(cleaned, "doc_id", "text")
+        val near = Dedup.dropNearDupsKeepBest(
+            exact.withColumn("__len", length(col("text"))),
+            "doc_id", "text", "__len", threshold = 0.5)
+          .drop("__len")
+        val spanned = Dedup.dropDupSpans(near, "doc_id", "text",
+            n = 8, minDocs = 2)
+          .select(col("doc_id"), col("text_kept").as("text"))
+          .join(near.select("doc_id", "source"), "doc_id")
+        val corpus = Dedup.decontaminate(spanned,
           d.filter(col("source") === "src0"), "doc_id", "text")
         val scored = TextAnalysis.unigramSurprisal(corpus, "doc_id",
           "text")
@@ -3124,32 +3147,84 @@ object Queries {
           ELSE list_transform(range(1, len(toks) - 3),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
               || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
-        raw"""WITH cleaned AS (
+        raw"""WITH RECURSIVE cleaned AS MATERIALIZED (
           SELECT doc_id, source, text FROM documents
           WHERE source <> 'src0'
             AND len(${toksSql("text")}) >= 30),
-        dd AS (
+        dd AS MATERIALIZED (
           SELECT doc_id, source, text FROM cleaned
           QUALIFY row_number() OVER (
             PARTITION BY md5(regexp_replace(
               trim(lower(nfc_normalize(text))), '\s+', ' ', 'g'))
             ORDER BY doc_id) = 1),
+        ${lshVerifiedCtes("dd", materialized = true)},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        members AS MATERIALIZED (
+          SELECT l.id, l.lbl, length(d.text) AS score
+          FROM labels l JOIN dd d ON d.doc_id = l.id),
+        reps AS (
+          SELECT id FROM (
+            SELECT id, row_number() OVER (PARTITION BY lbl
+              ORDER BY score DESC, id) AS rn
+            FROM members) WHERE rn = 1),
+        nd AS MATERIALIZED (
+          SELECT * FROM dd WHERE doc_id NOT IN (
+            SELECT id FROM members
+            WHERE id NOT IN (SELECT id FROM reps))),
+        srtk AS MATERIALIZED (
+          SELECT doc_id, ${toksSql("text")} AS ot,
+            ${toksSql("lower(nfc_normalize(text))")} AS nt
+          FROM nd),
+        srw AS MATERIALIZED (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 7], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 6)) AS i
+            FROM srtk WHERE len(nt) >= 8)),
+        srstats AS MATERIALIZED (SELECT h, count(DISTINCT doc_id) AS nhd,
+            min(doc_id) AS fdoc
+          FROM srw GROUP BY h),
+        srfpos AS MATERIALIZED (SELECT w.h, min(w.p) AS fp
+          FROM srw w JOIN srstats s ON w.h = s.h AND w.doc_id = s.fdoc
+          GROUP BY w.h),
+        srexc AS MATERIALIZED (SELECT w.doc_id, w.p
+          FROM srw w JOIN srstats s ON w.h = s.h
+            JOIN srfpos f ON w.h = f.h
+          WHERE s.nhd >= 2 AND NOT (w.doc_id = s.fdoc AND w.p = f.fp)),
+        srcov AS MATERIALIZED (SELECT DISTINCT e.doc_id, e.p + r.i AS cp
+          FROM srexc e CROSS JOIN (SELECT unnest(range(0, 8)) AS i) r),
+        srtoks AS MATERIALIZED (SELECT doc_id, u['i'] AS p, u['t'] AS tok FROM (
+          SELECT doc_id, unnest(list_transform(ot,
+            (t, i) -> {'i': i, 't': t})) AS u
+          FROM srtk)),
+        spanned AS MATERIALIZED (
+          SELECT t.doc_id, n.source,
+            string_agg(t.tok, ' ' ORDER BY t.p) AS text
+          FROM srtoks t JOIN nd n ON n.doc_id = t.doc_id
+          WHERE NOT EXISTS (SELECT 1 FROM srcov c
+            WHERE c.doc_id = t.doc_id AND c.cp = t.p)
+          GROUP BY t.doc_id, n.source),
         bt AS (
           SELECT ${toksSql("lower(nfc_normalize(text))")} AS toks
           FROM documents WHERE source = 'src0'),
-        bench AS (
+        bench AS MATERIALIZED (
           SELECT DISTINCT substr(md5(unnest($five)), 1, 16) AS bd
           FROM bt),
         ct AS (
           SELECT doc_id, ${toksSql("lower(nfc_normalize(text))")} AS toks
-          FROM dd),
+          FROM spanned),
         corpsh AS (
           SELECT doc_id, substr(md5(unnest($five)), 1, 16) AS bd
           FROM ct),
         bad AS (
           SELECT DISTINCT c.doc_id FROM corpsh c JOIN bench b USING (bd)),
-        corpus AS (
-          SELECT * FROM dd
+        corpus AS MATERIALIZED (
+          SELECT * FROM spanned
           WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
         tk AS (
           SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
@@ -3197,7 +3272,7 @@ object Queries {
         val agree = (0 until 12).map(i =>
           s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
           .mkString(" + ")
-        s"""WITH $lshVerifiedCtes
+        s"""WITH ${lshVerifiedCtes()}
           SELECT c.id_a, c.id_b,
             CAST($agree AS DOUBLE) / CAST(12 AS DOUBLE) AS est_jaccard
           FROM cand c
@@ -3703,7 +3778,7 @@ object Queries {
         threshold = 0.5)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $lshVerifiedCtes,
+      Some(s"""WITH RECURSIVE ${lshVerifiedCtes()},
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM verified
           UNION ALL SELECT id_b, id_a FROM verified),
@@ -3749,7 +3824,7 @@ object Queries {
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       },
-      Some(s"""WITH $lshVerifiedCtes
+      Some(s"""WITH ${lshVerifiedCtes()}
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id >= 250
           AND doc_id NOT IN (SELECT id_b FROM verified)

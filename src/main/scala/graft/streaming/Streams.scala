@@ -31,7 +31,7 @@ object Streams {
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    graft.util.Timestamps.nanosLongToMicros(raw, "ts")
+    graft.util.Timestamps.normalizeEventTs(raw, "ts")
   }
 
   /** Watermarked tumbling-window count/sum per event_type. */

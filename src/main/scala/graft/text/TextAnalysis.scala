@@ -233,14 +233,25 @@ object TextAnalysis {
     * `maxPerMille`/1000 — the threshold compares EXACT integers
     * (`n_flagged·1000 ≤ maxPerMille·n_toks`), so the cut never moves
     * with float rounding. Zero-token docs are kept (nothing flagged —
-    * the d8 "cannot be contaminated" direction). */
+    * the d8 "cannot be contaminated" direction).
+    *
+    * MAP-ONLY: the stats are per-row expressions, so the predicate
+    * inlines them and fuses into the scan — no self anti-join, no
+    * second scan (the pre-r14 form joined against the flagged-id
+    * frame), and the filter composes statelessly onto a stream
+    * (StreamsSpec). */
   def dropFlagged(df: DataFrame, idCol: String, textCol: String,
                   blocklist: Seq[String], maxPerMille: Long): DataFrame = {
-    val bad = flaggedTokenStats(df, idCol, textCol, blocklist)
-      .filter(col("n_flagged") * lit(1000L) >
-        lit(maxPerMille) * col("n_toks"))
-      .select(col(idCol))
-    df.join(bad, Seq(idCol), "left_anti")
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    // null text coalesces to zero tokens → kept (a null predicate
+    // would silently DROP the row — the QueriesEdgeSpec contract)
+    val toks = coalesce(CaptionStats.tokens(lower(col(textCol))),
+      array().cast("array<string>"))
+    val nToks = size(toks).cast("long")
+    val nFlagged = size(filter(toks, t => array_contains(bl, t)))
+      .cast("long")
+    df.filter(nToks === 0L ||
+      nFlagged * lit(1000L) <= lit(maxPerMille) * nToks)
   }
 
   /** C4-style LINE filters (Raffel et al. 2020 §2.2) — the boilerplate
@@ -555,19 +566,102 @@ object TextAnalysis {
       (5 to 10).map(n => s"dup${n}_chars")
     val filled = covCols.foldLeft(joined)((d, cn) =>
       d.withColumn(cn, coalesce(col(cn), lit(0L))))
-    // (threshold numerator, threshold denominator) per metric: frac ≤ d/n
-    val gramRules = Seq(
-      ("top2_chars", 5L, 1L), ("top3_chars", 50L, 9L),
-      ("top4_chars", 25L, 4L), ("dup5_chars", 20L, 3L),
-      ("dup6_chars", 50L, 7L), ("dup7_chars", 100L, 13L),
-      ("dup8_chars", 25L, 3L), ("dup9_chars", 100L, 11L),
-      ("dup10_chars", 10L, 1L))
-    val keep = gramRules
-      .map { case (cn, m, k) => lit(m) * col(cn) <= lit(k) * col("tc") }
+    val keep = (topGramRules.map { case (n, m, k) =>
+        lit(m) * col(s"top${n}_chars") <= lit(k) * col("tc") } ++
+      dupGramRules.map { case (n, m, k) =>
+        lit(m) * col(s"dup${n}_chars") <= lit(k) * col("tc") })
       .reduce(_ && _) &&
       lit(10L) * col("n_dup_sents") <= lit(3L) * col("n_sents") &&
       lit(5L) * col("dup_sent_chars") <= col("sum_sent_chars")
     filled.withColumn("keep", keep.cast("long"))
+  }
+
+  /** The paper's per-n thresholds as (n, numerator m, denominator k):
+    * keep iff m·coverage_chars ≤ k·doc_chars. ONE definition shared by
+    * the distributed rollup ([[gopherRepetitionStats]]) and the in-row
+    * expression ([[gopherRepetitionKeep]]) so the two can never
+    * drift. */
+  private val topGramRules: Seq[(Int, Long, Long)] =
+    Seq((2, 5L, 1L), (3, 50L, 9L), (4, 25L, 4L))
+  private val dupGramRules: Seq[(Int, Long, Long)] =
+    Seq((5, 20L, 3L), (6, 50L, 7L), (7, 100L, 13L),
+      (8, 25L, 3L), (9, 100L, 11L), (10, 10L, 1L))
+
+  /** The t15 repetition KEEP verdict as a single per-row COLUMN
+    * expression — the streaming-composable form of
+    * [[gopherRepetitionStats]]'s `keep` bit (same metrics, same
+    * [[topGramRules]]/[[dupGramRules]] thresholds; spec-pinned equal
+    * on the corpus fixture).
+    *
+    * The distributed form exists because the gram table must explode
+    * and map-combine at batch scale. In a STREAM the unit of work is
+    * one doc in one row and append-mode forbids cross-row state
+    * anyway, so in-row is the right shape — and it stays CHEAP: per
+    * gram size, the grams are sorted once and all counts fall out of
+    * ONE run-length fold over the sorted array (equal grams are
+    * adjacent; a run ending finalizes its count into the running
+    * top/dup accumulators). O(L log L) per n, constant work per
+    * lambda step — the naive count-per-distinct-gram form re-built the
+    * gram array inside the filter lambda, O(L³), and stalled a 500-doc
+    * micro-batch past two minutes.
+    *
+    * Tie rule for the top gram (max count, ties → lexicographically
+    * smallest) holds because runs arrive in sorted order and only a
+    * STRICTLY greater count displaces the champion. */
+  def gopherRepetitionKeep(c: Column): Column = {
+    val toks = CaptionStats.tokens(lower(c))
+    val tc = length(c).cast("long")
+    val sents = CaptionStats.sentences(c)
+    val dupSents = filter(sents, s => size(filter(sents, x => x === s)) > 1)
+    def grams(n: Int): Column =
+      when(size(toks) >= n, transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    // (topcov, dupcov) for one gram size via run-length over the sorted
+    // gram array. Accumulator: (prev gram, its run length so far, best
+    // count, best gram, Σ dup coverage). Tokens are non-empty so a real
+    // gram never equals the "" sentinel.
+    def covs(n: Int): Column =
+      aggregate(
+        sort_array(grams(n)),
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("topc"), lit("").as("topg"), lit(0L).as("dup")),
+        (acc, g) => {
+          val prev = acc.getField("prev"); val run = acc.getField("run")
+          val topc = acc.getField("topc"); val topg = acc.getField("topg")
+          val dup = acc.getField("dup")
+          val same = g === prev
+          val ends = !same && run > 0L
+          struct(g.as("prev"),
+            when(same, run + 1L).otherwise(lit(1L)).as("run"),
+            when(ends && run > topc, run).otherwise(topc).as("topc"),
+            when(ends && run > topc, prev).otherwise(topg).as("topg"),
+            when(ends && run > 1L,
+              dup + run * length(prev).cast("long"))
+              .otherwise(dup).as("dup"))
+        },
+        acc => {
+          // finalize the trailing run, emit (topcov, dupcov)
+          val prev = acc.getField("prev"); val run = acc.getField("run")
+          val topc = acc.getField("topc"); val topg = acc.getField("topg")
+          val dup = acc.getField("dup")
+          val topc2 = when(run > topc, run).otherwise(topc)
+          val topg2 = when(run > topc, prev).otherwise(topg)
+          val dup2 = when(run > 1L,
+            dup + run * length(prev).cast("long")).otherwise(dup)
+          struct((topc2 * length(topg2).cast("long")).as("topcov"),
+            dup2.as("dupcov"))
+        })
+    (topGramRules.map { case (n, m, k) =>
+        lit(m) * covs(n).getField("topcov") <= lit(k) * tc } ++
+      dupGramRules.map { case (n, m, k) =>
+        lit(m) * covs(n).getField("dupcov") <= lit(k) * tc })
+      .reduce(_ && _) &&
+      lit(10L) * size(dupSents).cast("long") <=
+        lit(3L) * size(sents).cast("long") &&
+      lit(5L) * aggregate(dupSents, lit(0L), (a, s) => a + length(s)) <=
+        aggregate(sents, lit(0L), (a, s) => a + length(s))
   }
 
   /** The COMBINED Gopher pass (Rae et al. 2021 §A1.1 applies both rule

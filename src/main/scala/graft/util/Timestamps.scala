@@ -19,8 +19,10 @@ object Timestamps {
     *    identically to DuckDB's naive-µs reading of the same file;
     *  - TimestampType → already normal.
     * ONE definition shared by batch, streaming, and specs so the
-    * "streamed ≡ batch" invariant and the oracle semantics can't drift. */
-  def nanosLongToMicros(df: DataFrame, tsCol: String): DataFrame =
+    * "streamed ≡ batch" invariant and the oracle semantics can't drift.
+    * (Named for what it guarantees — a normalized event-time column —
+    * not for any one physical-form branch; formerly nanosLongToMicros.) */
+  def normalizeEventTs(df: DataFrame, tsCol: String): DataFrame =
     df.schema(tsCol).dataType.typeName match {
       case "long" =>
         df.withColumn(tsCol, expr(

@@ -39,7 +39,7 @@ class NativeAsOfSpec extends SparkSpec {
 
   test("self-join shape (both sides from one source, j11's): shared " +
     "exprIds are re-aliased, results match the window form") {
-    val ev = graft.util.Timestamps.nanosLongToMicros(
+    val ev = graft.util.Timestamps.normalizeEventTs(
         spark.read.parquet(s"$sf0001/events.parquet"), "ts")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"),

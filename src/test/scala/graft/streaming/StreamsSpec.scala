@@ -27,7 +27,7 @@ class StreamsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("stream").toFile.getAbsolutePath
     // copy a slice of events to a standalone stream source dir
     val src = spark.read.parquet(s"$sf0001/events.parquet")
-    val ev = graft.util.Timestamps.nanosLongToMicros(src, "ts")
+    val ev = graft.util.Timestamps.normalizeEventTs(src, "ts")
     ev.write.parquet(s"$dir/src")
 
     val streamed = Streams.backfillWindowed(spark, s"$dir/src",
@@ -85,7 +85,7 @@ class StreamsSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = Files.createTempDirectory("slide").toFile.getAbsolutePath
     val src = spark.read.parquet(s"$sf0001/events.parquet")
-    val ev = graft.util.Timestamps.nanosLongToMicros(src, "ts")
+    val ev = graft.util.Timestamps.normalizeEventTs(src, "ts")
     ev.write.parquet(s"$dir/src")
     val q = Streams.slidingCounts(
       Streams.eventStream(spark, s"$dir/src"),
@@ -262,6 +262,69 @@ class StreamsSpec extends SparkSpec {
           r.getAs[Number]("n_lines_kept").longValue).toMap
       got shouldBe batch
     } finally gracefulStop(q)
+  }
+
+  test("blocklist + Gopher filters compose onto a stream statelessly: " +
+    "streamed survivors equal each batch operator (t13/t14/t15/t16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchDf = docs.toDF("doc_id", "text")
+    def drive(name: String,
+              f: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.DataFrame): Set[Long] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(docs: _*)
+      val q = f(input.toDF().toDF("doc_id", "text"))
+        .select("doc_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        val done = q.awaitTermination(120000)
+        q.exception.foreach(e => fail(s"stream $name failed: $e"))
+        if (!done) {
+          info(s"$name still active after 120s: status=${q.status}")
+          q.recentProgress.foreach(p =>
+            info(s"$name batch ${p.batchId}: in=${p.numInputRows} " +
+              s"dur=${p.durationMs}"))
+        }
+        spark.sql(s"SELECT doc_id FROM $name").collect()
+          .map(_.getAs[Number]("doc_id").longValue).toSet
+      } finally gracefulStop(q)
+    }
+    // t13 blocklist (map-only since r14 — no anti-join to state-block)
+    val t13 = (d: org.apache.spark.sql.DataFrame) =>
+      graft.text.TextAnalysis.dropFlagged(d, "doc_id", "text",
+        Seq("table", "key"), maxPerMille = 60L)
+    // t14 Gopher format keep (inlined per-row predicate)
+    val t14 = (d: org.apache.spark.sql.DataFrame) =>
+      graft.text.TextAnalysis.gopherDropLowQuality(d, "text",
+        minWords = 20L, maxWords = 100000L, minStopHits = 1L)
+    // t15 repetition keep via the in-row expression
+    val t15 = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(graft.text.TextAnalysis.gopherRepetitionKeep(col("text")))
+    // t16 composite = format ∧ repetition, both per-row
+    val t16 = (d: org.apache.spark.sql.DataFrame) => t15(t14(d))
+    drive("t13_out", t13) shouldBe
+      t13(batchDf).collect().map(_.getLong(0)).toSet
+    drive("t14_out", t14) shouldBe
+      t14(batchDf).collect().map(_.getLong(0)).toSet
+    val t15Stream = drive("t15_out", t15)
+    t15Stream shouldBe graft.text.TextAnalysis
+      .gopherRepetitionStats(batchDf, "doc_id", "text")
+      .filter(col("keep") === 1L).collect().map(_.getLong(0)).toSet
+    // the composite twin must also equal the BATCH gopherFilter (which
+    // routes repetition through the distributed rollup)
+    drive("t16_out", t16) shouldBe graft.text.TextAnalysis
+      .gopherFilter(batchDf, "doc_id", "text",
+        minWords = 20L, minStopHits = 1L)
+      .collect().map(_.getLong(0)).toSet
   }
 
   test("stream-stream interval join pairs within the lookback, across " +

@@ -321,6 +321,44 @@ class TextAnalysisSpec extends SparkSpec {
       7L, 10L, 14L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
   }
 
+  test("gopherRepetitionKeep (in-row streaming form) ≡ the distributed " +
+    "keep bit: hand fixtures incl. tie/overlap cases + the corpus fixture") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, "ab cd ef."), (2L, (0 until 30).map(i => f"t$i%02d").mkString(" ")),
+      (3L, Seq.fill(3)("p q r s t").mkString(" ")), (4L, ""),
+      (5L, "xx. xx. yy zz.")).toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    for (d <- Seq(hand, corpus)) {
+      val dist = TextAnalysis.gopherRepetitionStats(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inRow = d.select(col("doc_id"),
+        TextAnalysis.gopherRepetitionKeep(col("text")).cast("long").as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      inRow shouldBe dist
+    }
+  }
+
+  test("dropFlagged is map-only: no Exchange in the plan (streaming-" +
+    "composable), keeps zero-token docs, exact at the threshold") {
+    import spark.implicits._
+    val d = Seq((1L, "bad bad good good good good good good good bad"),
+      (2L, "bad bad good good good good good good bad"),
+      (3L, "   "), (4L, "all clean text here")).toDF("doc_id", "text")
+    // 3/10 flagged at 300‰ keeps (exact boundary); 3/9 drops
+    val kept = TextAnalysis.dropFlagged(d, "doc_id", "text",
+      Seq("BAD"), maxPerMille = 300L)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 3L, 4L)
+    val plan = TextAnalysis.dropFlagged(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+      Seq("table"), 60L).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("gopherFilter = exact intersection of the t14 format keep and the " +
     "t15 repetition keep over the corpus fixture; original columns out") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
