@@ -3121,17 +3121,28 @@ object Queries {
           .join(d.select("doc_id", "source"), "doc_id")
           .select(col("doc_id"), col("source"),
             col("text_kept").as("text"))
+        // Stage boundaries TRUNCATE LINEAGE (eager localCheckpoint):
+        // every stage references its input ≥2× (joins), so a fully
+        // lazy seven-stage chain re-evaluates the expensive front
+        // (c4 → exact dedup → LSH) multiplicatively — measured ~4× on
+        // this query at sf0.1. Checkpoint blocks are ContextCleaner-
+        // collected once the result frame is dropped; the production
+        // analogue at 100 TB is Pipeline's per-stage parquet
+        // checkpoints (R3), which also give restart resume.
         val exact = Dedup.dropExactDups(cleaned, "doc_id", "text")
+          .localCheckpoint()
         val near = Dedup.dropNearDupsKeepBest(
             exact.withColumn("__len", length(col("text"))),
             "doc_id", "text", "__len", threshold = 0.5)
           .drop("__len")
+          .localCheckpoint()
         val spanned = Dedup.dropDupSpans(near, "doc_id", "text",
             n = 8, minDocs = 2)
           .select(col("doc_id"), col("text_kept").as("text"))
           .join(near.select("doc_id", "source"), "doc_id")
         val corpus = Dedup.decontaminate(spanned,
           d.filter(col("source") === "src0"), "doc_id", "text")
+          .localCheckpoint()
         val scored = TextAnalysis.unigramSurprisal(corpus, "doc_id",
           "text")
         val withW = corpus.select("doc_id", "source")
