@@ -1097,6 +1097,46 @@ object Queries {
         FROM tf JOIN counts USING (tok) CROSS JOIN st
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- T17: CCNet perplexity buckets (head / middle / tail) ----------
+    // Wenzek et al. 2020 §4.3: rank docs within each source by LM score
+    // (t11 surprisal as the score) and split into thirds — the standard
+    // train-on-head-and-middle curation knob. Buckets come from PURE
+    // INTEGER rank arithmetic (⌊3·(rank−1)/n⌋ over the (mean_bits, id)
+    // total order), never interpolated boundary values — a last-ulp
+    // boundary disagreement would flip every doc on it; both engines
+    // spell the identical row_number expression. At-scale knob:
+    // spark.graft.quantiles.approx swaps the per-source Window for a
+    // map-combined percentile_approx sketch + broadcast threshold.
+    QueryDef("t17_surprisal_buckets",
+      (s, dir) => TextAnalysis.surprisalBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+          FROM tk GROUP BY doc_id, tok),
+        counts AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+          FROM tf GROUP BY tok),
+        st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        sc AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+            CAST(CAST(sum(tf * (length(bin(total)) - length(bin(cnt))))
+                AS BIGINT) AS DOUBLE)
+              / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS mean_bits
+          FROM tf JOIN counts USING (tok) CROSS JOIN st
+          GROUP BY doc_id),
+        sd AS (
+          SELECT s.doc_id, d.source, s.n_toks, s.mean_bits,
+            row_number() OVER (PARTITION BY d.source
+              ORDER BY s.mean_bits, s.doc_id) AS rn,
+            count(*) OVER (PARTITION BY d.source) AS n
+          FROM sc s JOIN documents d USING (doc_id))
+        SELECT doc_id, source, n_toks, mean_bits,
+          (['head', 'middle', 'tail'])[
+            CAST(((rn - 1) * 3) // n AS INT) + 1] AS bucket
+        FROM sd ORDER BY doc_id""")),
+
     // ---- M13: bigram surprisal (integer-exact first-order LM) ----------
     // t11 upgraded to a context-sensitive model: token i scores the
     // bit-length of its corpus bigram probability count(prev,cur)/

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.enrich.CaptionStats
@@ -324,6 +325,59 @@ object TextAnalysis {
         sum(col("tf") * bits.cast("long")).as("total_bits"))
       .withColumn("mean_bits",
         col("total_bits").cast("double") / col("n_toks").cast("double"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    * every document WITHIN ITS SOURCE by LM score ([[unigramSurprisal]]
+    * mean bits — CCNet uses a KenLM perplexity; the bucketing is
+    * score-agnostic) and split each source into equal thirds —
+    * `head` (lowest surprisal, most fluent), `middle`, `tail`. CCNet
+    * trains on head+middle and drops or down-samples tail; the bucket
+    * column is the standard curation knob.
+    *
+    * Buckets are defined by PURE INTEGER RANK arithmetic — bucket =
+    * ⌊3·(rank−1)/n⌋ over the (mean_bits, id) total order — never by
+    * interpolated quantile BOUNDARY values: an interpolated boundary is
+    * a derived double, and a last-ulp disagreement between engines
+    * would flip every doc sitting on it (the oracle mirrors the same
+    * row_number arithmetic; the id tiebreak makes the order total, so
+    * ties at a boundary split deterministically). CCNet itself buckets
+    * by rank thirds, so this is also the faithful semantics.
+    *
+    * Scale shape: the surprisal frame is t11's (one vocabulary-sized
+    * shuffle); the exact ranking is a per-source Window — fine for
+    * thousands of sources, a funnel for very few giant ones. At 100 TB
+    * set `spark.graft.quantiles.approx=true`: tercile boundary VALUES
+    * come from a map-combined `percentile_approx` sketch per source
+    * (no Window anywhere) and docs bucket by a broadcast threshold
+    * compare — approximate only within the sketch's error at the two
+    * boundaries. */
+  def surprisalBuckets(df: DataFrame, idCol: String, textCol: String,
+                       srcCol: String): DataFrame = {
+    val scored = unigramSurprisal(df, idCol, textCol)
+      .join(df.select(col(idCol), col(srcCol)), Seq(idCol))
+    val conf = df.sparkSession.conf
+    if (conf.get("spark.graft.quantiles.approx", "false").toBoolean) {
+      val acc = conf.get("spark.graft.quantiles.accuracy", "10000").toInt
+      val b = scored.groupBy(col(srcCol))
+        .agg(percentile_approx(col("mean_bits"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(acc)).as("__bs"))
+      scored.join(broadcast(b), Seq(srcCol))
+        .select(col(idCol), col(srcCol), col("n_toks"), col("mean_bits"),
+          when(col("mean_bits") <= element_at(col("__bs"), 1), "head")
+            .when(col("mean_bits") <= element_at(col("__bs"), 2), "middle")
+            .otherwise("tail").as("bucket"))
+    } else {
+      val w = Window.partitionBy(col(srcCol))
+        .orderBy(col("mean_bits"), col(idCol))
+      val wAll = Window.partitionBy(col(srcCol))
+      scored.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .select(col(idCol), col(srcCol), col("n_toks"), col("mean_bits"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            expr("CAST(((__rn - 1) * 3) div __n AS INT)") + 1)
+            .as("bucket"))
+    }
   }
 
   /** Per-document BIGRAM surprisal — [[unigramSurprisal]] upgraded to a

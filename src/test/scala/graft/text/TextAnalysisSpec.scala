@@ -321,6 +321,37 @@ class TextAnalysisSpec extends SparkSpec {
       7L, 10L, 14L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
   }
 
+  test("surprisalBuckets: each source splits into rank thirds (sizes " +
+    "differ ≤1), scores order head ≤ middle ≤ tail; approx knob keeps " +
+    "the ordering with no Window in the plan") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val r = TextAnalysis.surprisalBuckets(d, "doc_id", "text", "source")
+    val rows = r.collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { g =>
+      val sizes = g.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.length).toMap
+      (sizes.values.max - sizes.values.min) should be <= 1
+      def scores(b: String) = g.filter(_.getAs[String]("bucket") == b)
+        .map(_.getAs[Double]("mean_bits"))
+      scores("head").max should be <= scores("middle").min + 1e-12
+      scores("middle").max should be <= scores("tail").min + 1e-12
+    }
+    spark.conf.set("spark.graft.quantiles.approx", "true")
+    try {
+      val ra = TextAnalysis.surprisalBuckets(d, "doc_id", "text", "source")
+      ra.queryExecution.executedPlan.toString should not include "Window"
+      val ga = ra.collect().groupBy(_.getAs[String]("source"))
+      ga.values.foreach { g =>
+        def scores(b: String) = g.filter(_.getAs[String]("bucket") == b)
+          .map(_.getAs[Double]("mean_bits"))
+        for (Seq(lo, hi) <- Seq("head", "middle", "tail").sliding(2)
+             if scores(lo).nonEmpty && scores(hi).nonEmpty)
+          scores(lo).max should be <= scores(hi).min + 1e-12
+      }
+    } finally spark.conf.set("spark.graft.quantiles.approx", "false")
+  }
+
   test("gopherRepetitionKeep (in-row streaming form) ≡ the distributed " +
     "keep bit: hand fixtures incl. tie/overlap cases + the corpus fixture") {
     import spark.implicits._
