@@ -2816,6 +2816,64 @@ object Queries {
         SELECT doc_id, substr(md5(tok), 1, 1) AS bucket, count(*) AS tf
         FROM tk GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
 
+    // ---- M15: linear quality classifier (batch perceptron) -------------
+    // The GPT-3 / CCNet curated-vs-crawl document classifier restated
+    // oracle-checkably: a batch PERCEPTRON over the m8 hashed integer
+    // features (+bias) — no sigmoid, no learning rate, no float
+    // gradient, so weights/scores/predictions are exact integers and
+    // bit-identical under any partitioning (float GD's order-dependent
+    // sums and libm exp could never hash-match). Label: src1 = curated
+    // (+1) vs the rest (−1). Three epochs re-derived round-by-round in
+    // SQL (the m12 MATERIALIZED-CTE discipline) — a divergence in any
+    // round's update flips the hash. Per round the engine runs one
+    // filter + one ≤17-key map-combined aggregate; driver state is 17
+    // longs (k-means/BPE/PageRank round shape).
+    QueryDef("m15_quality_classifier",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val labeled = d.withColumn("__y",
+          when(col("source") === "src1", 1L).otherwise(-1L))
+        val w = graft.ml.LinearClassifier.trainPerceptron(
+          labeled, "text", "__y", rounds = 3)
+        graft.ml.LinearClassifier.score(d, "doc_id", "text", w)
+          .orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""s$r AS MATERIALIZED (
+          SELECT f.doc_id, f.y, CAST(sum(f.v * w.w) AS BIGINT) AS dotp
+          FROM fx f JOIN w${r - 1} w USING (dim)
+          GROUP BY f.doc_id, f.y),
+        u$r AS (
+          SELECT fx.dim, CAST(sum(fx.y * fx.v) AS BIGINT) AS u
+          FROM fx JOIN s$r ON fx.doc_id = s$r.doc_id
+          WHERE s$r.y * s$r.dotp <= 0 GROUP BY fx.dim),
+        w$r AS MATERIALIZED (
+          SELECT w${r - 1}.dim, w${r - 1}.w + coalesce(u$r.u, 0) AS w
+          FROM w${r - 1} LEFT JOIN u$r USING (dim))"""
+        }.mkString(",\n        ")
+        s"""WITH feat AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN source = 'src1' THEN 1 ELSE -1 END AS y,
+            ${toksSql("lower(text)")} AS toks
+          FROM documents),
+        fx AS MATERIALIZED (
+          SELECT doc_id, y, d.dim,
+            CAST(CASE WHEN d.dim = 17 THEN 1
+              ELSE len(list_filter(toks, t -> substr(md5(t), 1, 1) =
+                substr('0123456789abcdef', d.dim, 1))) END AS BIGINT) AS v
+          FROM feat, (SELECT unnest(range(1, 18)) AS dim) d),
+        w0 AS (
+          SELECT dim, CAST(0 AS BIGINT) AS w
+          FROM (SELECT unnest(range(1, 18)) AS dim)),
+        $rounds
+        SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS score,
+          CAST(CASE WHEN sum(f.v * w.w) > 0 THEN 1 ELSE -1 END AS BIGINT)
+            AS pred
+        FROM fx f JOIN w3 w USING (dim)
+        GROUP BY f.doc_id ORDER BY f.doc_id"""
+      }),
+
     // ---- N5: per-dimension embedding stats (feature scaling) -----------
     // The min-max-normalization prerequisite: per dimension, exact min /
     // max / sign counts over the corpus (comparisons and integer counts
