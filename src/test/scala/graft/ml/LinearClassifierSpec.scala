@@ -28,12 +28,15 @@ class LinearClassifierSpec extends SparkSpec {
     val pos = (1 to 8).map(i => (i.toLong, s"alpha alpha beta x$i", 1L))
     val neg = (9 to 16).map(i => (i.toLong, s"gamma delta delta x$i", -1L))
     val d = (pos ++ neg).toDF("doc_id", "text", "y")
+    // cache-release is relative: other suites share this session and may
+    // hold their own caches — training must not ADD one
+    val emptyBefore = spark.sharedState.cacheManager.isEmpty
     val w = LinearClassifier.trainPerceptron(d, "text", "y", rounds = 10)
     val preds = LinearClassifier.score(d, "doc_id", "text", w)
       .join(d.select("doc_id", "y"), "doc_id")
       .filter(col("pred") =!= col("y")).count()
     preds shouldBe 0L
-    spark.sharedState.cacheManager.isEmpty shouldBe true
+    spark.sharedState.cacheManager.isEmpty shouldBe emptyBefore
   }
 
   test("scoring is map-only: no Exchange in the plan") {
