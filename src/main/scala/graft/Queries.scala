@@ -2649,6 +2649,51 @@ object Queries {
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
+    // ---- K9: token-balanced training shards ----------------------------
+    // A trainer reading N shards in parallel is throttled by the
+    // HEAVIEST one, so shards must balance on tokens, not row counts
+    // (row-hash partitioning skews by doc length). Layout.balancedShards
+    // cuts the md5-permutation line at every total/N token mark via the
+    // o8/p9 distributed cumsum (bucketed, no single-reducer sort), the
+    // frame writes partitionBy(shard) — the k7 layout path — and the
+    // read-back per-shard manifest is the oracle subject: assignment,
+    // balance, and the partitioned roundtrip all hash-checked at once.
+    QueryDef("k9_balanced_shards",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          size(CaptionStats.tokens(lower(col("text"))))
+            .cast("long").as("n_toks"))
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/shards"
+        graft.analytics.Layout.balancedShards(docs, "doc_id", "n_toks",
+            nShards = 8)
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id,
+            CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS n_toks
+          FROM documents),
+        tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM tk),
+        o AS (
+          SELECT doc_id, n_toks,
+            sum(n_toks) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tk),
+        a AS (
+          SELECT doc_id, n_toks,
+            CAST(((cum - n_toks) * 8) // total AS INT) AS shard
+          FROM o CROSS JOIN tot)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS shard_toks,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM a GROUP BY shard ORDER BY shard""")),
+
     // ---- W5: lag / cume_dist / ntile window ----------------------------
     // The remaining analytic-window family: per-customer order history
     // with the previous-order delta (lag), running distribution position

@@ -117,4 +117,29 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** WEIGHT-BALANCED shard assignment — the training-shard writer's
+    * prerequisite: a trainer reading N shards in parallel is throttled
+    * by the heaviest one, so shards must balance on TOKENS, not on row
+    * counts (row-hash partitioning skews by document length). Adds
+    * `shard` ∈ [0, nShards): rows are laid on the engine's md5
+    * permutation line (deterministic from the data, uniform, engine-
+    * portable) and the line is cut at every total/nShards weight mark —
+    * shard = ⌊start·n/total⌋ where start is the row's exclusive
+    * global cumulative weight ([[Cumsum.mdOrderCumsum]]: md5-prefix
+    * buckets + literal offsets, never a single-reducer sort). Every
+    * shard's weight lands within one max-row-weight of total/n.
+    * Follow with `.write.partitionBy("shard")` (the k7 layout path).
+    *
+    * `start·nShards` must fit a long: fine through 10¹⁴ total tokens ×
+    * 10⁴ shards; beyond that pre-scale the weight column. */
+  def balancedShards(df: DataFrame, keyCol: String, weightCol: String,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val (cum, total) = Cumsum.mdOrderCumsum(df, keyCol, weightCol)
+    cum.withColumn("shard",
+      expr(s"CAST(((__cum - coalesce($weightCol, 0)) * $nShards) " +
+        s"DIV $total AS INT)"))
+      .drop("__cum")
+  }
 }

@@ -232,4 +232,34 @@ class LayoutSpec extends SparkSpec {
     // overwrite mode would have dropped them all
     (after - "src3") shouldBe (before - "src3")
   }
+
+  test("balancedShards: every shard's weight within one max-row-weight " +
+    "of total/n, ids exactly [0, n), deterministic across runs, and a " +
+    "monster row cannot push a shard past ideal + its own weight") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val n = 8
+    def run() = graft.analytics.Layout
+      .balancedShards(docs, "doc_id", "w", n)
+      .groupBy("shard").agg(sum("w").as("sw"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val a = run()
+    a.keySet shouldBe (0 until n).toSet
+    val total = a.values.sum
+    val maxW = docs.agg(max("w")).head.getLong(0)
+    val ideal = total.toDouble / n
+    a.values.foreach { sw =>
+      sw.toDouble should be <= ideal + maxW
+      sw.toDouble should be >= ideal - maxW
+    }
+    run() shouldBe a // md5 order is data-derived → bit-stable
+    // a single monster row lands in ONE shard; the others stay balanced
+    val skewed = docs.union(Seq((100000L, total)).toDF("doc_id", "w"))
+    val b = graft.analytics.Layout
+      .balancedShards(skewed, "doc_id", "w", n)
+      .groupBy("shard").agg(sum("w").as("sw"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    b.values.count(_ > total) shouldBe 1
+  }
 }
