@@ -4095,6 +4095,89 @@ object Queries {
         GROUP BY token ORDER BY token"""
       }),
 
+    // ---- Q5: tokenize-and-pack pipeline (composition proof #2) ---------
+    // The TOKENIZATION half of the training-data loop, end to end in one
+    // query (q4 is the curation half): train a BPE vocabulary on the
+    // corpus word histogram (m12's 8 rounds), segment, and pack
+    // documents into fixed 512-subword training bins (p9's cut of the
+    // md5 permutation line). The scale discipline that makes it cheap:
+    // segmentation is PRICED ON THE VOCABULARY, not the corpus — each
+    // distinct word segments once (vocabulary-sized frame), docs get
+    // their subword counts through a broadcast word join of the per-doc
+    // tf aggregate. The oracle re-derives training round-by-round
+    // (m12's MATERIALIZED chain, with the word carried through so
+    // per-word subword counts survive), then the same cumsum manifest —
+    // a divergence in any merge, any count, or the packing flips the
+    // hash. Docs participate iff they have ≥1 trainable [a-z]+ token.
+    QueryDef("q5_tokenize_pack",
+      (s, dir) => {
+        val tk = t(s, dir, "documents").select(col("doc_id"),
+          explode(CaptionStats.tokens(lower(col("text")))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+        val words = tk.groupBy("w").agg(count(lit(1)).as("n"))
+        val merges = Bpe.learnMerges(words, "w", "n", nMerges = 8)
+        val wsub = words.select(col("w"),
+          size(Bpe.segment(col("w"), merges.map(m => (m._1, m._2))))
+            .cast("long").as("n_sub"))
+        val perDoc = tk.groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("tf"))
+          .join(broadcast(wsub), "w")
+          .groupBy("doc_id")
+          .agg(sum(col("tf") * col("n_sub")).as("n_bpe"))
+        val (cum, _) = graft.analytics.Cumsum.mdOrderCumsum(
+          perDoc, "doc_id", "n_bpe")
+        cum.withColumn("bin", expr("(__cum - n_bpe) DIV 512"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("bin_bpe"))
+          .orderBy("bin")
+      },
+      Some {
+        val iters = (1 to 8).map { i =>
+          s"""t$i AS MATERIALIZED (
+            SELECT ' ' || a || ' ' || b || ' ' AS pat,
+              ' ' || a || b || ' ' AS rep
+            FROM (SELECT l[i] AS a, l[i + 1] AS b, sum(n) AS c
+              FROM (SELECT l, n, unnest(range(1, len(l))) AS i
+                FROM (SELECT string_split(trim(s), ' ') AS l, n
+                  FROM w${i - 1}))
+              GROUP BY 1, 2)
+            ORDER BY c DESC, a, b LIMIT 1),
+          w$i AS MATERIALIZED (
+            SELECT w, replace(s, (SELECT pat FROM t$i),
+              (SELECT rep FROM t$i)) AS s, n FROM w${i - 1})"""
+        }.mkString(",\n        ")
+        s"""WITH tk AS MATERIALIZED (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(${toksSql("lower(text)")}) AS w
+            FROM documents)
+          WHERE regexp_matches(w, '^[a-z]+$$')),
+        words AS MATERIALIZED (
+          SELECT w, count(*) AS n FROM tk GROUP BY w),
+        w0 AS MATERIALIZED (
+          SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
+          FROM words),
+        $iters,
+        wsub AS MATERIALIZED (
+          SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+            AS n_sub
+          FROM w8),
+        pd AS MATERIALIZED (
+          SELECT t.doc_id, CAST(sum(t.cnt * wsub.n_sub) AS BIGINT)
+            AS n_bpe
+          FROM (SELECT doc_id, w, count(*) AS cnt FROM tk GROUP BY 1, 2)
+            t JOIN wsub USING (w)
+          GROUP BY t.doc_id),
+        o AS (
+          SELECT doc_id, n_bpe,
+            sum(n_bpe) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM pd)
+        SELECT CAST((cum - n_bpe) // 512 AS BIGINT) AS bin,
+          count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS bin_bpe
+        FROM o GROUP BY 1 ORDER BY bin"""
+      }),
+
     // ---- M10: BM25 retrieval (top-k docs for a term query) -------------
     // The classic lexical-retrieval scorer, the workhorse for sourcing
     // pretraining/RAG candidates: score(d) = Σ_t idf(t) · tf·(k1+1) /
