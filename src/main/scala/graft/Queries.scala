@@ -4412,6 +4412,50 @@ object Queries {
           '\s+', ' ', 'g')) AS clean
         FROM h ORDER BY doc_id""")),
 
+    // ---- X12: domain-blocklist URL filter ------------------------------
+    // The URL-level hygiene pass that runs BEFORE any content filter
+    // (cheapest first, the d10 discipline): drop docs whose host is a
+    // blocked domain or a SUBDOMAIN of one — blocking tracker.net must
+    // catch ads.tracker.net but never nottracker.net (the suffix rule
+    // every crawl blocklist uses). documents has no URL column, so URLs
+    // derive deterministically from doc columns (the d10/x1 pattern),
+    // including a case-shifted host to pin the lowercase rule. Map-only
+    // fixed fold over the literal list; fuses into the scan.
+    QueryDef("x12_domain_filter",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 8 === 0, lit("spam.EXAMPLE.com"))
+            .when(col("doc_id") % 4 === 0, lit("spam.example.com"))
+            .when(col("doc_id") % 4 === 1, lit("ads.tracker.net"))
+            .when(col("doc_id") % 4 === 2, lit("en.wikipedia.org"))
+            .otherwise(lit("notspam.example.com")),
+          lit("/page/"), col("doc_id").cast("string"))
+        graft.functions.UrlFunctions.dropBlockedDomains(
+          docs.select(col("doc_id"), col("source"), url.as("url")),
+          "url", Seq("tracker.net", "spam.example.com"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id, source,
+            'https://' || CASE
+              WHEN doc_id % 8 = 0 THEN 'spam.EXAMPLE.com'
+              WHEN doc_id % 4 = 0 THEN 'spam.example.com'
+              WHEN doc_id % 4 = 1 THEN 'ads.tracker.net'
+              WHEN doc_id % 4 = 2 THEN 'en.wikipedia.org'
+              ELSE 'notspam.example.com' END
+              || '/page/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id, source, url,
+            lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1))
+              AS host
+          FROM u)
+        SELECT doc_id, source, url FROM h
+        WHERE NOT (host = 'tracker.net' OR host LIKE '%.tracker.net'
+          OR host = 'spam.example.com' OR host LIKE '%.spam.example.com')
+        ORDER BY doc_id""")),
+
     // ---- DQ1: per-column data-quality profile --------------------------
     // The deequ-style pre-training sanity check: one row per column with
     // row/non-null/distinct counts and min/max (stringified for a

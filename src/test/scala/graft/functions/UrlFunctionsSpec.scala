@@ -121,4 +121,25 @@ class UrlFunctionsSpec extends SparkSpec {
       u should not include "gclid"
     }
   }
+
+  test("domainBlocked: exact + subdomain suffix rule, case/port " +
+    "insensitive, never a bare-suffix false positive") {
+    import spark.implicits._
+    val rows = Seq(
+      ("https://tracker.net/x", true),        // exact
+      ("https://ads.tracker.net/x", true),    // subdomain
+      ("https://a.b.tracker.net/x", true),    // deep subdomain
+      ("https://ADS.Tracker.NET:443/x", true),// case + default port
+      ("https://nottracker.net/x", false),    // suffix-only host
+      ("https://tracker.net.evil.com/x", false), // blocked name mid-host
+      ("https://example.org/x", false)
+    ).toDF("url", "want")
+    val bad = rows.filter(
+      graft.functions.UrlFunctions.domainBlocked(col("url"),
+        Seq("Tracker.NET")) =!= col("want")).count()
+    bad shouldBe 0L
+    val kept = graft.functions.UrlFunctions.dropBlockedDomains(
+      rows, "url", Seq("tracker.net")).count()
+    kept shouldBe 3L
+  }
 }
