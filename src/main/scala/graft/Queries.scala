@@ -2878,9 +2878,10 @@ object Queries {
         val d = t(s, dir, "documents")
         val labeled = d.withColumn("__y",
           when(col("source") === "src1", 1L).otherwise(-1L))
-        val w = graft.ml.LinearClassifier.trainPerceptron(
-          labeled, "text", "__y", rounds = 3)
-        graft.ml.LinearClassifier.score(d, "doc_id", "text", w)
+        // classify = train + score over ONE checkpointed feature frame
+        // (separate train/score calls pay the md5 feature pass twice)
+        graft.ml.LinearClassifier.classify(
+          labeled, "doc_id", "text", "__y", rounds = 3)
           .orderBy("doc_id")
       },
       Some {

@@ -79,4 +79,32 @@ object LinearClassifier {
     df.select(col(idCol),
       dot(hashedFeatures(col(textCol)), w).as("score"))
       .withColumn("pred", when(col("score") > 0L, 1L).otherwise(-1L))
+
+  /** Train-then-score in one call, computing the feature frame ONCE:
+    * an eager localCheckpoint materializes (id, y, x), the epochs
+    * iterate over it, and the returned score frame reads the SAME
+    * checkpoint — [[trainPerceptron]] + [[score]] as separate calls
+    * would pay the md5 feature pass twice (once cached for training,
+    * once re-derived for scoring). Checkpoint blocks are
+    * ContextCleaner-collected when the result frame is dropped (the
+    * q4 stage-boundary pattern). */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+               labelCol: String, rounds: Int): DataFrame = {
+    val feat = df.select(col(idCol),
+        col(labelCol).cast("long").as("__y"),
+        hashedFeatures(col(textCol)).as("__x"))
+      .localCheckpoint()
+    var w: Seq[Long] = Seq.fill(Dim)(0L)
+    for (_ <- 1 to rounds) {
+      val upd = feat
+        .filter(col("__y") * dot(col("__x"), w) <= 0L)
+        .select(posexplode(col("__x")).as(Seq("__d", "__v")), col("__y"))
+        .groupBy("__d")
+        .agg(sum(col("__y") * col("__v")).as("__u"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.indices.map(d => w(d) + upd.getOrElse(d, 0L))
+    }
+    feat.select(col(idCol), dot(col("__x"), w).as("score"))
+      .withColumn("pred", when(col("score") > 0L, 1L).otherwise(-1L))
+  }
 }

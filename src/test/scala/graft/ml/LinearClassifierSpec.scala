@@ -39,6 +39,21 @@ class LinearClassifierSpec extends SparkSpec {
     spark.sharedState.cacheManager.isEmpty shouldBe emptyBefore
   }
 
+  test("classify (one checkpointed feature pass) ≡ trainPerceptron + " +
+    "score on the corpus fixture") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("y", when(col("source") === "src1", 1L).otherwise(-1L))
+    val w = LinearClassifier.trainPerceptron(d, "text", "y", rounds = 3)
+    val expected = LinearClassifier.score(d, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = LinearClassifier.classify(d, "doc_id", "text", "y",
+      rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    got shouldBe expected
+  }
+
   test("scoring is map-only: no Exchange in the plan") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = LinearClassifier.score(docs, "doc_id", "text",
