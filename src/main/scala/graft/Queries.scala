@@ -1137,6 +1137,50 @@ object Queries {
             CAST(((rn - 1) * 3) // n AS INT) + 1] AS bucket
         FROM sd ORDER BY doc_id""")),
 
+    // ---- M16: incremental surprisal vs a persisted LM store ------------
+    // The d15 store discipline applied to scoring: token counts
+    // materialize ONCE as a bucketed (tok, cnt) table (docs < 250 —
+    // the trusted corpus), and the shard (docs ≥ 250 — the new crawl)
+    // scores against it with no store-side Exchange. OOV tokens floor
+    // at cnt=1 (max representable surprisal) and are counted in n_oov —
+    // the gibberish/unknown-language signal counts-from-self t11 can
+    // never produce. Oracle recomputes both sides from parquet, so the
+    // hash also proves the store write/read roundtrip lossless.
+    QueryDef("m16_lm_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/lmstore"
+        TextAnalysis.writeLmStore(docs.filter(col("doc_id") < 250),
+          "text", "graft_lmstore", out)
+        TextAnalysis.surprisalAgainstStore(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          "graft_lmstore")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ctr AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(${toksSql("lower(text)")}) AS tok
+            FROM documents WHERE doc_id < 250)
+          GROUP BY tok),
+        st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ctr),
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+            FROM documents WHERE doc_id >= 250)
+          GROUP BY doc_id, tok)
+        SELECT doc_id,
+          CAST(sum(tf) AS BIGINT) AS n_toks,
+          CAST(sum(tf * (length(bin(total))
+            - length(bin(coalesce(cnt, 1))))) AS BIGINT) AS total_bits,
+          CAST(sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          CAST(CAST(sum(tf * (length(bin(total))
+              - length(bin(coalesce(cnt, 1))))) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS mean_bits
+        FROM tf LEFT JOIN ctr USING (tok) CROSS JOIN st
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- M13: bigram surprisal (integer-exact first-order LM) ----------
     // t11 upgraded to a context-sensitive model: token i scores the
     // bit-length of its corpus bigram probability count(prev,cur)/

@@ -380,6 +380,57 @@ object TextAnalysis {
     }
   }
 
+  /** Persisted unigram LM STORE — the incremental complement of
+    * [[unigramSurprisal]], the d15 store discipline applied to
+    * scoring: at 100 TB nobody recomputes corpus token counts per
+    * crawl; the vocabulary-sized (tok, cnt) table materializes ONCE,
+    * bucketed+sorted by `tok` (the k6 layout), and each new shard
+    * scores against it with NO store-side shuffle or recompute — the
+    * bucketed scan's HashPartitioning satisfies the token join as-is.
+    * Refresh path: retrain (one token shuffle over the grown corpus)
+    * or union-rewrite the counts table; counts MERGE is not an append,
+    * so there is deliberately no absorb that would silently change
+    * cnt values under a fixed bucket layout. */
+  def writeLmStore(df: DataFrame, textCol: String, table: String,
+                   path: String, nBuckets: Int = 8): Unit = {
+    df.select(explode(CaptionStats.tokens(lower(col(textCol))))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(nBuckets, "tok").sortBy("tok")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Score a NEW shard against a persisted [[writeLmStore]] table:
+    * t11's integer-exact surprisal where counts come from the store,
+    * not the shard — the scores a curation pipeline wants when the LM
+    * was trained on the trusted corpus and the shard is an untrusted
+    * crawl. Out-of-vocabulary tokens floor at cnt = 1 (add-one: the
+    * maximum representable surprisal, `len(bin(total))−1` bits —
+    * log2(0) has no integer form) and are counted in `n_oov` so the
+    * caller can ALSO threshold on OOV rate (a high-OOV doc is
+    * gibberish or a language the LM never saw). Shard side: one
+    * map-combined (doc, tok) tf aggregate, one token join against the
+    * Exchange-free store scan, one per-doc rollup. `total` is one
+    * driver scalar from the vocabulary-sized store — kilobytes. */
+  def surprisalAgainstStore(shard: DataFrame, idCol: String,
+                            textCol: String, table: String): DataFrame = {
+    val counts = shard.sparkSession.table(table)
+    val total = counts.agg(sum("cnt")).head.getLong(0)
+    val totalBits = java.lang.Long.toBinaryString(total).length
+    val tf = shard.select(col(idCol),
+        explode(CaptionStats.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val bits = lit(totalBits) - length(bin(coalesce(col("cnt"), lit(1L))))
+    tf.join(counts, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_toks"),
+        sum(col("tf") * bits.cast("long")).as("total_bits"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("mean_bits",
+        col("total_bits").cast("double") / col("n_toks").cast("double"))
+  }
+
   /** Per-document BIGRAM surprisal — [[unigramSurprisal]] upgraded to a
     * first-order LM: token i ≥ 2 scores `⌈log2⌉`-bits of its corpus
     * bigram probability `count(prev,cur)/count(prev,·)` as

@@ -321,6 +321,57 @@ class TextAnalysisSpec extends SparkSpec {
       7L, 10L, 14L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
   }
 
+  test("LM store: token-keyed aggregate over the bucketed store plans " +
+    "with NO Exchange; shard scores match a direct re-derivation; OOV " +
+    "floors at cnt=1 and lands in n_oov") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    TextAnalysis.writeLmStore(docs.filter(col("doc_id") < 250), "text",
+      "graft_lm_spec", s"$dir/lm")
+    try {
+      val store = spark.table("graft_lm_spec")
+      store.groupBy("tok").agg(sum("cnt"))
+        .queryExecution.executedPlan.toString should not include "Exchange"
+      // the synthetic corpus shares one vocabulary across halves, so a
+      // guaranteed-OOV doc is constructed rather than hoped for
+      val shard = docs.filter(col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .union(Seq((99999L, "zzzunseen qqqunseen zzzunseen"))
+          .toDF("doc_id", "text"))
+      val got = TextAnalysis.surprisalAgainstStore(shard, "doc_id",
+        "text", "graft_lm_spec").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_toks"), r.getAs[Long]("total_bits"),
+            r.getAs[Long]("n_oov"))).toMap
+      // direct re-derivation with plain DataFrame ops
+      val cnts = docs.filter(col("doc_id") < 250)
+        .select(explode(graft.enrich.CaptionStats.tokens(
+          lower(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = cnts.agg(sum("cnt")).head.getLong(0)
+      val tb = java.lang.Long.toBinaryString(total).length
+      val want = shard.select(col("doc_id"),
+          explode(graft.enrich.CaptionStats.tokens(lower(col("text"))))
+            .as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .join(cnts, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n"),
+          // ScalaTest's Matchers.length(Long) shadows functions.length
+          sum(col("tf") * (lit(tb) -
+            org.apache.spark.sql.functions.length(bin(
+              coalesce(col("cnt"), lit(1L)))))
+            .cast("long")).as("b"),
+          sum(when(col("cnt").isNull, col("tf")).otherwise(0L)).as("o"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      got shouldBe want
+      // every token of the constructed doc is OOV: n_oov = n_toks = 3,
+      // each flooring at cnt=1 → the max representable total_bits
+      got(99999L) shouldBe ((3L, 3L * (tb - 1), 3L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lm_spec")
+  }
+
   test("surprisalBuckets: each source splits into rank thirds (sizes " +
     "differ ≤1), scores order head ≤ middle ≤ tail; approx knob keeps " +
     "the ordering with no Window in the plan") {
