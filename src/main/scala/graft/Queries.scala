@@ -1346,6 +1346,48 @@ object Queries {
         WHERE cum - n_toks < b
         ORDER BY doc_id""")),
 
+    // ---- O11: epoch-aware data mixture (upsampling) --------------------
+    // o10 takes until the budget fills — at most one epoch per source.
+    // Real recipes REPEAT high-quality sources (LLaMA-style "Wikipedia
+    // ×2.4"): every doc gets ⌊b_s/T_s⌋ full epochs plus one more iff it
+    // starts before the remainder b_s mod T_s on the per-source md5
+    // line (the same greedy rule applied to the partial epoch).
+    // Emitting n_repeats keeps the operator map-shaped — downstream
+    // explodes to physical copies or feeds it to loss scaling. Budgets
+    // here land src1 at ~11 epochs, src2 at 2, src3 at 1, and the
+    // remainder splits every source into two adjacent repeat counts —
+    // both arms of the arithmetic exercised on all three sources.
+    QueryDef("o11_epoch_mixture",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+        Mixture.mixWithEpochs(d, "doc_id", "source", "n_chars",
+          Seq("src1" -> 0.5, "src2" -> 0.1, "src3" -> 0.05),
+          budget = 200000L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+        tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+          FROM d GROUP BY source),
+        budgets(source, b) AS (VALUES
+          ('src1', 100000), ('src2', 20000), ('src3', 10000)),
+        c AS (
+          SELECT doc_id, source, n_chars,
+            sum(n_chars) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+        a AS (
+          SELECT doc_id, source, n_chars,
+            CAST((b // t) + (CASE WHEN cum - n_chars < b % t
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+          FROM c JOIN tot USING (source) JOIN budgets USING (source))
+        SELECT doc_id, source, n_chars, n_repeats
+        FROM a WHERE n_repeats > 0 ORDER BY doc_id""")),
+
     // ---- D1: exact dedup groups -------------------------------------
     // NFC-first keying (default): DuckDB's utf8proc nfc_normalize vs the
     // engine's JDK-backed native expression — the hash match re-proves

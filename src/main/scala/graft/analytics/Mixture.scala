@@ -51,4 +51,56 @@ object Mixture {
     cum.filter(col("__cum") - col(weightCol).cast("long") < budgetCol)
       .drop("__cum")
   }
+
+  /** [[mix]] with UPSAMPLING: real mixture recipes repeat high-quality
+    * sources beyond one epoch (LLaMA-style "Wikipedia ×2.4"), which
+    * [[mix]]'s take-until-budget cannot express — a source whose budget
+    * exceeds its size just contributes everything once. Here every doc
+    * of a targeted source gets `n_repeats = ⌊b_s/T_s⌋` full epochs
+    * (b_s = its source's budget, T_s = its source's total weight) plus
+    * 1 iff it starts before the remainder `b_s mod T_s` on the
+    * per-source md5 permutation line — the same greedy
+    * take-until-exceeded rule as [[mix]], applied to the partial final
+    * epoch. Docs with zero repeats drop. Downstream materializes
+    * repeats however it likes (explode(sequence) for physical copies,
+    * or a weight column for loss scaling) — emitting the count keeps
+    * this operator map-shaped instead of data-multiplying.
+    *
+    * Deterministic end to end; per-source totals are one map-combined
+    * aggregate collected to the driver (sources are bounded — the o10
+    * group-cardinality contract). */
+  def mixWithEpochs(docs: DataFrame, idCol: String, sourceCol: String,
+                    weightCol: String, targets: Seq[(String, Double)],
+                    budget: Long, hexChars: Int = 2): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 >= 0), "target weights must be >= 0")
+    val budgets = targets.map { case (s, f) =>
+      s -> math.floor(f * budget).toLong
+    }
+    val tgt = docs.filter(
+      col(sourceCol).cast("string").isin(targets.map(_._1): _*))
+    val totals = tgt
+      .groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(sum(col(weightCol).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epochs = budgets.map { case (s, b) =>
+      val t = totals.getOrElse(s, 0L)
+      s -> (if (t > 0) b / t else 0L)
+    }
+    val rems = budgets.map { case (s, b) =>
+      val t = totals.getOrElse(s, 0L)
+      s -> (if (t > 0) b % t else 0L)
+    }
+    def lut(m: Seq[(String, Long)]) = element_at(
+      map(m.flatMap { case (s, v) => Seq(lit(s), lit(v)) }: _*),
+      col(sourceCol).cast("string"))
+    val cum = Cumsum.mdOrderCumsumBy(tgt, sourceCol, idCol, weightCol,
+      hexChars)
+    cum.withColumn("n_repeats", lut(epochs) +
+        when(col("__cum") - col(weightCol).cast("long") < lut(rems), 1L)
+          .otherwise(0L))
+      .filter(col("n_repeats") > 0L)
+      .drop("__cum")
+  }
 }

@@ -99,4 +99,44 @@ class CumsumSpec extends SparkSpec {
     Mixture.mix(docs, "doc_id", "source", "n_chars", targets, budget)
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
   }
+
+  test("mixWithEpochs: total delivered weight per source = " +
+    "epochs·T + remainder-fill ≈ budget (crossing doc overshoot only); " +
+    "repeat counts are epochs or epochs+1; sub-epoch source ≡ mix") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val targets = Seq("src1" -> 0.5, "src2" -> 0.1)
+    val budget = 40000L // src1 budget 20000 (multi-epoch), src2 4000
+    val got = Mixture.mixWithEpochs(docs, "doc_id", "source", "n_chars",
+      targets, budget)
+    val totals = docs.filter(col("source").isin("src1", "src2"))
+      .groupBy("source").agg(sum(col("n_chars").cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val delivered = got
+      .withColumn("w", col("n_chars").cast("long") * col("n_repeats"))
+      .groupBy("source").agg(sum("w").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxW = docs.agg(max(col("n_chars").cast("long"))).head.getLong(0)
+    for ((s, b) <- Seq("src1" -> 20000L, "src2" -> 4000L)) {
+      delivered(s) should be >= b    // never under-delivers
+      delivered(s) should be < b + maxW // crossing-doc overshoot only
+      val reps = got.filter(col("source") === s)
+        .select("n_repeats").collect().map(_.getLong(0)).toSet
+      val e = b / totals(s)
+      reps.subsetOf(Set(e, e + 1)) shouldBe true
+      if (e >= 1) // full epochs ⇒ every doc present
+        got.filter(col("source") === s).count() shouldBe
+          docs.filter(col("source") === s).count()
+    }
+    // a source under one epoch degenerates to mix's selection
+    val sub = Mixture.mixWithEpochs(docs, "doc_id", "source", "n_chars",
+      Seq("src3" -> 0.1), budget = 20000L) // budget 2000 < T_src3
+    sub.select("n_repeats").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L)
+    sub.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Mixture.mix(docs, "doc_id", "source", "n_chars",
+        Seq("src3" -> 0.1), budget = 20000L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
 }
