@@ -524,6 +524,50 @@ class DedupSpec extends SparkSpec {
     got shouldBe Seq((1L, 4L), (3L, 2L), (4L, 7L), (5L, 5L))
   }
 
+  test("dropDupSpans converges on random corpora: repeated application " +
+    "reaches a fixed point (total tokens strictly decrease until then — " +
+    "excision can create NEW shared windows by making survivors " +
+    "adjacent, so one pass is not always idempotent) and the fixed " +
+    "point has ZERO excisable cross-doc windows") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val passages = Vector.tabulate(4)(p =>
+      Vector.tabulate(6 + p)(i => s"shared${p}_$i"))
+    val docs = (1L to 30L).map { id =>
+      // random filler interleaved with 0-2 shared passages
+      val parts = Seq.fill(2 + rng.nextInt(3))(
+        Seq.fill(3 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))))
+      val shared = Seq.fill(rng.nextInt(3))(passages(rng.nextInt(4)))
+      val toks = rng.shuffle(parts ++ shared).flatten
+      id -> toks.mkString(" ")
+    }.toDF("doc_id", "text")
+    def snapshot(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    var cur = docs.select("doc_id", "text")
+    var prev = snapshot(cur)
+    var fixed = false
+    var passes = 0
+    while (!fixed && passes < 6) {
+      cur = Dedup.dropDupSpans(cur, "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("text_kept").as("text"))
+      val now = snapshot(cur)
+      fixed = now == prev
+      if (!fixed) { // progress is monotone: total kept tokens shrink
+        now.values.map(_.split("\\s+").length).sum should be <
+          prev.values.map(_.split("\\s+").length).sum
+      }
+      prev = now
+      passes += 1
+    }
+    fixed shouldBe true
+    passes should be > 1 // the generator produced real duplication
+    // the fixed point has nothing left to excise
+    val residual = Dedup.dupSpans(cur, "doc_id", "text", n = 4)
+      .agg(sum("n_dup_spans")).head.getLong(0)
+    residual shouldBe 0L
+  }
+
   test("NFC-first keying (default) merges decomposed/precomposed " +
     "duplicates across d1/d8/d9/d13; nfc=false keys raw bytes") {
     import spark.implicits._
