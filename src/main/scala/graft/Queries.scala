@@ -1181,6 +1181,171 @@ object Queries {
         FROM tf LEFT JOIN ctr USING (tok) CROSS JOIN st
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Q6: incremental shard ingestion (composition proof #3) --------
+    // The PRODUCTION STEADY STATE as one query — q4 proves batch
+    // curation, q5 tokenization; this proves the per-crawl loop
+    // PIPELINE.md describes: a new shard is Gopher-filtered (both rule
+    // families, t16), near-deduped AGAINST THE PERSISTED SIGNATURE
+    // STORE built from the already-ingested corpus (d15 — no store-side
+    // recompute), and LM-scored AGAINST THE PERSISTED COUNTS STORE
+    // (m16 — OOV floored and counted). Cheapest-first order: the
+    // map-only format predicate prunes before the gram shuffle, both
+    // before the LSH join. The oracle recomputes every store from
+    // parquet and the dedup over (store ∪ gopher survivors), so the
+    // hash proves BOTH store roundtrips and the composition.
+    QueryDef("q6_shard_ingest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = docs.filter(col("doc_id") < 250)
+        val shard = docs.filter(col("doc_id") >= 250)
+        val base = s"/tmp/graft_sinks/${new java.io.File(dir).getName}"
+        Dedup.writeSignatureStore(store, "doc_id", "text",
+          "graft_q6sig", s"$base/q6sig")
+        TextAnalysis.writeLmStore(store, "text", "graft_q6lm",
+          s"$base/q6lm")
+        val clean = TextAnalysis.gopherFilter(shard, "doc_id", "text",
+          minWords = 20L, minStopHits = 1L)
+        val unique = Dedup.dedupShardAgainst(clean, "doc_id", "text",
+          "graft_q6sig", threshold = 0.5)
+        TextAnalysis.surprisalAgainstStore(unique, "doc_id", "text",
+          "graft_q6lm")
+          .orderBy("doc_id")
+      },
+      Some {
+        val stops = sqlList(TextAnalysis.gopherStopwords)
+        val dupSents = "list_filter(sents, s -> " +
+          "len(list_filter(sents, x -> x = s)) > 1)"
+        raw"""WITH shd AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+        gm AS MATERIALIZED (
+          SELECT doc_id, ${toksSql("text")} AS toks,
+            string_split(text, chr(10)) AS ls, text
+          FROM shd),
+        gsg AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(toks,
+              t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(ls, l ->
+              regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+              AS n_bullet_lines,
+            CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+              OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+            CAST(length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+              AS n_symbols,
+            CAST(len(list_filter(toks, t ->
+              regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+            CAST(len(list_filter([$stops], w ->
+              list_contains(list_transform(toks, t -> lower(t)), w)))
+              AS BIGINT) AS n_stop_hits
+          FROM gm),
+        gfmt AS MATERIALIZED (
+          SELECT doc_id FROM gsg
+          WHERE n_words >= 20 AND n_words <= 100000
+            AND 3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_hits >= 1),
+        grbase AS MATERIALIZED (
+          SELECT doc_id, length(text) AS tc,
+            ${toksSql("lower(text)")} AS toks, ${sentsSql("text")} AS sents
+          FROM shd),
+        grss AS (
+          SELECT doc_id, CAST(tc AS BIGINT) AS tc,
+            CAST(len(sents) AS BIGINT) AS n_sents,
+            CAST(len($dupSents) AS BIGINT) AS n_dup_sents,
+            CAST(coalesce(list_sum(list_transform(sents,
+              s -> length(s))), 0) AS BIGINT) AS sum_sent_chars,
+            CAST(coalesce(list_sum(list_transform($dupSents,
+              s -> length(s))), 0) AS BIGINT) AS dup_sent_chars
+          FROM grbase),
+        grgrams AS (
+          SELECT doc_id, n, unnest(list_transform(
+            range(1, len(toks) - n + 2),
+            i -> array_to_string(list_slice(toks, i, i + n - 1), ' ')))
+            AS gram
+          FROM grbase, range(2, 11) t(n) WHERE len(toks) >= n),
+        grcounts AS MATERIALIZED (
+          SELECT doc_id, n, gram, count(*) AS c
+          FROM grgrams GROUP BY 1, 2, 3),
+        grtop AS (
+          SELECT doc_id, n, c * length(gram) AS topcov,
+            row_number() OVER (PARTITION BY doc_id, n
+              ORDER BY c DESC, gram) AS rn
+          FROM grcounts),
+        grdup AS (
+          SELECT doc_id, n, CAST(sum(CASE WHEN c > 1
+            THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dupcov
+          FROM grcounts GROUP BY 1, 2),
+        grpern AS (
+          SELECT d.doc_id, d.n, t.topcov, d.dupcov
+          FROM grdup d JOIN (SELECT doc_id, n, topcov FROM grtop
+            WHERE rn = 1) t USING (doc_id, n)),
+        grpd AS (
+          SELECT doc_id,
+            max(CASE WHEN n = 2 THEN topcov END) AS top2_chars,
+            max(CASE WHEN n = 3 THEN topcov END) AS top3_chars,
+            max(CASE WHEN n = 4 THEN topcov END) AS top4_chars,
+            max(CASE WHEN n = 5 THEN dupcov END) AS dup5_chars,
+            max(CASE WHEN n = 6 THEN dupcov END) AS dup6_chars,
+            max(CASE WHEN n = 7 THEN dupcov END) AS dup7_chars,
+            max(CASE WHEN n = 8 THEN dupcov END) AS dup8_chars,
+            max(CASE WHEN n = 9 THEN dupcov END) AS dup9_chars,
+            max(CASE WHEN n = 10 THEN dupcov END) AS dup10_chars
+          FROM grpern GROUP BY doc_id),
+        grep AS MATERIALIZED (
+          SELECT s.doc_id
+          FROM grss s LEFT JOIN grpd USING (doc_id)
+          WHERE 5 * coalesce(top2_chars, 0) <= s.tc
+            AND 50 * coalesce(top3_chars, 0) <= 9 * s.tc
+            AND 25 * coalesce(top4_chars, 0) <= 4 * s.tc
+            AND 20 * coalesce(dup5_chars, 0) <= 3 * s.tc
+            AND 50 * coalesce(dup6_chars, 0) <= 7 * s.tc
+            AND 100 * coalesce(dup7_chars, 0) <= 13 * s.tc
+            AND 25 * coalesce(dup8_chars, 0) <= 3 * s.tc
+            AND 100 * coalesce(dup9_chars, 0) <= 11 * s.tc
+            AND 10 * coalesce(dup10_chars, 0) <= s.tc
+            AND 10 * s.n_dup_sents <= 3 * s.n_sents
+            AND 5 * s.dup_sent_chars <= s.sum_sent_chars),
+        surv AS MATERIALIZED (
+          SELECT s.doc_id, s.text FROM shd s
+          JOIN gfmt USING (doc_id) JOIN grep USING (doc_id)),
+        corp AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
+          UNION ALL SELECT doc_id, text FROM surv),
+        ${lshVerifiedCtes("corp", materialized = true)},
+        ded AS MATERIALIZED (
+          SELECT doc_id FROM surv
+          WHERE doc_id NOT IN (SELECT id_b FROM verified)),
+        ctr AS MATERIALIZED (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(${toksSql("lower(text)")}) AS tok
+            FROM documents WHERE doc_id < 250)
+          GROUP BY tok),
+        st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ctr),
+        tf AS (
+          SELECT d.doc_id, tok, count(*) AS tf FROM (
+            SELECT s.doc_id, unnest(${toksSql("lower(s.text)")}) AS tok
+            FROM surv s JOIN ded USING (doc_id)) d
+          GROUP BY d.doc_id, tok)
+        SELECT doc_id,
+          CAST(sum(tf) AS BIGINT) AS n_toks,
+          CAST(sum(tf * (length(bin(total))
+            - length(bin(coalesce(cnt, 1))))) AS BIGINT) AS total_bits,
+          CAST(sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          CAST(CAST(sum(tf * (length(bin(total))
+              - length(bin(coalesce(cnt, 1))))) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS mean_bits
+        FROM tf LEFT JOIN ctr USING (tok) CROSS JOIN st
+        GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
     // ---- M13: bigram surprisal (integer-exact first-order LM) ----------
     // t11 upgraded to a context-sensitive model: token i scores the
     // bit-length of its corpus bigram probability count(prev,cur)/
