@@ -1203,10 +1203,15 @@ object Queries {
           "graft_q6sig", s"$base/q6sig")
         TextAnalysis.writeLmStore(store, "text", "graft_q6lm",
           s"$base/q6lm")
+        // stage boundary truncates lineage (the q4 discipline): the
+        // dedup internals reference their input repeatedly, which
+        // would re-run the gopher gram shuffle per reference
         val clean = TextAnalysis.gopherFilter(shard, "doc_id", "text",
           minWords = 20L, minStopHits = 1L)
+          .localCheckpoint()
         val unique = Dedup.dedupShardAgainst(clean, "doc_id", "text",
           "graft_q6sig", threshold = 0.5)
+          .localCheckpoint()
         TextAnalysis.surprisalAgainstStore(unique, "doc_id", "text",
           "graft_q6lm")
           .orderBy("doc_id")
