@@ -32,6 +32,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // optional comma-separated query-name filter for iterating on hot
+    // queries (substring-prefix match, e.g. ONLY=q6,t15); the driver
+    // never sets it, so the per-round bench always runs the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,7 +81,7 @@ object Bench {
     // one full suite pass: per query, `runs` timed executions -> the
     // per-pass median (plus every raw run, for the spread line)
     def suitePass(): Map[String, Either[String, (Double, Seq[Double])]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val runsOut = (1 to runs).map(_ => once(fn))
         val ok = runsOut.collect { case Right(t) => t }.sorted
         val firstErr = runsOut.collectFirst { case Left(m) => m }
@@ -83,7 +93,7 @@ object Bench {
     // spread = [min,max] over every raw run of every pass; a query is an
     // error only if it failed in ALL passes
     val results: Map[String, Either[String, Seq[Double]]] =
-      SparkEntry.queries.keys.map { name =>
+      selected.keys.map { name =>
         val per = passOuts.map(_(name))
         val meds = per.collect { case Right((m, _)) => m }
         val allRuns = per.collect { case Right((_, rs)) => rs }.flatten.sorted

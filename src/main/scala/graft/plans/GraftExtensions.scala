@@ -82,6 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.Shingles].getName, "shingles"),
       (exprs: Seq[Expression]) => graft.functions.Shingles.build(exprs)))
     e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("repetition_covs"),
+      new ExpressionInfo(
+        classOf[graft.functions.RepetitionCovs].getName, "repetition_covs"),
+      (exprs: Seq[Expression]) => graft.functions.RepetitionCovs.build(exprs)))
+    e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),

@@ -608,18 +608,71 @@ object TextAnalysis {
     *     repetition-free (or empty) doc keeps; word-count floors are
     *     [[gopherKeep]]'s job.
     *
-    * Scale shape: sentence stats are in-row HOF expressions (quadratic
-    * in sentences-per-doc, fine — docs have tens of sentences). The
-    * n-gram table CANNOT be in-row at scale (distinct-grams ×
-    * positions per doc is quadratic in doc length), so it distributes
-    * exactly like t10: ONE explode emits (doc, n, gram) for all nine n
-    * in a single pass, the count map-combines with doc_id in the key
-    * (no corpus-wide hot key), two doc-keyed rollups collapse it, and
-    * one doc-keyed join attaches the sentence stats. Total: one wide
-    * gram shuffle (the inherent cost), two vocabulary-sized rollups,
-    * one per-doc join. */
+    * Scale shape: MAP-ONLY since r14 — every metric above is per-doc
+    * (no cross-document term exists in the definition), so the whole
+    * frame is one Project over the scan: sentence stats are in-row HOF
+    * expressions (quadratic in sentences-per-doc, fine — docs have
+    * tens of sentences) and all nine gram coverages come from ONE
+    * evaluation of the native codegen'd
+    * [[graft.functions.RepetitionCovs]] expression (hash-map counts,
+    * O(Σn·L) per doc; Gopher's own 100k-word ceiling bounds the map).
+    * Zero shuffle, zero join — at 100 TB this fuses into the scan
+    * stage. The pre-r14 distributed explode + (doc, n, gram) groupBy
+    * formulation is kept as [[gopherRepetitionStatsDistributed]], the
+    * parity witness and the fallback for corpora with pathological
+    * unbounded documents. */
   def gopherRepetitionStats(df: DataFrame, idCol: String,
                             textCol: String): DataFrame = {
+    val id = col(idCol)
+    val c = col(textCol)
+    val sents = CaptionStats.sentences(c)
+    val dupSents = filter(sents, s => size(filter(sents, x => x === s)) > 1)
+    // two-step select: __covs is NOT cheap, so CollapseProject keeps the
+    // second Project from inlining it 9× (verified: one repetition_covs
+    // in the physical plan); both Projects fuse into one codegen stage
+    val withCovs = df.select(
+      id,
+      length(c).cast("long").as("tc"),
+      size(sents).cast("long").as("n_sents"),
+      size(dupSents).cast("long").as("n_dup_sents"),
+      aggregate(sents, lit(0L), (a, s) => a + length(s)).as("sum_sent_chars"),
+      aggregate(dupSents, lit(0L), (a, s) => a + length(s))
+        .as("dup_sent_chars"),
+      graft.functions.RepetitionCovs(coalesce(
+        CaptionStats.tokens(lower(c)),
+        array().cast("array<string>"))).as("__covs"))
+    val covNames = Seq("top2_chars", "top3_chars", "top4_chars") ++
+      (5 to 10).map(n => s"dup${n}_chars")
+    val named = withCovs.select(
+      Seq(idCol, "tc", "n_sents", "n_dup_sents", "sum_sent_chars",
+        "dup_sent_chars").map(col) ++
+      covNames.zipWithIndex.map { case (nm, i) =>
+        col("__covs")(i).as(nm) }: _*)
+    named.withColumn("keep", repetitionKeepOver.cast("long"))
+  }
+
+  /** The keep verdict over the NAMED coverage/sentence columns of the
+    * stats frame — one threshold definition shared by every
+    * formulation so they can never drift. */
+  private def repetitionKeepOver: Column =
+    (topGramRules.map { case (n, m, k) =>
+        lit(m) * col(s"top${n}_chars") <= lit(k) * col("tc") } ++
+      dupGramRules.map { case (n, m, k) =>
+        lit(m) * col(s"dup${n}_chars") <= lit(k) * col("tc") })
+      .reduce(_ && _) &&
+      lit(10L) * col("n_dup_sents") <= lit(3L) * col("n_sents") &&
+      lit(5L) * col("dup_sent_chars") <= col("sum_sent_chars")
+
+  /** The pre-r14 DISTRIBUTED formulation of [[gopherRepetitionStats]]
+    * — identical output frame, computed as an explode + (doc, n, gram)
+    * groupBy instead of the in-row native expression. Kept as the
+    * parity witness (spec-pinned equal on the corpus fixture) and as
+    * the fallback for corpora whose documents are long enough that a
+    * per-row gram hash map is unreasonable (the in-row form is O(L)
+    * transient space per doc; this one trades that for a 9×-token
+    * shuffle that AQE can spill). */
+  def gopherRepetitionStatsDistributed(df: DataFrame, idCol: String,
+                                       textCol: String): DataFrame = {
     val id = col(idCol)
     val c = col(textCol)
     val sents = CaptionStats.sentences(c)
@@ -698,70 +751,27 @@ object TextAnalysis {
     * [[topGramRules]]/[[dupGramRules]] thresholds; spec-pinned equal
     * on the corpus fixture).
     *
-    * The distributed form exists because the gram table must explode
-    * and map-combine at batch scale. In a STREAM the unit of work is
-    * one doc in one row and append-mode forbids cross-row state
-    * anyway, so in-row is the right shape — and it stays CHEAP: per
-    * gram size, the grams are sorted once and all counts fall out of
-    * ONE run-length fold over the sorted array (equal grams are
-    * adjacent; a run ending finalizes its count into the running
-    * top/dup accumulators). O(L log L) per n, constant work per
-    * lambda step — the naive count-per-distinct-gram form re-built the
-    * gram array inside the filter lambda, O(L³), and stalled a 500-doc
-    * micro-batch past two minutes.
+    * Since r14 both forms share ONE gram engine: the native
+    * [[graft.functions.RepetitionCovs]] expression (all nine coverages
+    * in one codegen'd per-row pass), so batch ≡ stream is structural,
+    * not coincidental. (The r13 in-row run-length-over-sorted-grams
+    * HOF this replaces was already O(L log L), but evaluated
+    * interpreted — the native is the same per-row shape, compiled.)
     *
-    * Tie rule for the top gram (max count, ties → lexicographically
-    * smallest) holds because runs arrive in sorted order and only a
-    * STRICTLY greater count displaces the champion. */
+    * NOTE: the 9 extractions below reference one `covs` Column; inside
+    * a single filter predicate Spark's subexpression elimination
+    * evaluates the native expression once per row (verified — one
+    * repetition_covs in the generated code). */
   def gopherRepetitionKeep(c: Column): Column = {
-    val toks = CaptionStats.tokens(lower(c))
     val tc = length(c).cast("long")
     val sents = CaptionStats.sentences(c)
     val dupSents = filter(sents, s => size(filter(sents, x => x === s)) > 1)
-    def grams(n: Int): Column =
-      when(size(toks) >= n, transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    // (topcov, dupcov) for one gram size via run-length over the sorted
-    // gram array. Accumulator: (prev gram, its run length so far, best
-    // count, best gram, Σ dup coverage). Tokens are non-empty so a real
-    // gram never equals the "" sentinel.
-    def covs(n: Int): Column =
-      aggregate(
-        sort_array(grams(n)),
-        struct(lit("").as("prev"), lit(0L).as("run"),
-          lit(0L).as("topc"), lit("").as("topg"), lit(0L).as("dup")),
-        (acc, g) => {
-          val prev = acc.getField("prev"); val run = acc.getField("run")
-          val topc = acc.getField("topc"); val topg = acc.getField("topg")
-          val dup = acc.getField("dup")
-          val same = g === prev
-          val ends = !same && run > 0L
-          struct(g.as("prev"),
-            when(same, run + 1L).otherwise(lit(1L)).as("run"),
-            when(ends && run > topc, run).otherwise(topc).as("topc"),
-            when(ends && run > topc, prev).otherwise(topg).as("topg"),
-            when(ends && run > 1L,
-              dup + run * length(prev).cast("long"))
-              .otherwise(dup).as("dup"))
-        },
-        acc => {
-          // finalize the trailing run, emit (topcov, dupcov)
-          val prev = acc.getField("prev"); val run = acc.getField("run")
-          val topc = acc.getField("topc"); val topg = acc.getField("topg")
-          val dup = acc.getField("dup")
-          val topc2 = when(run > topc, run).otherwise(topc)
-          val topg2 = when(run > topc, prev).otherwise(topg)
-          val dup2 = when(run > 1L,
-            dup + run * length(prev).cast("long")).otherwise(dup)
-          struct((topc2 * length(topg2).cast("long")).as("topcov"),
-            dup2.as("dupcov"))
-        })
-    (topGramRules.map { case (n, m, k) =>
-        lit(m) * covs(n).getField("topcov") <= lit(k) * tc } ++
-      dupGramRules.map { case (n, m, k) =>
-        lit(m) * covs(n).getField("dupcov") <= lit(k) * tc })
+    val covs = graft.functions.RepetitionCovs(coalesce(
+      CaptionStats.tokens(lower(c)), array().cast("array<string>")))
+    (topGramRules.zipWithIndex.map { case ((_, m, k), i) =>
+        lit(m) * covs(i) <= lit(k) * tc } ++
+      dupGramRules.zipWithIndex.map { case ((_, m, k), i) =>
+        lit(m) * covs(i + 3) <= lit(k) * tc })
       .reduce(_ && _) &&
       lit(10L) * size(dupSents).cast("long") <=
         lit(3L) * size(sents).cast("long") &&
@@ -777,29 +787,30 @@ object TextAnalysis {
     * chained-filter semantics (`filters/filter_base.py:14-19`:
     * successive keeps conjoin).
     *
-    * Both halves REUSE the t14/t15 signal frames ([[gopherKeepOver]]
-    * over [[gopherSignalExprs]]; [[gopherRepetitionStats]]'s `keep`
-    * bit) — the composite adds no new metric definitions that could
-    * drift from the audited singles.
+    * Both halves REUSE the audited single-family predicates
+    * ([[gopherKeepOver]] over [[gopherSignalExprs]];
+    * [[gopherRepetitionKeep]], which shares its gram engine and
+    * thresholds with [[gopherRepetitionStats]]) — the composite adds
+    * no new metric definitions that could drift from the audited
+    * singles.
     *
-    * Scale shape: the format keep is a pure per-row predicate, so it
-    * runs FIRST and fuses into the scan — the expensive part (t15's
-    * nine-size gram shuffle) only ever sees format-survivors. The
-    * repetition verdict attaches back as a doc-keyed LEFT SEMI join
-    * (no payload duplication, AQE-broadcastable when few docs are
-    * repetitive). Per-doc metrics only — the keep bit of a doc never
-    * depends on other docs, so the pre-filter cannot change verdicts. */
+    * Scale shape: ONE map-only filter — both rule families are pure
+    * per-row predicates (the repetition half via the native
+    * [[graft.functions.RepetitionCovs]] expression), so the whole
+    * composite fuses into the scan with zero shuffle and zero join
+    * (spec-pinned: no Exchange in the plan). Short-circuit order
+    * matters: the cheap format conjuncts run first, so the gram
+    * counting pass only ever evaluates on format survivors.
+    *
+    * `idCol` is unused since the r14 map-only rewrite; the parameter
+    * stays for call-site stability (q6, t16, streaming twins). */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Long = 50L, maxWords: Long = 100000L,
-                   minStopHits: Long = 2L): DataFrame = {
-    val fmt = df.filter(gopherKeepOver(
-      gopherSignalExprs(col(textCol)).toMap,
-      minWords, maxWords, minStopHits))
-    val repKeep = gopherRepetitionStats(fmt, idCol, textCol)
-      .filter(col("keep") === 1L)
-      .select(col(idCol))
-    fmt.join(repKeep, Seq(idCol), "left_semi")
-  }
+                   minStopHits: Long = 2L): DataFrame =
+    df.filter(gopherKeepOver(
+        gopherSignalExprs(col(textCol)).toMap,
+        minWords, maxWords, minStopHits) &&
+      gopherRepetitionKeep(col(textCol)))
 
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

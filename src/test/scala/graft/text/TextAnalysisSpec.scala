@@ -403,8 +403,8 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.quantiles.approx", "false")
   }
 
-  test("gopherRepetitionKeep (in-row streaming form) ≡ the distributed " +
-    "keep bit: hand fixtures incl. tie/overlap cases + the corpus fixture") {
+  test("gopherRepetitionKeep (in-row streaming form) ≡ the DISTRIBUTED " +
+    "witness's keep bit: hand fixtures incl. tie/overlap cases + corpus") {
     import spark.implicits._
     val hand = Seq(
       (1L, "ab cd ef."), (2L, (0 until 30).map(i => f"t$i%02d").mkString(" ")),
@@ -413,7 +413,8 @@ class TextAnalysisSpec extends SparkSpec {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text")
     for (d <- Seq(hand, corpus)) {
-      val dist = TextAnalysis.gopherRepetitionStats(d, "doc_id", "text")
+      val dist = TextAnalysis
+        .gopherRepetitionStatsDistributed(d, "doc_id", "text")
         .select(col("doc_id"), col("keep")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val inRow = d.select(col("doc_id"),
@@ -421,6 +422,35 @@ class TextAnalysisSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       inRow shouldBe dist
     }
+  }
+
+  test("gopherRepetitionStats (native map-only) ≡ the distributed " +
+    "witness: FULL frame equality on the corpus fixture") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val native = TextAnalysis.gopherRepetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val dist = TextAnalysis
+      .gopherRepetitionStatsDistributed(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    native shouldBe dist
+  }
+
+  test("gopherRepetitionStats and gopherFilter are map-only: no Exchange, " +
+    "no Join, exactly one repetition_covs in the plan") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    for (p <- Seq(
+        TextAnalysis.gopherRepetitionStats(d, "doc_id", "text"),
+        TextAnalysis.gopherFilter(d, "doc_id", "text",
+          minWords = 20L, minStopHits = 1L))) {
+      val plan = p.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      plan should not include "Join"
+    }
+    // the 9 coverage extractions must share ONE native evaluation
+    val stats = TextAnalysis.gopherRepetitionStats(d, "doc_id", "text")
+    stats.queryExecution.executedPlan.toString
+      .sliding("repetition_covs".length).count(_ == "repetition_covs") shouldBe 1
   }
 
   test("dropFlagged is map-only: no Exchange in the plan (streaming-" +
