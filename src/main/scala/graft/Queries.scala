@@ -866,10 +866,11 @@ object Queries {
     // rules, this enforces the REPETITION rules — char-fraction metrics
     // (dup sentences, top {2,3,4}-gram coverage, dup {5..10}-gram
     // coverage) with the paper's per-n thresholds as exact
-    // cross-multiplied integer compares. One explode emits all nine
-    // n-gram sizes in a single pass; counts are (doc, n, gram)-keyed so
-    // no corpus-wide hot key exists and the aggregate map-combines
-    // (t10's discipline, ×9 sizes in one shuffle).
+    // cross-multiplied integer compares. MAP-ONLY: every metric is
+    // per-doc, so all nine coverage values come from ONE evaluation of
+    // the native codegen'd RepetitionCovs expression per row — zero
+    // shuffle, zero join; the pre-r14 distributed explode + groupBy
+    // stays as the spec-pinned parity witness.
     QueryDef("t15_gopher_repetition",
       (s, dir) => TextAnalysis.gopherRepetitionStats(
         t(s, dir, "documents"), "doc_id", "text")
@@ -954,11 +955,12 @@ object Queries {
     // Rae et al. apply BOTH §A1.1 rule families and DROP; t14/t15 score
     // each family alone. This is the drop composite (d19/d20 pattern,
     // the reference's chained-filter semantics): survivors =
-    // format-keep ∧ repetition-keep, original columns out. The Spark
-    // side reuses the audited t14/t15 signal frames verbatim; the
-    // map-only format predicate runs first so t15's gram shuffle only
-    // sees format survivors (per-doc metrics — pre-filtering cannot
-    // move any verdict). Fixture thresholds 20/1 as in t14.
+    // format-keep ∧ repetition-keep, original columns out. ONE map-only
+    // filter — both families are per-row predicates sharing the audited
+    // threshold definitions (repetition via the native RepetitionCovs
+    // expression), fused into the scan with zero shuffle and zero join;
+    // cheap format conjuncts short-circuit first. Fixture thresholds
+    // 20/1 as in t14.
     QueryDef("t16_gopher_drop",
       (s, dir) => TextAnalysis.gopherFilter(t(s, dir, "documents"),
         "doc_id", "text", minWords = 20L, minStopHits = 1L)
@@ -1189,8 +1191,9 @@ object Queries {
     // STORE built from the already-ingested corpus (d15 — no store-side
     // recompute), and LM-scored AGAINST THE PERSISTED COUNTS STORE
     // (m16 — OOV floored and counted). Cheapest-first order: the
-    // map-only format predicate prunes before the gram shuffle, both
-    // before the LSH join. The oracle recomputes every store from
+    // fully map-only Gopher filter (native RepetitionCovs — no gram
+    // shuffle at all since r14) prunes before the LSH join. The oracle
+    // recomputes every store from
     // parquet and the dedup over (store ∪ gopher survivors), so the
     // hash proves BOTH store roundtrips and the composition.
     QueryDef("q6_shard_ingest",
