@@ -1139,6 +1139,41 @@ object Queries {
             CAST(((rn - 1) * 3) // n AS INT) + 1] AS bucket
         FROM sd ORDER BY doc_id""")),
 
+    // ---- M17: per-source distribution drift (mixture QA) ---------------
+    // Before weighting sources into a training mix (o10/o11), quantify
+    // how far each source's unigram distribution sits from the pooled
+    // corpus: div_bits = Σ cnt_s × (bits_corpus − bits_source) with the
+    // t11 integer-bit code length — n_toks × KL(p_src ‖ p_corpus) in
+    // the floor-log2 approximation (the CCNet cross-entropy-delta idea,
+    // integer-exact so it hash-matches across engines). One map-combined
+    // (source, tok) shuffle + a vocab rollup; totals broadcast.
+    QueryDef("m17_source_divergence",
+      (s, dir) => TextAnalysis.sourceDivergence(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+      Some(s"""WITH tk AS (
+          SELECT source, unnest(${toksSql("lower(text)")}) AS tok
+          FROM documents),
+        sf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt_s
+          FROM tk GROUP BY 1, 2),
+        cf AS (SELECT tok, CAST(sum(cnt_s) AS BIGINT) AS cnt_c
+          FROM sf GROUP BY 1),
+        stot AS (SELECT source, CAST(sum(cnt_s) AS BIGINT) AS total_s
+          FROM sf GROUP BY 1),
+        ctot AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS total_c FROM cf)
+        SELECT source,
+          CAST(sum(cnt_s) AS BIGINT) AS n_toks,
+          CAST(sum(cnt_s * ((length(bin(total_c)) - length(bin(cnt_c)))
+            - (length(bin(total_s)) - length(bin(cnt_s))))) AS BIGINT)
+            AS div_bits,
+          CAST(CAST(sum(cnt_s * ((length(bin(total_c))
+              - length(bin(cnt_c))) - (length(bin(total_s))
+              - length(bin(cnt_s))))) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(cnt_s) AS BIGINT) AS DOUBLE) AS mean_div_bits
+        FROM sf JOIN cf USING (tok) JOIN stot USING (source)
+          CROSS JOIN ctot
+        GROUP BY source ORDER BY source""")),
+
     // ---- M16: incremental surprisal vs a persisted LM store ------------
     // The d15 store discipline applied to scoring: token counts
     // materialize ONCE as a bucketed (tok, cnt) table (docs < 250 —

@@ -812,6 +812,49 @@ object TextAnalysis {
         minWords, maxWords, minStopHits) &&
       gopherRepetitionKeep(col(textCol)))
 
+  /** Per-source distribution DRIFT against the whole corpus, in
+    * integer-exact bits — the data-mixture QA measurement: before
+    * weighting sources into a training mix (o10/o11), quantify how far
+    * each source's unigram distribution sits from the pooled corpus.
+    * `div_bits` is Σ_tok cnt_s(tok) × (bits_corpus(tok) −
+    * bits_source(tok)) with the t11 integer-bit code length
+    * bits(tok) = len(bin(total)) − len(bin(cnt)) ≈ ⌊log₂(total/cnt)⌋ —
+    * i.e. the extra bits the CORPUS-wide code spends encoding the
+    * source versus its own code: n_toks × KL(p_src ‖ p_corpus) in the
+    * floor-log2 approximation (Wenzek et al. 2020 use the same
+    * cross-entropy-delta idea with KenLM; integer bits keep it
+    * hash-exact across engines). Individual integer roundings can push
+    * a near-identical source slightly negative — the measurement is an
+    * ORDERING diagnostic (which sources drift most), not a calibrated
+    * divergence.
+    *
+    * Scale shape: one (source, tok) token shuffle (map-combines — the
+    * source key multiplies nothing); a vocabulary-sized rollup to
+    * corpus counts; the sf⋈cf join is vocab-sized and tok-keyed
+    * (AQE-skew-splittable); per-source totals and the corpus total
+    * attach as broadcasts. No doc-keyed anything — output is one row
+    * per source. */
+  def sourceDivergence(df: DataFrame, srcCol: String,
+                       textCol: String): DataFrame = {
+    val tk = df.select(col(srcCol),
+      explode(CaptionStats.tokens(lower(col(textCol)))).as("tok"))
+    val sf = tk.groupBy(col(srcCol), col("tok"))
+      .agg(count(lit(1)).as("cnt_s"))
+    val cf = sf.groupBy("tok").agg(sum("cnt_s").as("cnt_c"))
+    val stot = sf.groupBy(col(srcCol)).agg(sum("cnt_s").as("total_s"))
+    val ctot = cf.agg(sum("cnt_c").as("total_c"))
+    val bitsS = length(bin(col("total_s"))) - length(bin(col("cnt_s")))
+    val bitsC = length(bin(col("total_c"))) - length(bin(col("cnt_c")))
+    sf.join(cf, "tok")
+      .join(broadcast(stot), srcCol)
+      .crossJoin(broadcast(ctot))
+      .groupBy(col(srcCol))
+      .agg(sum("cnt_s").as("n_toks"),
+        sum(col("cnt_s") * (bitsC - bitsS).cast("long")).as("div_bits"))
+      .withColumn("mean_div_bits",
+        col("div_bits").cast("double") / col("n_toks").cast("double"))
+  }
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.withColumn("pred_lang", langId(c))

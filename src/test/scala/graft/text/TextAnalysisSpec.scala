@@ -453,6 +453,23 @@ class TextAnalysisSpec extends SparkSpec {
       .sliding("repetition_covs".length).count(_ == "repetition_covs") shouldBe 1
   }
 
+  test("sourceDivergence: hand-computed integer bits — a drifted source " +
+    "scores positive, near-corpus sources land near zero (rounding may " +
+    "push slightly negative)") {
+    import spark.implicits._
+    // corpus: a×4, b×4, c×4, total 12 → bits_c = len(bin 12)−len(bin 4)
+    // = 1 for every token. A (a³b¹): 3·(1−1) + 1·(1−2) = −1.
+    // C (c⁴): bits_s = len(bin 4)−len(bin 4) = 0 → 4·(1−0) = +4.
+    val d = Seq(
+      (1L, "A", "a a a b"), (2L, "B", "b b b a"), (3L, "C", "c c c c"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.sourceDivergence(d, "source", "text")
+      .orderBy("source").collect().map(_.toSeq)
+    r shouldBe Array(
+      Seq("A", 4L, -1L, -0.25), Seq("B", 4L, -1L, -0.25),
+      Seq("C", 4L, 4L, 1.0))
+  }
+
   test("dropFlagged is map-only: no Exchange in the plan (streaming-" +
     "composable), keeps zero-token docs, exact at the threshold") {
     import spark.implicits._
