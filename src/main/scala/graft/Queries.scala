@@ -1794,6 +1794,36 @@ object Queries {
         ORDER BY vec_id"""
       }),
 
+    // ---- D21: semantic decontamination (embedding-space d8) ------------
+    // Paraphrased eval questions share no 5-gram with the test set but
+    // sit next to it in embedding space — n-gram decontamination (d8)
+    // provably cannot catch them. Drop corpus vectors whose 4-decimal-
+    // rounded cosine vs ANY benchmark vector (vec_id < 50, the eval
+    // set) reaches τ. One LEFT ANTI broadcast NL join; the corpus never
+    // shuffles. Rounding before the compare keeps the float threshold
+    // boundary engine-portable (the n1/n7 discipline).
+    QueryDef("d21_semantic_decontaminate",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.semanticDecontaminate(
+          e.filter(col("vec_id") >= 50), "vec_id", "embedding",
+          e.filter(col("vec_id") < 50), "embedding", threshold = 0.35)
+          .select("vec_id", "label")
+          .orderBy("vec_id")
+      },
+      Some {
+        val cos = cosineSql("c.embedding", "b.be")
+        s"""WITH bench AS (
+          SELECT embedding AS be FROM embeddings WHERE vec_id < 50),
+        corp AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= 50)
+        SELECT c.vec_id, c.label FROM corp c
+        WHERE NOT EXISTS (SELECT 1 FROM bench b
+          WHERE round($cos, 4) >= 0.35)
+        ORDER BY c.vec_id"""
+      }),
+
     // ---- D6: end-to-end near-dedup (LSH candidates → Jaccard verify →
     // greedy keep-first drop) -----------------------------------------
     QueryDef("d6_near_dedup",

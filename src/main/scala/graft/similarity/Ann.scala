@@ -48,6 +48,35 @@ object Ann {
       .limit(k)
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram form ([[graft.dedup.Dedup.decontaminate]], d8): drop every
+    * corpus vector whose cosine against ANY benchmark vector reaches
+    * `threshold`. Paraphrased eval questions share no 5-gram but sit
+    * next to the test set in embedding space; n-gram decontamination
+    * provably cannot catch them (the SemDeDup/FineWeb curation
+    * argument applied to leakage instead of redundancy).
+    *
+    * Cosines are 4-decimal rounded BEFORE the compare, on both
+    * engines — the float dot product's last ulp differs across
+    * engines, and an unrounded threshold compare would flip membership
+    * for pairs landing exactly on τ.
+    *
+    * Scale shape: one LEFT ANTI broadcast nested-loop join — a
+    * benchmark is an eval set, thousands of vectors, always the
+    * broadcast side; the corpus side streams through the codegen'd
+    * native [[graft.functions.DotProduct]] with no shuffle of the
+    * corpus at all. For an atypically large benchmark, bucket both
+    * sides through the IVF index (n3/n8) first. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+                            vecCol: String, benchmark: DataFrame,
+                            benchVecCol: String,
+                            threshold: Double): DataFrame = {
+    val b = broadcast(benchmark.select(col(benchVecCol).as("__b")))
+    graft.util.Partitioning.spread(corpus)
+      .join(b, round(cosine(col(vecCol), col("__b")), 4) >= threshold,
+        "left_anti")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * `127 / max|v|`, elements rounded half-up (`floor(x·s + 0.5)` — the
     * engine-portable spelling; no engine-specific `round` tie rules).

@@ -235,4 +235,27 @@ class AnnSpec extends SparkSpec {
     Metrics.drops(Ann.semDedupClusterCapReport(d, "vec_id", "embedding",
       nCentroids = 2)) shouldBe ((0L, 0L))
   }
+
+  test("semanticDecontaminate: drops vectors near ANY benchmark vector, " +
+    "keeps orthogonal ones; corpus side never shuffles (anti NL join)") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(0.99f, 0.1f, 0f, 0f)),  // ~x → contaminated
+      (1L, Array(0.1f, 0.99f, 0f, 0f)),  // ~y → contaminated
+      (2L, Array(0f, 0f, 1f, 0f)),       // orthogonal → clean
+      (3L, Array(0.5f, 0.5f, 0.7f, 0f))  // cos ~.5 to both → clean at .9
+    ).toDF("vec_id", "embedding")
+    val kept = Ann.semanticDecontaminate(corpus, "vec_id", "embedding",
+      bench, "embedding", threshold = 0.9)
+      .orderBy("vec_id").collect().map(_.getLong(0))
+    kept shouldBe Array(2L, 3L)
+    val plan = Ann.semanticDecontaminate(corpus, "vec_id", "embedding",
+      bench, "embedding", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("LeftAnti")
+  }
 }
