@@ -4796,6 +4796,46 @@ object Queries {
     // columns at real scale, swap countDistinct for
     // approx_count_distinct (mergeable HLL, same plan shape) — the
     // exact form is the oracle-checkable contract.
+    // ---- DQ2: corpus snapshot diff (incremental-pipeline audit) --------
+    // After a per-crawl ingest (q6) or a re-curation, report exactly
+    // what changed between corpus versions — by content DIGEST, never
+    // by re-shuffling text. v2 is a deterministic mutation of the same
+    // table both engines can derive: drop doc_id < 20 (removed), edit
+    // 100-109 (changed), re-add doc_id < 10 under +100000 ids (added).
+    // Each side reduces map-side to (id, md5) before the full outer
+    // join, so the shuffle carries 48-byte rows; unchanged docs (the
+    // overwhelming majority of a real diff) never materialize.
+    QueryDef("dq2_corpus_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v1 = docs.select(col("doc_id"), col("text"))
+        val v2 = docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"),
+            when(col("doc_id").between(100, 109),
+              concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .union(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        graft.etl.Snapshots.diff(v1, v2, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents),
+        v2 AS (
+          SELECT doc_id, CASE WHEN doc_id BETWEEN 100 AND 109
+            THEN text || ' rev2' ELSE text END AS text
+          FROM documents WHERE doc_id >= 20
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+          END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE v2.doc_id IS NULL OR v1.doc_id IS NULL
+           OR md5(v1.text) <> md5(v2.text)
+        ORDER BY doc_id""")),
+
     QueryDef("dq1_profile",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -151,6 +151,29 @@ class PipelineSpec extends SparkSpec {
     fin.count() shouldBe 1
     fin.head().getLong(0) shouldBe 1L // not the stale 99
   }
+
+  test("Snapshots.diff: removed/added/changed statuses, unchanged docs " +
+    "absent, and the join sees only (id, digest) — text dies map-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "cc"), (4L, "d")).toDF("doc_id", "text")
+    val d = Snapshots.diff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1))
+    d shouldBe Array(1L -> "removed", 3L -> "changed", 4L -> "added")
+    val sm = Snapshots.diffSummary(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sm shouldBe Map("removed" -> 1L, "changed" -> 1L, "added" -> 1L)
+    // the full-outer join must shuffle digests, never document payloads
+    val join = Snapshots.diff(v1, v2, "doc_id", "text")
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.head
+    join.children.foreach { c =>
+      c.output.size shouldBe 2
+      c.output.map(_.name) should not contain "text"
+    }
+  }
 }
 
 object PipelineSpec {
