@@ -1946,6 +1946,33 @@ object Queries {
     // ---- D9: C4-style corpus-level sentence dedup -------------------
     // every distinct sentence survives only at its first (doc, pos)
     // occurrence; docs rebuilt from survivors, emptied docs drop out
+    // ---- D22: within-doc repeated-sentence removal (self-boilerplate) --
+    // Dolma's dedupe-paragraphs at the sentence split (t12/d9's
+    // no-newline relaxation): keep each sentence's FIRST occurrence
+    // within its own doc, rebuild in order. Same NFC-md5 keys as d9 so
+    // the within-doc and cross-doc passes compose. MAP-ONLY — the
+    // first-occurrence test is array_position over the doc's own key
+    // array; no shuffle exists anywhere in the plan.
+    QueryDef("d22_within_doc_dedup",
+      (s, dir) => Dedup.dropRepeatedSentencesWithin(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (
+          SELECT doc_id, ${sentsSql("text")} AS sents FROM documents),
+        k AS (
+          SELECT doc_id, sents,
+            list_transform(sents, s -> md5(nfc_normalize(s))) AS keys
+          FROM b WHERE len(sents) >= 1),
+        kept AS (
+          SELECT doc_id, list_transform(
+            list_filter(range(1, len(sents) + 1),
+              i -> list_position(keys, keys[i]) = i),
+            i -> sents[i]) AS ks
+          FROM k)
+        SELECT doc_id, array_to_string(ks, ' ') AS text_kept,
+          CAST(len(ks) AS BIGINT) AS n_kept
+        FROM kept ORDER BY doc_id""")),
+
     QueryDef("d9_sentence_dedup",
       (s, dir) => Dedup.dropRepeatedSentences(
         t(s, dir, "documents"), "doc_id", "text")

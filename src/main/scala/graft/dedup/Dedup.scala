@@ -788,6 +788,35 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** WITHIN-document repeated-sentence removal — the self-boilerplate
+    * drop (Dolma's dedupe-paragraphs applied at the sentence split, the
+    * same relaxation as t12/d9: the synthetic corpus has no newlines):
+    * keep the FIRST occurrence of each sentence within its own
+    * document, rebuild in original order (d9's `concat_ws(" ")`
+    * convention). Keys match [[dropRepeatedSentences]] (md5 of the
+    * NFC-normalized sentence) so the within-doc and cross-doc passes
+    * compose without drift; docs with zero sentences drop (C4's
+    * emptied-page discipline).
+    *
+    * Scale shape: MAP-ONLY — the first-occurrence test is
+    * `array_position` over the doc's own key array (O(S²) per doc in
+    * sentences-per-doc — tens), so the whole operator fuses into the
+    * scan. Cross-doc dedup is [[dropRepeatedSentences]]'s shuffle; this
+    * one never needs it. */
+  def dropRepeatedSentencesWithin(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  nfc: Boolean = true): DataFrame = {
+    val sents = CaptionStats.sentences(col(textCol))
+    val keys = transform(sents, s => md5(nfcKey(s, nfc)))
+    val keptIdx = filter(sequence(lit(1), size(sents)),
+      i => array_position(keys, element_at(keys, i)) === i.cast("long"))
+    val kept = transform(keptIdx, i => element_at(sents, i))
+    df.filter(size(sents) >= 1)
+      .select(col(idCol),
+        concat_ws(" ", kept).as("text_kept"),
+        size(kept).cast("long").as("n_kept"))
+  }
+
   /** Cross-document duplicated-span detection — the span-level complement
     * to document-level near-dedup (d6/d7) and WITHIN-doc repetition
     * (TextAnalysis.repetitionSignals): find token windows that recur

@@ -617,4 +617,30 @@ class DedupSpec extends SparkSpec {
       d.filter(col("doc_id") === 2L), d.filter(col("doc_id") === 1L),
       "doc_id", "text", 5, nfc = false).count() shouldBe 1L
   }
+
+  test("dropRepeatedSentencesWithin: keeps first occurrence in order, " +
+    "cross-doc copies untouched, zero-sentence docs drop, map-only plan") {
+    import spark.implicits._
+    val d = Seq(
+      // repeated sentence "aa bb" excised at its SECOND position only
+      (1L, "aa bb. cc dd. aa bb. ee ff."),
+      // cross-doc duplicate of doc 1's sentence — within-doc pass keeps it
+      (2L, "aa bb."),
+      // no sentences → drops
+      (3L, "   "),
+      // all distinct → untouched
+      (4L, "xx. yy.")).toDF("doc_id", "text")
+    val r = Dedup.dropRepeatedSentencesWithin(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    r shouldBe Array(
+      (1L, "aa bb cc dd ee ff", 3L),
+      (2L, "aa bb", 1L),
+      (4L, "xx yy", 2L))
+    val plan = Dedup.dropRepeatedSentencesWithin(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
 }
