@@ -4773,6 +4773,40 @@ object Queries {
     // derive deterministically from doc columns (the d10/x1 pattern),
     // including a case-shifted host to pin the lowercase rule. Map-only
     // fixed fold over the literal list; fuses into the scan.
+    // ---- T19: per-domain contribution cap (anti-spam) ------------------
+    // FineWeb/CCNet discipline: no single domain contributes more than
+    // `cap` documents, however many it crawled. Hosts derive
+    // deterministically from doc_id (the x12 synthesis); keep the
+    // lowest `cap` doc_ids per host. The rn <= cap filter triggers
+    // Catalyst's InferWindowGroupLimit: every map partition prunes each
+    // host to its own top-cap BEFORE the shuffle — a spam domain's 10⁸
+    // pages ship cap × partitions rows, not their full mass.
+    QueryDef("t19_domain_cap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val host = when(col("doc_id") % 4 === 0, lit("spam.example.com"))
+          .when(col("doc_id") % 4 === 1, lit("ads.tracker.net"))
+          .when(col("doc_id") % 4 === 2, lit("en.wikipedia.org"))
+          .otherwise(lit("notspam.example.com"))
+        graft.operators.Limits.capPerKey(
+          docs.select(col("doc_id"), col("source"), host.as("host")),
+          "host", "doc_id", cap = 100)
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 4 = 0 THEN 'spam.example.com'
+                 WHEN doc_id % 4 = 1 THEN 'ads.tracker.net'
+                 WHEN doc_id % 4 = 2 THEN 'en.wikipedia.org'
+                 ELSE 'notspam.example.com' END AS host
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, host,
+            row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+          FROM h)
+        SELECT doc_id, source, host FROM r
+        WHERE rn <= 100 ORDER BY doc_id""")),
+
     QueryDef("x12_domain_filter",
       (s, dir) => {
         val docs = t(s, dir, "documents")
