@@ -331,4 +331,39 @@ class PropertySpec extends SparkSpec {
     r1iter should be <= upper
     r1iter should be > upper - n * 1000L // truncation deficit is tiny
   }
+
+  test("RepetitionCovs ≡ a naive driver-side reference on generated " +
+    "token arrays: counts, char coverage, and the top-gram tie rule") {
+    // tiny token alphabet → heavy duplicate grams and genuine count
+    // ties (the tie-break path executes, not just the max path); BMP
+    // chars only so String.length == code points == UTF8String.numChars
+    val tok = Gen.oneOf("a", "b", "ab", "ba", "ä", "xy")
+    val arr = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, tok))
+    val samples: Seq[Seq[String]] = (0 until 150).flatMap(i =>
+      arr.apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)))
+    def ref(toks: Seq[String]): Seq[Long] = (2 to 10).map { n =>
+      if (toks.length < n) 0L
+      else {
+        val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+        if (n <= 4) {
+          // max count, ties → lexicographically smallest gram
+          val (g, c) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          c * g.length.toLong
+        } else counts.collect { case (g, c) if c > 1L =>
+          c * g.length.toLong }.sum
+      }
+    }
+    val df = samples.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }.toDF("id", "toks")
+    val got = df.select(col("id"),
+        graft.functions.RepetitionCovs(col("toks")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    samples.zipWithIndex.foreach { case (ts, i) =>
+      withClue(s"sample $i (${ts.mkString("|")}): ") {
+        got(i.toLong) shouldBe ref(ts)
+      }
+    }
+  }
 }
