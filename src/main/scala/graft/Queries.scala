@@ -3045,6 +3045,51 @@ object Queries {
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM a GROUP BY shard ORDER BY shard""")),
 
+    // ---- K10: per-shard delivery manifest (reproducibility) ------------
+    // The artifact a training run ships with its data: per balanced
+    // shard (k9's token-weighted cut of the md5 line), doc count, token
+    // weight, and the d12 order-independent digest PAIR (bit-XOR +
+    // sum mod 2^61−1 — XOR alone is blind to a doc delivered twice).
+    // Re-delivery of the same corpus reproduces every manifest row
+    // bit-for-bit; any changed/dropped/duplicated doc flips its shard.
+    QueryDef("k10_shard_manifest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          col("text"),
+          size(CaptionStats.tokens(lower(col("text"))))
+            .cast("long").as("n_toks"))
+        graft.analytics.Layout.shardManifest(docs, "doc_id", "text",
+          "n_toks", nShards = 8)
+          .orderBy("shard")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, text,
+            CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS n_toks
+          FROM documents),
+        tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM tk),
+        o AS (
+          SELECT doc_id, text, n_toks,
+            sum(n_toks) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tk),
+        a AS (
+          SELECT doc_id, text, n_toks,
+            CAST(((cum - n_toks) * 8) // total AS INT) AS shard
+          FROM o CROSS JOIN tot),
+        h AS (
+          SELECT shard, n_toks,
+            CAST(('0x' || substr(md5(
+              CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')), 1, 15))
+              AS BIGINT) AS h
+          FROM a)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS shard_weight,
+          bit_xor(h) AS xor_digest,
+          CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+            AS sum_digest
+        FROM h GROUP BY shard ORDER BY shard""")),
+
     // ---- W5: lag / cume_dist / ntile window ----------------------------
     // The remaining analytic-window family: per-customer order history
     // with the previous-order delta (lag), running distribution position

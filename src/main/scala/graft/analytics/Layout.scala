@@ -142,4 +142,33 @@ object Layout {
         s"DIV $total AS INT)"))
       .drop("__cum")
   }
+
+  /** Per-shard DELIVERY MANIFEST — the reproducibility artifact a
+    * training run ships with its data: for each [[balancedShards]]
+    * shard, the doc count, token weight, and two ORDER-INDEPENDENT
+    * content digests over `md5(id|content)` (bit-XOR, and a sum mod
+    * the Mersenne prime 2⁶¹−1 — the d12 pair: XOR alone is blind to a
+    * doc appearing twice, the modular sum is not, and both commute so
+    * no ordering is imposed anywhere). A re-delivery of the same
+    * corpus reproduces every row of the manifest bit-for-bit; any
+    * changed/dropped/duplicated document flips its shard's digests.
+    *
+    * Scale shape: the digest hash is map-side; the rollup is one
+    * map-combined groupBy(shard) over nShards keys. The only wide work
+    * is [[balancedShards]]'s cumsum (bucketed, no global sort). */
+  def shardManifest(df: DataFrame, keyCol: String, contentCol: String,
+                    weightCol: String, nShards: Int): DataFrame = {
+    val sharded = balancedShards(df, keyCol, weightCol, nShards)
+    val h = conv(substring(md5(concat_ws("|", col(keyCol),
+      coalesce(col(contentCol), lit("")))), 1, 15), 16, 10)
+      .cast("long")
+    sharded
+      .withColumn("__h", h)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("shard_weight"),
+        expr("bit_xor(__h)").as("xor_digest"),
+        (sum(col("__h").cast("decimal(38,0)")) %
+          lit(2305843009213693951L)).cast("long").as("sum_digest"))
+  }
 }

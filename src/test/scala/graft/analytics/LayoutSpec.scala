@@ -262,4 +262,34 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     b.values.count(_ > total) shouldBe 1
   }
+
+  test("shardManifest: bit-identical across re-deliveries; one changed " +
+    "doc flips exactly its shard's digests; a duplicated doc is caught " +
+    "by the sum digest even where XOR cancels") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        col("n_chars").cast("long").as("w"))
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Layout.shardManifest(d, "doc_id", "text", "w", 4)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val a = manifest(docs)
+    a.keySet shouldBe (0 until 4).toSet
+    manifest(docs) shouldBe a // re-delivery reproduces every row
+    // corrupt ONE document: only its shard's digests move, counts hold
+    val corrupted = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("tampered")).otherwise(col("text")))
+    val c = manifest(corrupted)
+    val moved = (0 until 4).filter(s => c(s) != a(s))
+    moved.size shouldBe 1
+    c(moved.head)._1 shouldBe a(moved.head)._1 // n_docs unchanged
+    c(moved.head)._3 should not be a(moved.head)._3 // xor flips
+    c(moved.head)._4 should not be a(moved.head)._4 // sum flips
+    // XOR of a pair cancels; the modular sum does not
+    val h1 = 0x123456789abcdL
+    (h1 ^ h1) shouldBe 0L
+    ((BigInt(h1) + BigInt(h1)) % BigInt(2305843009213693951L)) should
+      not be BigInt(0)
+  }
 }
