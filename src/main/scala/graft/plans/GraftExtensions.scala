@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.Shingles].getName, "shingles"),
       (exprs: Seq[Expression]) => graft.functions.Shingles.build(exprs)))
     e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sentence_dup_stats"),
+      new ExpressionInfo(
+        classOf[graft.functions.SentenceDupStats].getName,
+        "sentence_dup_stats"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SentenceDupStats.build(exprs)))
+    e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("repetition_covs"),
       new ExpressionInfo(
         classOf[graft.functions.RepetitionCovs].getName, "repetition_covs"),

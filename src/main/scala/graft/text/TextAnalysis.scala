@@ -625,27 +625,28 @@ object TextAnalysis {
                             textCol: String): DataFrame = {
     val id = col(idCol)
     val c = col(textCol)
-    val sents = CaptionStats.sentences(c)
-    val dupSents = filter(sents, s => size(filter(sents, x => x === s)) > 1)
-    // two-step select: __covs is NOT cheap, so CollapseProject keeps the
-    // second Project from inlining it 9× (verified: one repetition_covs
-    // in the physical plan); both Projects fuse into one codegen stage
+    // two-step select: neither native result is cheap, so
+    // CollapseProject keeps the second Project from inlining __ss 4×
+    // and __covs 9× (verified: each expression once in the physical
+    // plan); both Projects fuse into one codegen stage. The sentence
+    // stats are the native SentenceDupStats — the HOF formulation was
+    // O(S²) per doc AND interpreted, re-run once per extracted stat.
     val withCovs = df.select(
       id,
       length(c).cast("long").as("tc"),
-      size(sents).cast("long").as("n_sents"),
-      size(dupSents).cast("long").as("n_dup_sents"),
-      aggregate(sents, lit(0L), (a, s) => a + length(s)).as("sum_sent_chars"),
-      aggregate(dupSents, lit(0L), (a, s) => a + length(s))
-        .as("dup_sent_chars"),
+      graft.functions.SentenceDupStats(
+        CaptionStats.sentences(c)).as("__ss"),
       graft.functions.RepetitionCovs(coalesce(
         CaptionStats.tokens(lower(c)),
         array().cast("array<string>"))).as("__covs"))
+    val sentNames = Seq("n_sents", "n_dup_sents", "sum_sent_chars",
+      "dup_sent_chars")
     val covNames = Seq("top2_chars", "top3_chars", "top4_chars") ++
       (5 to 10).map(n => s"dup${n}_chars")
     val named = withCovs.select(
-      Seq(idCol, "tc", "n_sents", "n_dup_sents", "sum_sent_chars",
-        "dup_sent_chars").map(col) ++
+      Seq(idCol, "tc").map(col) ++
+      sentNames.zipWithIndex.map { case (nm, i) =>
+        col("__ss")(i).as(nm) } ++
       covNames.zipWithIndex.map { case (nm, i) =>
         col("__covs")(i).as(nm) }: _*)
     named.withColumn("keep", repetitionKeepOver.cast("long"))
@@ -764,8 +765,7 @@ object TextAnalysis {
     * repetition_covs in the generated code). */
   def gopherRepetitionKeep(c: Column): Column = {
     val tc = length(c).cast("long")
-    val sents = CaptionStats.sentences(c)
-    val dupSents = filter(sents, s => size(filter(sents, x => x === s)) > 1)
+    val ss = graft.functions.SentenceDupStats(CaptionStats.sentences(c))
     val covs = graft.functions.RepetitionCovs(coalesce(
       CaptionStats.tokens(lower(c)), array().cast("array<string>")))
     (topGramRules.zipWithIndex.map { case ((_, m, k), i) =>
@@ -773,10 +773,8 @@ object TextAnalysis {
       dupGramRules.zipWithIndex.map { case ((_, m, k), i) =>
         lit(m) * covs(i + 3) <= lit(k) * tc })
       .reduce(_ && _) &&
-      lit(10L) * size(dupSents).cast("long") <=
-        lit(3L) * size(sents).cast("long") &&
-      lit(5L) * aggregate(dupSents, lit(0L), (a, s) => a + length(s)) <=
-        aggregate(sents, lit(0L), (a, s) => a + length(s))
+      lit(10L) * ss(1) <= lit(3L) * ss(0) &&
+      lit(5L) * ss(3) <= ss(2)
   }
 
   /** The COMBINED Gopher pass (Rae et al. 2021 §A1.1 applies both rule

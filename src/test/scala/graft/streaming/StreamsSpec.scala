@@ -319,12 +319,19 @@ class StreamsSpec extends SparkSpec {
     t15Stream shouldBe graft.text.TextAnalysis
       .gopherRepetitionStats(batchDf, "doc_id", "text")
       .filter(col("keep") === 1L).collect().map(_.getLong(0)).toSet
-    // the composite twin must also equal the BATCH gopherFilter (which
-    // routes repetition through the distributed rollup)
+    // the composite twin must also equal the BATCH gopherFilter (one
+    // map-only filter sharing the same native expression since r14)
     drive("t16_out", t16) shouldBe graft.text.TextAnalysis
       .gopherFilter(batchDf, "doc_id", "text",
         minWords = 20L, minStopHits = 1L)
       .collect().map(_.getLong(0)).toSet
+    // d22 within-doc sentence dedup is also map-only → streams as-is
+    // (survivor-id comparison; the rebuild itself is pinned in DedupSpec)
+    val d22 = (d: org.apache.spark.sql.DataFrame) =>
+      graft.dedup.Dedup.dropRepeatedSentencesWithin(d, "doc_id", "text")
+        .select(col("doc_id"), col("text_kept").as("text"))
+    drive("d22_out", d22) shouldBe
+      d22(batchDf).collect().map(_.getLong(0)).toSet
   }
 
   test("stream-stream interval join pairs within the lookback, across " +
