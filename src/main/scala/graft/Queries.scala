@@ -3090,6 +3090,73 @@ object Queries {
             AS sum_digest
         FROM h GROUP BY shard ORDER BY shard""")),
 
+    // ---- Q7: delivery pipeline (composition proof #4) ------------------
+    // The DELIVERY half, completing the quartet (q4 curation, q5
+    // tokenization, q6 incremental ingest): source-weighted mixture to
+    // a token budget (o10) → token-balanced shard cut (k9) → per-shard
+    // manifest with order-independent digests (k10). The oracle
+    // re-derives all three stages, so the hash proves the composition:
+    // the budgets applied on the per-source md5 lines, the second md5
+    // line cut over exactly the SELECTED docs, and every shard's
+    // digest pair.
+    QueryDef("q7_delivery",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val d = docs.select(col("doc_id"), col("source"),
+          size(CaptionStats.tokens(col("text"))).cast("long")
+            .as("n_toks"))
+        val mixed = Mixture.mix(d, "doc_id", "source", "n_toks",
+          Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
+          budget = 2000L)
+        val withText = mixed.select("doc_id", "n_toks")
+          .join(docs.select("doc_id", "text"), "doc_id")
+        graft.analytics.Layout.shardManifest(withText, "doc_id", "text",
+          "n_toks", nShards = 4)
+          .orderBy("shard")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, source,
+            len(${toksSql("text")}) AS n_toks
+          FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+        budgets(source, b) AS (VALUES
+          ('src1', 1000), ('src2', 600), ('src3', 400)),
+        c AS (
+          SELECT doc_id, source, n_toks,
+            sum(n_toks) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+        sel AS (
+          SELECT doc_id, n_toks
+          FROM c JOIN budgets USING (source)
+          WHERE cum - n_toks < b),
+        st AS (
+          SELECT s.doc_id, s.n_toks, doc.text
+          FROM sel s JOIN documents doc USING (doc_id)),
+        tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM st),
+        o AS (
+          SELECT doc_id, text, n_toks,
+            sum(n_toks) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+          FROM st),
+        a AS (
+          SELECT doc_id, text, n_toks,
+            CAST(((cum2 - n_toks) * 4) // total AS INT) AS shard
+          FROM o CROSS JOIN tot),
+        h AS (
+          SELECT shard, n_toks,
+            CAST(('0x' || substr(md5(
+              CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')), 1, 15))
+              AS BIGINT) AS h
+          FROM a)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS shard_weight,
+          bit_xor(h) AS xor_digest,
+          CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+            AS sum_digest
+        FROM h GROUP BY shard ORDER BY shard""")),
+
     // ---- W5: lag / cume_dist / ntile window ----------------------------
     // The remaining analytic-window family: per-customer order history
     // with the previous-order delta (lag), running distribution position
