@@ -168,10 +168,14 @@ object Queries {
     * (d6/d7/d15/d20/m9) keep the default — their reference counts are
     * small and the inline plans are known-fast. */
   private def lshVerifiedCtes(src: String = "documents",
-                              materialized: Boolean = false): String = {
+                              materialized: Boolean = false,
+                              containment: Boolean = false,
+                              threshold: String = "0.5",
+                              bands: Int = 4): String = {
+    val rows = 12 / bands
     val mins = (0 until 12).map(rotMinSql).mkString(", ")
-    val bandSelects = (0 until 4).map { b =>
-      val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i")
+    val bandSelects = (0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i => s"mh$i")
       s"SELECT doc_id, $b AS band_idx, " +
         s"md5(concat_ws('|', ${cs.mkString(", ")})) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
@@ -197,13 +201,26 @@ object Queries {
         AND a.doc_id < b.doc_id
       JOIN ok_bands k
         ON k.band_idx = a.band_idx AND k.band_key = a.band_key),
-    verified AS $m(
-      SELECT id_a, id_b FROM cand p
-      JOIN shs a ON a.doc_id = p.id_a
-      JOIN shs b ON b.doc_id = p.id_b
-      WHERE (CASE WHEN (len(a.s) + len(b.s) - $inter) = 0 THEN 0.0
-        ELSE CAST($inter AS DOUBLE)
-          / (len(a.s) + len(b.s) - $inter) END) >= 0.5)"""
+    verified AS $m(${
+      if (containment)
+        s"""SELECT id_a, id_b,
+          CASE WHEN len(a.s) < len(b.s) THEN id_a
+               WHEN len(b.s) < len(a.s) THEN id_b
+               ELSE greatest(id_a, id_b) END AS contained_id
+        FROM cand p
+        JOIN shs a ON a.doc_id = p.id_a
+        JOIN shs b ON b.doc_id = p.id_b
+        WHERE (CASE WHEN least(len(a.s), len(b.s)) = 0 THEN 0.0
+          ELSE CAST($inter AS DOUBLE)
+            / least(len(a.s), len(b.s)) END) >= $threshold"""
+      else
+        s"""SELECT id_a, id_b FROM cand p
+        JOIN shs a ON a.doc_id = p.id_a
+        JOIN shs b ON b.doc_id = p.id_b
+        WHERE (CASE WHEN (len(a.s) + len(b.s) - $inter) = 0 THEN 0.0
+          ELSE CAST($inter AS DOUBLE)
+            / (len(a.s) + len(b.s) - $inter) END) >= $threshold"""
+    })"""
   }
 
   // ------------------------------------------------------------ queries
@@ -1834,6 +1851,25 @@ object Queries {
       Some(s"""WITH ${lshVerifiedCtes()}
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM verified)
+        ORDER BY doc_id""")),
+
+    // ---- D23: containment dedup (asymmetric — embedded docs) -----------
+    // Jaccard misses a doc EMBEDDED in a longer one (the union is
+    // dominated by the superset); containment |A∩B|/min(|A|,|B|)
+    // catches it. Candidates use the HIGH-RECALL banding (bands = k,
+    // one row per band: P(miss) = (1−J)^12 — practical through size
+    // ratios ~4–5; beyond that is LSH Ensemble territory, Zhu et al.
+    // 2016, documented on Dedup.containmentPairs). Verified pairs drop
+    // the doc with the SMALLER shingle set, ties to the larger id.
+    QueryDef("d23_containment_dedup",
+      (s, dir) => Dedup.dropContainedDocs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.6)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""WITH ${lshVerifiedCtes(containment = true,
+          threshold = "0.6", bands = 12)}
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT contained_id FROM verified)
         ORDER BY doc_id""")),
 
     // ---- D7: near-dedup, connected-components policy ----------------

@@ -371,6 +371,73 @@ object Dedup {
     out
   }
 
+  /** CONTAINMENT near-dup pairs — the asymmetric complement of
+    * [[nearDupPairs]]'s symmetric Jaccard: c = |A∩B| / min(|A|, |B|)
+    * catches a document EMBEDDED in a longer one (quote-and-extend
+    * spam, article + boilerplate wrapper), where Jaccard stays low
+    * because the union is dominated by the superset. Returns
+    * (id_a, id_b, containment, contained_id) for verified pairs
+    * (a < b, containment ≥ threshold); `contained_id` is the doc with
+    * the SMALLER shingle set (the embedded one — ties, i.e. equal
+    * sizes, resolve to the larger id so keep-first semantics match
+    * [[dropNearDups]]).
+    *
+    * Candidate recall, stated honestly: candidates come from MinHash
+    * bands tuned by JACCARD, and a pair with size ratio r has
+    * Jaccard ≤ 1/r even at full containment — so the default here is
+    * the HIGH-RECALL banding, bands = k (one row per band):
+    * P(miss) = (1−J)^k ≈ 3% at J = 0.25, k = 12 — practical through
+    * size ratios of ~4–5. A tweet inside a book (J ≈ 0.05) still
+    * escapes any Jaccard banding; that regime needs partition-by-size
+    * LSH (Zhu et al. 2016, "LSH Ensemble") — the documented upgrade
+    * path, not implemented here. The wider buckets of 1-row bands are
+    * exactly what `maxBucket` caps (with the recall-loss report).
+    * Same cache discipline as [[nearDupPairs]] (one shingle table,
+    * eager pair materialize, caches released). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, k: Int = 12, bands: Int = 12,
+                       shingleN: Int = 3,
+                       maxBucket: Int = 10000): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsFromSignatures(signaturesFrom(sh, idCol, k), idCol,
+      bands, k / bands, maxBucket)
+    val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
+    val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val minSize = least(size(col("__sa")), size(col("__sb")))
+    val verified = cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("containment",
+        when(minSize === 0, 0.0)
+          .otherwise(inter.cast("double") / minSize))
+      .withColumn("contained_id",
+        when(size(col("__sa")) < size(col("__sb")), col("id_a"))
+          .when(size(col("__sb")) < size(col("__sa")), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment", "contained_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize while the shingle cache is alive
+    Metrics.logDrops("containmentPairs bucket cap", Metrics.capReport(
+      bandBucketSizes(signaturesFrom(sh, idCol, k), idCol, bands,
+        k / bands), "__bn", maxBucket))
+    sh.unpersist(blocking = false)
+    verified
+  }
+
+  /** Drop every document verified CONTAINED in another (the embedded
+    * copy loses, the superset survives) — [[containmentPairs]] with the
+    * [[dropNearDups]] anti-join shape. */
+  def dropContainedDocs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, k: Int = 12, bands: Int = 12,
+                        shingleN: Int = 3,
+                        maxBucket: Int = 10000): DataFrame = {
+    val contained = containmentPairs(df, idCol, textCol, threshold, k,
+      bands, shingleN, maxBucket)
+      .select(col("contained_id").as(idCol)).distinct()
+    df.join(contained, Seq(idCol), "left_anti")
+  }
+
   /** Near-dedup: drop every doc verified near-duplicate of a lower-id
     * doc (greedy keep-first policy — the standard corpus-dedup rule;
     * full connected components would need an iterative join or graph

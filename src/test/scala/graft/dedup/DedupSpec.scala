@@ -618,6 +618,43 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 5, nfc = false).count() shouldBe 1L
   }
 
+  test("containmentPairs: an embedded doc scores full containment " +
+    "where Jaccard stays low; the smaller set drops; ties to larger id") {
+    import spark.implicits._
+    // big ⊃ small with ~3.5× the shingles: J = 4/14 ≈ 0.29 — below
+    // d6's 0.5 Jaccard bar — while containment is exactly 1.0. The
+    // 1-row-per-band default (bands = k) is what lets a J≈0.29 pair
+    // reach the candidate set at all.
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 10).map(i => s"filler$i").mkString(" ")
+    val d = Seq(
+      (1L, big),    // superset — survives
+      (2L, small),  // embedded copy — contained, drops
+      (3L, "totally different content about other things entirely " +
+        "with many words"),
+      (4L, small)   // exact dup of 2 → mutual containment, tie → 4 drops
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    // (1,2) and (1,4): small fully contained in big; (2,4): exact pair
+    pairs.map(p => (p._1, p._2)).toSet shouldBe
+      Set((1L, 2L), (1L, 4L), (2L, 4L))
+    pairs.foreach(_._3 shouldBe 1.0)
+    pairs.find(p => p._1 == 1L && p._2 == 2L).get._4 shouldBe 2L
+    pairs.find(p => p._1 == 2L && p._2 == 4L).get._4 shouldBe 4L // tie
+    // the same pair's symmetric JACCARD sits below the standard 0.5
+    // dedup bar — the MEASURE is what d6 lacks, not the candidates
+    val jv = spark.range(1).select(
+      Dedup.ngramJaccard(lit(big), lit(small), 3).as("j"))
+      .head.getDouble(0)
+    jv should be < 0.5
+    val kept = Dedup.dropContainedDocs(d, "doc_id", "text", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 3L)
+  }
+
   test("dropRepeatedSentencesWithin: keeps first occurrence in order, " +
     "cross-doc copies untouched, zero-sentence docs drop, map-only plan") {
     import spark.implicits._
