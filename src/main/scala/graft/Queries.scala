@@ -1613,6 +1613,35 @@ object Queries {
         SELECT doc_id, source, n_chars, n_repeats
         FROM a WHERE n_repeats > 0 ORDER BY doc_id""")),
 
+    // ---- O12: deterministic proportional interleave (epoch order) ------
+    // After the mixture SELECTS, this orders: a trainer streaming
+    // front-to-back should see sources blended at their ratios
+    // everywhere, not source-sized blocks (a block is a distribution-
+    // shift ramp mid-epoch). ikey = (rn−1)·(lcm/w): smooth weighted
+    // round-robin / stride scheduling, exact in integers — weight 5
+    // fires every 2 ticks, weight 1 every 10. The operator emits the
+    // SPARSE key (read ORDER BY ikey, source, id); a dense global
+    // position would cost a single-task Window.
+    QueryDef("o12_interleave",
+      (s, dir) => Mixture.interleave(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Seq("src1" -> 5L, "src2" -> 2L, "src3" -> 1L))
+        .orderBy("ikey", "source", "doc_id"),
+      Some("""WITH d AS (
+          SELECT doc_id, source FROM documents
+          WHERE source IN ('src1', 'src2', 'src3')),
+        r AS (
+          SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS BIGINT) AS rn
+          FROM d)
+        SELECT doc_id, source, rn,
+          CAST((rn - 1) * (CASE source WHEN 'src1' THEN 2
+            WHEN 'src2' THEN 5 ELSE 10 END) AS BIGINT) AS ikey
+        FROM r ORDER BY ikey, source, doc_id""")),
+
     // ---- D1: exact dedup groups -------------------------------------
     // NFC-first keying (default): DuckDB's utf8proc nfc_normalize vs the
     // engine's JDK-backed native expression — the hash match re-proves

@@ -103,4 +103,42 @@ object Mixture {
       .filter(col("n_repeats") > 0L)
       .drop("__cum")
   }
+
+  /** Deterministic PROPORTIONAL INTERLEAVE — the epoch-ORDER step after
+    * [[mix]] selects: a trainer streaming the corpus front-to-back
+    * should see sources blended at their target ratios everywhere, not
+    * source-sized blocks (a source block is a distribution-shift ramp
+    * mid-epoch). Each doc gets `ikey = (rn−1) · (L / w_s)` where rn is
+    * its rank on the source's md5 permutation line and L = lcm(weights):
+    * reading in `ikey` order emits sources at evenly spaced positions
+    * ∝ weight (weight 5 fires every L/5 ticks, weight 2 every L/2 —
+    * the classic smooth weighted round-robin / stride-scheduling rule,
+    * exact in integers). Ties (ikey 0 is shared by every source's
+    * first doc) break by source then id — total order, engine-portable.
+    *
+    * Output: input columns + `rn` + `ikey`; consume with
+    * `ORDER BY ikey, source, id`. Scale shape: the per-source rank is
+    * one Window per source (fine for thousands of sources — the t17
+    * note); the total order is realized by a range-partitioned sort on
+    * the key columns, never a single-task global Window — a dense
+    * global position would cost exactly that, so the operator
+    * deliberately emits the sparse key instead. `L · max(rn)` must fit
+    * a long: fine through 10¹² docs per source × lcm ≤ 10⁶. */
+  def interleave(docs: DataFrame, idCol: String, sourceCol: String,
+                 weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), "interleave weights must be > 0")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = weights.map(_._2).reduce((a, b) => a / gcd(a, b) * b)
+    val strides = weights.map { case (s, w) => (s, l / w) }
+    val lut = element_at(
+      map(strides.flatMap { case (s, v) => Seq(lit(s), lit(v)) }: _*),
+      col(sourceCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.filter(col(sourceCol).isin(weights.map(_._1): _*))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ikey", (col("rn") - 1L) * lut)
+  }
 }

@@ -139,4 +139,34 @@ class CumsumSpec extends SparkSpec {
         Seq("src3" -> 0.1), budget = 20000L)
         .select("doc_id").collect().map(_.getLong(0)).toSet
   }
+
+  test("interleave: every prefix of the ikey order holds source " +
+    "ratios within one stride; deterministic; unlisted sources drop") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, if (i <= 20) "A"
+      else if (i <= 30) "B" else "C")).toDF("doc_id", "source")
+    val r = Mixture.interleave(docs, "doc_id", "source",
+      Seq("A" -> 2L, "B" -> 1L))
+      .orderBy("ikey", "source", "doc_id")
+      .collect().map(x => (x.getString(1), x.getLong(3)))
+    r.map(_._1).toSet shouldBe Set("A", "B") // C dropped
+    // lcm 2 → strides A=1, B=2: A's ikeys 0,1,2,…; B's 0,2,4,…
+    // In any prefix ending at ikey k, A has ~2× B's docs (within the
+    // stride granularity): check the 2:1 ratio at every B emission.
+    val seen = scala.collection.mutable.Map("A" -> 0, "B" -> 0)
+    r.foreach { case (s, _) =>
+      seen(s) += 1
+      if (s == "B") {
+        val (a, b) = (seen("A"), seen("B"))
+        a should be >= 2 * b - 2
+        a should be <= 2 * b + 2
+      }
+    }
+    // determinism: identical output across runs (md5 order, no RNG)
+    val again = Mixture.interleave(docs, "doc_id", "source",
+      Seq("A" -> 2L, "B" -> 1L))
+      .orderBy("ikey", "source", "doc_id")
+      .collect().map(x => (x.getString(1), x.getLong(3)))
+    again shouldBe r
+  }
 }
