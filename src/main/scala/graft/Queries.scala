@@ -1191,6 +1191,94 @@ object Queries {
           CROSS JOIN ctot
         GROUP BY source ORDER BY source""")),
 
+    // ---- M18: KMV/theta-sketch cross-source overlap --------------------
+    // The question m17 cannot answer: how much does source A literally
+    // CONTAIN of source B? Exact cross-corpus shingle overlap is a
+    // corpus×corpus join — the one shape that never survives 100 TB —
+    // so each source is sketched ONCE into its k smallest 60-bit
+    // shingle hashes (KMV, Bar-Yossef et al. 2002 / theta sketch,
+    // Dasgupta et al. 2016) and every pairwise distinct/intersection/
+    // union/Jaccard estimate reads from the kilobyte sketches alone.
+    // Sketch build: one map-combined distinct + a WindowGroupLimit
+    // rank-k (map tasks pre-prune to local top-k per source — the
+    // exchange carries k rows per source×partition, not the shingle
+    // universe). All columns exact LONGs except the estimates, each an
+    // identically-parenthesized IEEE expression in both engines.
+    QueryDef("m18_kmv_overlap",
+      (s, dir) => {
+        val items = t(s, dir, "documents").select(col("source"),
+          explode(Dedup.shingles(col("text"), 5)).as("sh"))
+        // The sketch IS the compressed artifact (k rows per source) —
+        // materialize it once so the pairwise report's many references
+        // re-read kilobytes, never the corpus scan that built them.
+        val sk = Sketches.kmvSketch(items, "source", "sh", k = 128)
+          .localCheckpoint()
+        Sketches.kmvOverlap(sk, k = 128).orderBy("src_a", "src_b")
+      },
+      Some {
+        val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
+          ELSE list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
+        s"""WITH toked AS (
+          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
+          FROM documents),
+        dh AS (
+          SELECT DISTINCT source,
+            CAST(('0x' || substr(md5(unnest($five)), 1, 15)) AS BIGINT)
+              AS h
+          FROM toked),
+        sk AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM dh) WHERE rn <= 128),
+        st AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n, max(h) AS kth,
+            CASE WHEN count(*) >= 128 THEN max(h)
+              ELSE 1152921504606846976 END AS theta
+          FROM sk GROUP BY source),
+        pr AS (
+          SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a,
+            b.n AS n_b, a.kth AS kth_a, b.kth AS kth_b,
+            least(a.theta, b.theta) AS theta
+          FROM st a JOIN st b ON a.source < b.source),
+        inter AS (
+          SELECT p.src_a, p.src_b, CAST(count(*) AS BIGINT) AS n_inter
+          FROM pr p
+          JOIN sk x ON x.source = p.src_a AND x.h < p.theta
+          JOIN sk y ON y.source = p.src_b AND y.h = x.h
+          GROUP BY p.src_a, p.src_b),
+        uni AS (
+          SELECT p.src_a, p.src_b,
+            CAST(count(DISTINCT z.h) AS BIGINT) AS n_union
+          FROM pr p JOIN sk z
+            ON (z.source = p.src_a OR z.source = p.src_b)
+              AND z.h < p.theta
+          GROUP BY p.src_a, p.src_b)
+        SELECT p.src_a, p.src_b, n_a, n_b, p.theta,
+          coalesce(n_inter, 0) AS n_inter,
+          coalesce(n_union, 0) AS n_union,
+          CASE WHEN n_a < 128 THEN CAST(n_a AS DOUBLE)
+            ELSE (127.0e0 * 1152921504606846976.0e0)
+              / CAST(kth_a AS DOUBLE) END AS est_a,
+          CASE WHEN n_b < 128 THEN CAST(n_b AS DOUBLE)
+            ELSE (127.0e0 * 1152921504606846976.0e0)
+              / CAST(kth_b AS DOUBLE) END AS est_b,
+          (CAST(coalesce(n_inter, 0) AS DOUBLE)
+            * 1152921504606846976.0e0) / CAST(p.theta AS DOUBLE)
+            AS est_inter,
+          (CAST(coalesce(n_union, 0) AS DOUBLE)
+            * 1152921504606846976.0e0) / CAST(p.theta AS DOUBLE)
+            AS est_union,
+          CASE WHEN coalesce(n_union, 0) = 0 THEN 0.0e0
+            ELSE CAST(coalesce(n_inter, 0) AS DOUBLE)
+              / CAST(n_union AS DOUBLE) END AS jaccard
+        FROM pr p LEFT JOIN inter USING (src_a, src_b)
+          LEFT JOIN uni USING (src_a, src_b)
+        ORDER BY src_a, src_b"""
+      }),
+
     // ---- M16: incremental surprisal vs a persisted LM store ------------
     // The d15 store discipline applied to scoring: token counts
     // materialize ONCE as a bucketed (tok, cnt) table (docs < 250 —

@@ -201,6 +201,118 @@ object Sketches {
           col("s_scaled").cast("double"))
   }
 
+  // ---- KMV / theta sketch: distinct counts AND set operations --------
+  //
+  // The K-MINIMUM-VALUES sketch (Bar-Yossef et al. 2002; the theta
+  // sketch of Dasgupta et al. 2016 is its production form): keep the k
+  // smallest 60-bit hashes of a set's distinct members. The k-th
+  // smallest value U_(k), read as a fraction of the hash space,
+  // estimates distinct count as (k-1)/U_(k). What HLL (above) cannot do
+  // and KMV can: the retained hashes are a UNIFORM SAMPLE of the set,
+  // so two sketches support INTERSECTION and JACCARD estimates — "how
+  // much does crawl A overlap crawl B" without ever joining A to B.
+  // That is the 100 TB use: cross-corpus overlap from two single-pass
+  // kilobyte sketches instead of a corpus×corpus shingle join.
+  //
+  // Hashing is the engine's md5 family: the top 15 hex chars as a
+  // 60-bit LONG (the k9/o10 digest idiom), so the DuckDB twin is
+  // CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) verbatim. All
+  // outputs are exact LONGs except the final estimates, each one
+  // identically-parenthesized IEEE arithmetic in both engines.
+
+  /** 2^60, the KMV hash-space size, as the exact double both engines
+    * spell the same way. */
+  val KmvHashSpace: Long = 1L << 60
+
+  /** 60-bit uniform hash of an item: top 15 hex chars of md5. */
+  def kmvHash(item: Column): Column =
+    conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+
+  /** Per-source KMV sketch: the k smallest DISTINCT hashes of
+    * `itemCol` per `srcCol` value — (src, h) rows, at most k per
+    * source.
+    *
+    * Scale shape: one distinct on (src, h) (map-side combined — the
+    * combiner collapses each partition's duplicates before the
+    * exchange), then a rank-k filter that Spark 3.5+ rewrites to
+    * WindowGroupLimit: every MAP task pre-prunes to its local top-k
+    * per source, so the window exchange carries at most k rows per
+    * (source × partition), never the distinct-item universe. The
+    * result is kilobytes per source regardless of corpus size. */
+  def kmvSketch(items: DataFrame, srcCol: String, itemCol: String,
+                k: Int): DataFrame = {
+    val dh = items
+      .select(col(srcCol).as("source"), kmvHash(col(itemCol)).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    dh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Pairwise cross-source overlap report from KMV sketches: for every
+    * source pair (a < b) the theta-sketch set estimates — distinct
+    * items per side, intersection, union, Jaccard — plus the exact
+    * integer evidence (theta, sample counts) that anchors the oracle
+    * hash.
+    *
+    * Estimator (Dasgupta et al. 2016 §3): theta = min of the two
+    * sketch thresholds (a side's threshold is its k-th smallest hash
+    * when the sketch is FULL, else the whole hash space — a partial
+    * sketch IS its set, exactly); every retained hash < theta is a
+    * uniform inclusion-probability-theta sample of the union, so
+    * |S|/theta estimates any set S observed through the sample.
+    * Jaccard = n_inter/n_union needs no theta at all.
+    *
+    * Scale shape: input sketches are ≤ k rows per source, so every
+    * join here is over sketch-sized frames (AQE broadcasts them); the
+    * corpus is never touched. Merge note (SketchesSpec): a KMV sketch
+    * of a union = k smallest of the concatenated sketches, so shard
+    * sketches combine associatively like the CMS rows above. */
+  def kmvOverlap(sk: DataFrame, k: Int): DataFrame = {
+    val est = (n: Column, kth: Column) =>
+      when(n < k, n.cast("double"))
+        .otherwise((lit((k - 1).toDouble) * lit(KmvHashSpace.toDouble)) /
+          kth.cast("double"))
+    val st = sk.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("h").as("kth"))
+      .withColumn("theta",
+        when(col("n") >= k, col("kth")).otherwise(lit(KmvHashSpace)))
+    val pr = st.select(col("source").as("src_a"), col("n").as("n_a"),
+        col("kth").as("kth_a"), col("theta").as("th_a"))
+      .join(st.select(col("source").as("src_b"), col("n").as("n_b"),
+        col("kth").as("kth_b"), col("theta").as("th_b")),
+        col("src_a") < col("src_b"))
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+    val ska = sk.select(col("source").as("src_a"), col("h"))
+    val skb = sk.select(col("source").as("src_b"), col("h"))
+    val inter = pr.join(ska, Seq("src_a")).filter(col("h") < col("theta"))
+      .join(skb, Seq("src_b", "h"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    val uni = pr
+      .join(sk, sk("source") === col("src_a") || sk("source") === col("src_b"))
+      .filter(col("h") < col("theta"))
+      .select(col("src_a"), col("src_b"), col("h")).distinct()
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_union"))
+    pr.join(inter, Seq("src_a", "src_b"), "left")
+      .join(uni, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("theta"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_union"), lit(0L)).as("n_union"),
+        est(col("n_a"), col("kth_a")).as("est_a"),
+        est(col("n_b"), col("kth_b")).as("est_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") *
+          lit(KmvHashSpace.toDouble) / col("theta").cast("double"))
+          .as("est_inter"),
+        (coalesce(col("n_union"), lit(0L)).cast("double") *
+          lit(KmvHashSpace.toDouble) / col("theta").cast("double"))
+          .as("est_union"),
+        when(coalesce(col("n_union"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            col("n_union").cast("double")).as("jaccard"))
+  }
+
   /** Shared estimate + top-k tail: join each candidate against the
     * `depth` broadcast counter tables, estimate = min over rows. Keeps
     * every candidate column (true_n for the oracle form). */

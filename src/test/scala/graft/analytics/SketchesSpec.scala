@@ -139,4 +139,62 @@ class SketchesSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("KMV sketch: at most k rows per source, the k SMALLEST hashes, " +
+    "and the rank filter compiles to WindowGroupLimit (map-side prune)") {
+    val items = (1 to 500).map(i => ("a", s"item$i")) ++
+      (1 to 50).map(i => ("b", s"item$i"))
+    val df = items.toDF("source", "sh")
+    val sk = Sketches.kmvSketch(df, "source", "sh", k = 64)
+    sk.queryExecution.executedPlan.toString should
+      include("WindowGroupLimit")
+    val bySrc = sk.collect().groupBy(_.getString(0))
+    bySrc("a").length shouldBe 64
+    bySrc("b").length shouldBe 50 // partial sketch = the whole set
+    // k smallest: every retained hash <= every excluded hash
+    val allA = df.filter(col("source") === "a")
+      .select(Sketches.kmvHash(col("sh"))).collect().map(_.getLong(0))
+    val keptA = bySrc("a").map(_.getLong(1)).toSet
+    allA.sorted.take(64).toSet shouldBe keptA
+  }
+
+  test("KMV merge: sketch of a union == k smallest of concatenated " +
+    "shard sketches (shards combine without re-reading either corpus)") {
+    val a = (1 to 300).map(i => ("s", s"x$i")).toDF("source", "sh")
+    val b = (200 to 500).map(i => ("s", s"x$i")).toDF("source", "sh")
+    val whole = Sketches.kmvSketch(a.union(b), "source", "sh", k = 32)
+      .collect().map(_.getLong(1)).sorted
+    // merge = distinct + k smallest over the CONCATENATED (source, h)
+    // sketch rows — pure sketch-space work, no corpus re-read
+    val merged = Sketches.kmvSketch(a, "source", "sh", k = 32)
+      .union(Sketches.kmvSketch(b, "source", "sh", k = 32))
+      .distinct().orderBy("h").limit(32)
+      .collect().map(_.getLong(1)).sorted
+    merged shouldBe whole
+  }
+
+  test("KMV overlap: exact on partial sketches, estimates within the " +
+    "theory bound on full ones, Jaccard consistent with truth") {
+    // two sources, 1000 items each, 500 shared -> true J = 1/3
+    val items = ((1 to 1000).map(i => ("a", s"common$i")) ++
+      (501 to 1500).map(i => ("b", s"common$i"))).toDF("source", "sh")
+    val k = 256
+    val sk = Sketches.kmvSketch(items, "source", "sh", k)
+    val r = Sketches.kmvOverlap(sk, k).collect().head
+    val estA = r.getAs[Double]("est_a")
+    val estInter = r.getAs[Double]("est_inter")
+    val jac = r.getAs[Double]("jaccard")
+    // KMV standard error ~ 1/sqrt(k-1) ~ 6.3%; allow 4 sigma
+    math.abs(estA - 1000.0) / 1000.0 should be < 0.25
+    math.abs(estInter - 500.0) / 500.0 should be < 0.30
+    math.abs(jac - 1.0 / 3.0) / (1.0 / 3.0) should be < 0.30
+    // partial-sketch path: tiny sources are counted EXACTLY
+    val tiny = ((1 to 10).map(i => ("a", s"t$i")) ++
+      (6 to 15).map(i => ("b", s"t$i"))).toDF("source", "sh")
+    val tr = Sketches.kmvOverlap(
+      Sketches.kmvSketch(tiny, "source", "sh", k), k).collect().head
+    tr.getAs[Double]("est_a") shouldBe 10.0
+    tr.getAs[Long]("n_inter") shouldBe 5L
+    tr.getAs[Double]("jaccard") shouldBe (5.0 / 15.0)
+  }
 }
