@@ -7,7 +7,7 @@ import graft.filters.RangeFilters
 import graft.filters.RangeFilters.RangeFilter
 import graft.enrich.{CaptionStats, Readability}
 import graft.vocab.{Bpe, Vocab}
-import graft.analytics.{Mixture, Summary}
+import graft.analytics.{Dsir, Mixture, Summary}
 import graft.functions.TextFunctions
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -1155,6 +1155,65 @@ object Queries {
           (['head', 'middle', 'tail'])[
             CAST(((rn - 1) * 3) // n AS INT) + 1] AS bucket
         FROM sd ORDER BY doc_id""")),
+
+    // ---- T18: DSIR importance-resampling selection ---------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every raw doc by how much its hashed-bigram distribution looks
+    // like the src0 target corpus — λ_f in integer BITS (the t11/m17
+    // code-length idiom, add-one smoothed) — and keep the top-k by
+    // length-normalized weight. The learned-from-target upgrade of the
+    // hand-thresholded t2/t14 filters: one raw-corpus pass, B-bounded
+    // bucket tables broadcast into the scoring join, top-k =
+    // TakeOrderedAndProject. See analytics/Dsir.scala for the full
+    // scale story (the λ table persists; incremental crawls score with
+    // zero recompute).
+    QueryDef("t18_dsir_select",
+      (s, dir) => Dsir.select(t(s, dir, "documents"), "doc_id", "text",
+        "source", targetSrc = "src0", buckets = 1024, k = 200),
+      Some(s"""WITH base AS (
+          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
+          FROM documents WHERE regexp_matches(text, '\\S')),
+        bg AS (
+          SELECT doc_id, source,
+            unnest(list_transform(range(2, len(toks) + 1),
+              i -> toks[i - 1] || ' ' || toks[i])) AS bg
+          FROM base WHERE len(toks) >= 2),
+        ft AS (
+          SELECT doc_id, source,
+            CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS f
+          FROM bg),
+        tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
+          FROM ft WHERE source = 'src0' GROUP BY f),
+        tN AS (SELECT CAST(count(*) AS BIGINT) AS n_t
+          FROM ft WHERE source = 'src0'),
+        rf AS (SELECT doc_id, f FROM ft WHERE source <> 'src0'),
+        rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r
+          FROM rf GROUP BY f),
+        rN AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM rf),
+        lam AS (
+          SELECT r.f,
+            CAST((length(bin(coalesce(t.c_t, 0) + 1))
+                - length(bin(n_t + 1024)))
+              - (length(bin(c_r + 1)) - length(bin(n_r + 1024)))
+              AS BIGINT) AS lam_bits
+          FROM rcnt r LEFT JOIN tcnt t USING (f)
+            CROSS JOIN tN CROSS JOIN rN),
+        tf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS tf
+          FROM rf GROUP BY doc_id, f),
+        w AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+            CAST(sum(tf * lam_bits) AS BIGINT) AS weight_bits
+          FROM tf JOIN lam USING (f) GROUP BY doc_id),
+        sel AS (
+          SELECT doc_id FROM w
+          ORDER BY CAST(weight_bits AS DOUBLE) / CAST(n_feats AS DOUBLE)
+            DESC, doc_id
+          LIMIT 200)
+        SELECT w.doc_id, d.source, n_feats, weight_bits,
+          CAST(weight_bits AS DOUBLE) / CAST(n_feats AS DOUBLE)
+            AS mean_bits
+        FROM w JOIN sel USING (doc_id) JOIN documents d USING (doc_id)
+        ORDER BY w.doc_id""")),
 
     // ---- M17: per-source distribution drift (mixture QA) ---------------
     // Before weighting sources into a training mix (o10/o11), quantify

@@ -1,0 +1,63 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = Seq(
+    (1000L, "t", "the cat sat on the mat"),
+    (1001L, "t", "the cat slept on the mat"),
+    (1002L, "t", "a cat sat on a mat")).toDF("doc_id", "source", "text")
+
+  // raw: two docs sharing the target's bigrams, two of alien vocabulary
+  private val raw = Seq(
+    (1L, "r", "the cat sat on the mat again"),
+    (2L, "r", "a cat slept on the mat"),
+    (3L, "r", "zq xw vv kj pq mn zz"),
+    (4L, "r", "qqq www eee rrr ttt yyy")).toDF("doc_id", "source", "text")
+
+  test("importance weights rank target-like docs above alien-vocabulary " +
+    "docs (the paper's core claim, in bits)") {
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text",
+      buckets = 64).collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_bits")).toMap
+    // every target-like doc outscores every alien doc
+    for (good <- Seq(1L, 2L); bad <- Seq(3L, 4L))
+      w(good) should be > w(bad)
+  }
+
+  test("bucket-score table is bounded by B and smoothing keeps unseen-" +
+    "in-target buckets finite (maximal penalty, not -inf)") {
+      val lam = Dsir.bucketScores(raw, target, "doc_id", "text",
+        buckets = 64).collect()
+      lam.length should be <= 64
+      // alien buckets (c_t = 0) exist in this fixture and score the
+      // minimum; all scores are small integers, never sentinel values
+      val bits = lam.map(_.getLong(1))
+      bits.min should be < 0L
+      all(bits) should (be >= -64L and be <= 64L)
+  }
+
+  test("docs with < 2 tokens are excluded from scoring; selection is " +
+    "the deterministic top-k by (mean_bits desc, id)") {
+    val withShort = raw.union(Seq((5L, "r", "single"), (6L, "r", ""))
+      .toDF("doc_id", "source", "text"))
+    val all6 = withShort.union(target)
+    val sel = Dsir.select(all6, "doc_id", "text", "source",
+      targetSrc = "t", buckets = 64, k = 2).collect()
+    sel.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L) // target-like pair
+    // short/empty docs neither scored nor selected
+    Dsir.importanceWeights(withShort, target, "doc_id", "text", 64)
+      .filter(col("doc_id") >= 5L).count() shouldBe 0L
+  }
+
+  test("scale shape: λ joins broadcast, selection is TakeOrdered — " +
+    "never a global sort or a shuffled join of the corpus") {
+    val plan = Dsir.select(raw.union(target), "doc_id", "text", "source",
+      targetSrc = "t", buckets = 64, k = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+  }
+}
