@@ -2282,6 +2282,66 @@ object Queries {
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
       }),
 
+    // ---- N9: product-quantization ADC top-k ----------------------------
+    // The dimension-compression member of the ANN family (Jégou et al.
+    // 2011; n4/n6 compress precision, n3/n8 prune candidates): vectors
+    // become m=4 codebook ids (one per 16-dim sub-space), queries score
+    // via a 64-row asymmetric-distance LUT — the FAISS IVFPQ serving
+    // shape. Codes are query-independent (persist like n8's index; the
+    // demo re-encodes to stay self-contained); est_d2 sums the m LUT
+    // doubles in fixed sub-space order so the unrounded value
+    // hash-matches (the m4 left-fold precedent). Codebooks are fixed
+    // data vectors per the m2/m4 discipline — training them is
+    // Clustering.lloyd per sub-space, orthogonal here.
+    QueryDef("n9_pq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.pqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          "cid", "ce",
+          e.filter(col("vec_id") === 0)
+            .select(col("embedding").as("qe")), "qe",
+          m = 4, subDim = 16, k = 20)
+      },
+      Some {
+        def subD(a: String, b: String, j: Int): String =
+          s"list_sum(list_transform(range(${j * 16 + 1}, ${j * 16 + 17}), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+        def subCase(a: String, b: String): String =
+          "CASE s.sub " + (0 until 4).map(j =>
+            s"WHEN $j THEN ${subD(a, b, j)}").mkString(" ") + " END"
+        def piv(e: String, as: String): String = (0 until 4).map(j =>
+          s"max(CASE WHEN sub = $j THEN $e END) AS $as$j").mkString(", ")
+        s"""WITH cb AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 16),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        lut AS (
+          SELECT s.sub, cb.cid, ${subCase("qe", "ce")} AS qd2
+          FROM cb CROSS JOIN q CROSS JOIN subs s),
+        ed AS (
+          SELECT e.vec_id, s.sub, cb.cid,
+            ${subCase("e.embedding", "cb.ce")} AS d2
+          FROM embeddings e CROSS JOIN cb CROSS JOIN subs s),
+        enc AS (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM ed)
+          WHERE rn = 1),
+        jj AS (
+          SELECT enc.vec_id, enc.sub, enc.cid, lut.qd2
+          FROM enc JOIN lut USING (sub, cid)),
+        piv AS (
+          SELECT vec_id, ${piv("cid", "code")}, ${piv("qd2", "q")}
+          FROM jj GROUP BY vec_id)
+        SELECT vec_id, code0, code1, code2, code3,
+          (((q0 + q1) + q2) + q3) AS est_d2
+        FROM piv ORDER BY est_d2, vec_id LIMIT 20"""
+      }),
+
     // ---- W1: tumbling-window aggregation over events ----------------
     QueryDef("w1_event_window",
       (s, dir) => events(s, dir)

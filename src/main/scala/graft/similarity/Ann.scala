@@ -419,4 +419,81 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  // ---- Product quantization (Jégou et al. 2011) ----------------------
+  //
+  // The remaining member of the ANN compression family: n4/n6 shrink
+  // PRECISION (int8 per dim — 4× over float), PQ shrinks DIMENSION —
+  // the vector becomes `m` codebook ids, one per contiguous sub-space,
+  // and distance against a query is `m` lookups into a per-query table
+  // of (sub, code) → partial-d² (ADC, asymmetric distance computation).
+  // At 64 dims × 4 sub-spaces × 16 codes a vector is 4 nibbles instead
+  // of 256 bytes — the memory-bound serving shape every production ANN
+  // (FAISS IVFPQ) ships. Codes are query-independent: at 100 TB they
+  // compute ONCE per corpus (persist them exactly like writeIvfIndex
+  // persists cells; re-encoding here keeps the demo self-contained) and
+  // every query is a map-only scan of the code table with a
+  // 64-row broadcast LUT + TakeOrderedAndProject — the corpus vectors
+  // themselves never load again.
+  //
+  // Codebooks here are data vectors (the m2/m4 fixed-centroid
+  // discipline — training them is Clustering.lloyd per sub-space, an
+  // orthogonal concern); all distances are the Clustering.sqDist
+  // left-fold, whose raw doubles are bit-identical across engines (m4
+  // precedent), so est_d2 is oracle-hashable unrounded.
+
+  /** One (sub, `as`) row per contiguous `subDim`-slice of `vecCol`,
+    * keeping `keep` — map-only (array build + explode, no shuffle). */
+  private def subRows(df: DataFrame, keep: Seq[String], vecCol: String,
+                      m: Int, subDim: Int, as: String): DataFrame =
+    df.select(keep.map(col) :+ explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col(vecCol), j * subDim + 1, subDim).as(as))): _*))
+        .as("__s"): _*)
+      .select(keep.map(col) ++
+        Seq(col("__s.sub").as("sub"), col(s"__s.$as").as(as)): _*)
+
+  /** PQ encode + ADC top-k against one query vector.
+    *
+    * `codebook` is (cidCol, cvecCol) with ncodes full-dim vectors; each
+    * of the `m` sub-spaces uses its slice of all ncodes vectors as its
+    * code set. Per corpus vector: code_j = argmin over codes of
+    * sub-d² (ties to the smallest cid — min(struct) semantics), and
+    * est_d2 = Σ_j LUT(j, code_j), summed in fixed sub-space order so
+    * the double is engine-reproducible. Returns the k closest by
+    * (est_d2, id): (id, code0..code{m-1}, est_d2).
+    *
+    * Plan shape: LUT = codebook × query (ncodes·m rows, broadcast);
+    * encoding = corpus sub-rows ⋈ broadcast LUT, one map-combined
+    * groupBy(id) with m min(struct) buffers; top-k =
+    * TakeOrderedAndProject. The corpus is scanned once; nothing wider
+    * than (id → m codes) ever shuffles. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             codebook: DataFrame, cidCol: String, cvecCol: String,
+             query: DataFrame, queryVecCol: String,
+             m: Int, subDim: Int, k: Int): DataFrame = {
+    val cb = subRows(codebook.select(col(cidCol).as("__cid"),
+      col(cvecCol).as("__cv")), Seq("__cid"), "__cv", m, subDim, "cv")
+    val q = subRows(query.select(col(queryVecCol).as("__qv")),
+      Seq.empty, "__qv", m, subDim, "qv")
+    val lut = cb.join(q, Seq("sub"))
+      .select(col("sub"), col("__cid").as("cid"), col("cv"),
+        graft.ml.Clustering.sqDist(col("qv"), col("cv")).as("qd2"))
+    val vs = subRows(corpus.select(col(idCol), col(vecCol)),
+      Seq(idCol), vecCol, m, subDim, "vv")
+    val scored = vs.join(broadcast(lut), Seq("sub"))
+      .select(col(idCol), col("sub"),
+        struct(graft.ml.Clustering.sqDist(col("vv"), col("cv")).as("d2"),
+          col("cid").as("cid"), col("qd2").as("qd2")).as("st"))
+    val enc = scored.groupBy(col(idCol))
+      .agg(min(when(col("sub") === 0, col("st"))).as("s0"),
+        (1 until m).map(j =>
+          min(when(col("sub") === j, col("st"))).as(s"s$j")): _*)
+    val est = (0 until m).map(j => col(s"s$j.qd2")).reduceLeft(_ + _)
+    enc.select(col(idCol) +:
+        (0 until m).map(j => col(s"s$j.cid").as(s"code$j")) :+
+        est.as("est_d2"): _*)
+      .orderBy(col("est_d2"), col(idCol))
+      .limit(k)
+  }
 }

@@ -258,4 +258,44 @@ class AnnSpec extends SparkSpec {
     plan should include("BroadcastNestedLoopJoin")
     plan should include("LeftAnti")
   }
+
+  test("PQ: a codebook vector encodes to itself with est_d2 = its ADC " +
+    "distance; self query ranks first; LUT join broadcasts") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val q = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding").as("qe"))
+    val top = Ann.pqTopK(emb, "vec_id", "embedding", cb, "cid", "ce",
+      q, "qe", m = 4, subDim = 16, k = 10)
+    val rows = top.collect()
+    rows.length shouldBe 10
+    // vec 3 IS codebook entry 3: every sub-space encodes to code 3 with
+    // sub-d2 = 0, so est_d2 = 0 exactly and it ranks first
+    val first = rows.head
+    first.getLong(0) shouldBe 3L
+    (1 to 4).foreach(i => first.getLong(i) shouldBe 3L)
+    first.getDouble(5) shouldBe 0.0
+    // ADC is an approximation: ranks are monotone in est_d2
+    rows.map(_.getDouble(5)).toSeq shouldBe
+      rows.map(_.getDouble(5)).sorted.toSeq
+    val plan = top.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("PQ codes are query-independent: two different queries produce " +
+    "identical code columns for every vector") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def codes(qid: Long) = Ann.pqTopK(emb, "vec_id", "embedding",
+        cb, "cid", "ce",
+        emb.filter(col("vec_id") === qid).select(col("embedding").as("qe")),
+        "qe", m = 4, subDim = 16, k = 2000)
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    codes(0L) shouldBe codes(7L)
+  }
 }
