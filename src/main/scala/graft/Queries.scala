@@ -74,6 +74,75 @@ object Queries {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")
 
+  /** Shared oracle of m18 AND m19 (k = 128, 5-gram shingles): the
+    * from-scratch KMV overlap report over the full documents table.
+    * m19's store+absorb path must hash-match this VERBATIM — kmvMerge ≡
+    * sketch-of-union is exact, so sharing the string is the point, not
+    * a shortcut. */
+  private lazy val kmvOverlapSql: String = {
+    val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
+          ELSE list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
+    s"""WITH toked AS (
+          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
+          FROM documents),
+        dh AS (
+          SELECT DISTINCT source,
+            CAST(('0x' || substr(md5(unnest($five)), 1, 15)) AS BIGINT)
+              AS h
+          FROM toked),
+        sk AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM dh) WHERE rn <= 128),
+        st AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n, max(h) AS kth,
+            CASE WHEN count(*) >= 128 THEN max(h)
+              ELSE 1152921504606846976 END AS theta
+          FROM sk GROUP BY source),
+        pr AS (
+          SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a,
+            b.n AS n_b, a.kth AS kth_a, b.kth AS kth_b,
+            least(a.theta, b.theta) AS theta
+          FROM st a JOIN st b ON a.source < b.source),
+        inter AS (
+          SELECT p.src_a, p.src_b, CAST(count(*) AS BIGINT) AS n_inter
+          FROM pr p
+          JOIN sk x ON x.source = p.src_a AND x.h < p.theta
+          JOIN sk y ON y.source = p.src_b AND y.h = x.h
+          GROUP BY p.src_a, p.src_b),
+        uni AS (
+          SELECT p.src_a, p.src_b,
+            CAST(count(DISTINCT z.h) AS BIGINT) AS n_union
+          FROM pr p JOIN sk z
+            ON (z.source = p.src_a OR z.source = p.src_b)
+              AND z.h < p.theta
+          GROUP BY p.src_a, p.src_b)
+        SELECT p.src_a, p.src_b, n_a, n_b, p.theta,
+          coalesce(n_inter, 0) AS n_inter,
+          coalesce(n_union, 0) AS n_union,
+          CASE WHEN n_a < 128 THEN CAST(n_a AS DOUBLE)
+            ELSE (127.0e0 * 1152921504606846976.0e0)
+              / CAST(kth_a AS DOUBLE) END AS est_a,
+          CASE WHEN n_b < 128 THEN CAST(n_b AS DOUBLE)
+            ELSE (127.0e0 * 1152921504606846976.0e0)
+              / CAST(kth_b AS DOUBLE) END AS est_b,
+          (CAST(coalesce(n_inter, 0) AS DOUBLE)
+            * 1152921504606846976.0e0) / CAST(p.theta AS DOUBLE)
+            AS est_inter,
+          (CAST(coalesce(n_union, 0) AS DOUBLE)
+            * 1152921504606846976.0e0) / CAST(p.theta AS DOUBLE)
+            AS est_union,
+          CASE WHEN coalesce(n_union, 0) = 0 THEN 0.0e0
+            ELSE CAST(coalesce(n_inter, 0) AS DOUBLE)
+              / CAST(n_union AS DOUBLE) END AS jaccard
+        FROM pr p LEFT JOIN inter USING (src_a, src_b)
+          LEFT JOIN uni USING (src_a, src_b)
+        ORDER BY src_a, src_b"""
+  }
+
   /** POS-proxy CASE over one token expr (mirrors CaptionStats.posTag). */
   private def posCaseSql(tok: String): String = {
     val lo = s"lower($tok)"
@@ -1274,69 +1343,33 @@ object Queries {
           .localCheckpoint()
         Sketches.kmvOverlap(sk, k = 128).orderBy("src_a", "src_b")
       },
-      Some {
-        val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
-          ELSE list_transform(range(1, len(toks) - 3),
-            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-              || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
-        s"""WITH toked AS (
-          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
-          FROM documents),
-        dh AS (
-          SELECT DISTINCT source,
-            CAST(('0x' || substr(md5(unnest($five)), 1, 15)) AS BIGINT)
-              AS h
-          FROM toked),
-        sk AS (
-          SELECT source, h FROM (
-            SELECT source, h,
-              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-            FROM dh) WHERE rn <= 128),
-        st AS (
-          SELECT source, CAST(count(*) AS BIGINT) AS n, max(h) AS kth,
-            CASE WHEN count(*) >= 128 THEN max(h)
-              ELSE 1152921504606846976 END AS theta
-          FROM sk GROUP BY source),
-        pr AS (
-          SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a,
-            b.n AS n_b, a.kth AS kth_a, b.kth AS kth_b,
-            least(a.theta, b.theta) AS theta
-          FROM st a JOIN st b ON a.source < b.source),
-        inter AS (
-          SELECT p.src_a, p.src_b, CAST(count(*) AS BIGINT) AS n_inter
-          FROM pr p
-          JOIN sk x ON x.source = p.src_a AND x.h < p.theta
-          JOIN sk y ON y.source = p.src_b AND y.h = x.h
-          GROUP BY p.src_a, p.src_b),
-        uni AS (
-          SELECT p.src_a, p.src_b,
-            CAST(count(DISTINCT z.h) AS BIGINT) AS n_union
-          FROM pr p JOIN sk z
-            ON (z.source = p.src_a OR z.source = p.src_b)
-              AND z.h < p.theta
-          GROUP BY p.src_a, p.src_b)
-        SELECT p.src_a, p.src_b, n_a, n_b, p.theta,
-          coalesce(n_inter, 0) AS n_inter,
-          coalesce(n_union, 0) AS n_union,
-          CASE WHEN n_a < 128 THEN CAST(n_a AS DOUBLE)
-            ELSE (127.0e0 * 1152921504606846976.0e0)
-              / CAST(kth_a AS DOUBLE) END AS est_a,
-          CASE WHEN n_b < 128 THEN CAST(n_b AS DOUBLE)
-            ELSE (127.0e0 * 1152921504606846976.0e0)
-              / CAST(kth_b AS DOUBLE) END AS est_b,
-          (CAST(coalesce(n_inter, 0) AS DOUBLE)
-            * 1152921504606846976.0e0) / CAST(p.theta AS DOUBLE)
-            AS est_inter,
-          (CAST(coalesce(n_union, 0) AS DOUBLE)
-            * 1152921504606846976.0e0) / CAST(p.theta AS DOUBLE)
-            AS est_union,
-          CASE WHEN coalesce(n_union, 0) = 0 THEN 0.0e0
-            ELSE CAST(coalesce(n_inter, 0) AS DOUBLE)
-              / CAST(n_union AS DOUBLE) END AS jaccard
-        FROM pr p LEFT JOIN inter USING (src_a, src_b)
-          LEFT JOIN uni USING (src_a, src_b)
-        ORDER BY src_a, src_b"""
-      }),
+      Some(kmvOverlapSql)),
+
+    // ---- M19: incremental KMV store (absorb a crawl, never re-read) ----
+    // The d15/m16 store discipline for set sketches: the corpus's
+    // per-source sketches persist ONCE (O(sources × k) LONGs), a new
+    // shard sketches in one pass over the DELTA, and kmvMerge combines
+    // them in sketch space. Merge ≡ sketch-of-union is EXACT (any hash
+    // among the k smallest of A∪B is among the k smallest of its own
+    // side), so the oracle is m18's from-scratch SQL VERBATIM — the
+    // hash-match is the end-to-end proof that store + absorb loses
+    // nothing, including the parquet roundtrip.
+    QueryDef("m19_kmv_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def items(df: DataFrame) = df.select(col("source"),
+          explode(Dedup.shingles(col("text"), 5)).as("sh"))
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/kmvstore"
+        Sketches.writeKmvStore(items(docs.filter(col("doc_id") < 250)),
+          "source", "sh", k = 128, out)
+        val merged = Sketches.kmvMerge(s.read.parquet(out),
+          Sketches.kmvSketch(items(docs.filter(col("doc_id") >= 250)),
+            "source", "sh", k = 128), k = 128)
+          .localCheckpoint() // kilobytes; see m18
+        Sketches.kmvOverlap(merged, k = 128).orderBy("src_a", "src_b")
+      },
+      Some(kmvOverlapSql)),
 
     // ---- M16: incremental surprisal vs a persisted LM store ------------
     // The d15 store discipline applied to scoring: token counts

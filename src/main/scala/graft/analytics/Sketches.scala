@@ -240,15 +240,43 @@ object Sketches {
     * (source × partition), never the distinct-item universe. The
     * result is kilobytes per source regardless of corpus size. */
   def kmvSketch(items: DataFrame, srcCol: String, itemCol: String,
-                k: Int): DataFrame = {
-    val dh = items
+                k: Int): DataFrame =
+    rankK(items
       .select(col(srcCol).as("source"), kmvHash(col(itemCol)).as("h"))
-      .distinct()
+      .distinct(), k)
+
+  /** k smallest distinct (source, h) rows per source — the shared tail
+    * of sketch build and sketch merge. WindowGroupLimit prunes map-side
+    * (KMV spec asserts it). */
+  private def rankK(dh: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
     dh.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Merge two sketch frames (already-hashed (source, h) rows): the k
+    * smallest of the distinct union — EXACTLY the sketch of the unioned
+    * corpora (any hash among the k smallest of A∪B is among the k
+    * smallest of its own side, so it survives in that side's sketch;
+    * SketchesSpec pins the identity). Pure sketch-space work: rows in
+    * are ≤ k per source per side, the corpora are never touched. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    rankK(a.select(col("source"), col("h"))
+      .union(b.select(col("source"), col("h"))).distinct(), k)
+
+  /** Persist a per-source KMV sketch store — the d15/m16 store
+    * discipline for set sketches: O(sources × k) LONGs materialize
+    * ONCE, and each new crawl absorbs with one pass over the DELTA
+    * plus a kilobyte-sized [[kmvMerge]]; the accumulated corpus is
+    * never re-read. The absorbed store answers every cross-source
+    * overlap question ([[kmvOverlap]]) losslessly — merge ≡
+    * sketch-of-union, so store+absorb hash-matches the from-scratch
+    * sketch (oracle m19 proves it end-to-end). */
+  def writeKmvStore(items: DataFrame, srcCol: String, itemCol: String,
+                    k: Int, path: String): Unit =
+    kmvSketch(items, srcCol, itemCol, k)
+      .write.mode("overwrite").parquet(path)
 
   /** Pairwise cross-source overlap report from KMV sketches: for every
     * source pair (a < b) the theta-sketch set estimates — distinct

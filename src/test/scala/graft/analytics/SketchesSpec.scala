@@ -165,10 +165,11 @@ class SketchesSpec extends SparkSpec {
     val whole = Sketches.kmvSketch(a.union(b), "source", "sh", k = 32)
       .collect().map(_.getLong(1)).sorted
     // merge = distinct + k smallest over the CONCATENATED (source, h)
-    // sketch rows — pure sketch-space work, no corpus re-read
-    val merged = Sketches.kmvSketch(a, "source", "sh", k = 32)
-      .union(Sketches.kmvSketch(b, "source", "sh", k = 32))
-      .distinct().orderBy("h").limit(32)
+    // sketch rows — pure sketch-space work, no corpus re-read (this
+    // identity is what lets the m19 store absorb crawls losslessly)
+    val merged = Sketches.kmvMerge(
+        Sketches.kmvSketch(a, "source", "sh", k = 32),
+        Sketches.kmvSketch(b, "source", "sh", k = 32), k = 32)
       .collect().map(_.getLong(1)).sorted
     merged shouldBe whole
   }
