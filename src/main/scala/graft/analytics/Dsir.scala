@@ -99,6 +99,41 @@ object Dsir {
         col("weight_bits").cast("double") / col("n_feats").cast("double"))
   }
 
+  /** MAP-ONLY scoring against a materialized λ table — the m16
+    * incremental discipline for DSIR: the λ map (≤ B entries, the
+    * bounded centroid-collect shape) folds into the plan as a literal,
+    * so scoring a new crawl is a pure per-row expression — no join, no
+    * aggregate, no shuffle — and composes onto a stream unchanged
+    * (StreamsSpec pins streamed ≡ batch). `lamDefault` scores buckets
+    * absent from λ (absent from BOTH corpora at λ-build time:
+    * bitlen(N_r+B) − bitlen(N_t+B)); docs with < 2 tokens score null.
+    *
+    * The broadcast-join form ([[importanceWeights]]) stays the batch
+    * path — a literal-map lookup is a linear scan per feature, the
+    * right trade only where a shuffle-free single-row plan matters. */
+  def scoreAgainst(df: DataFrame, idCol: String, textCol: String,
+                   lam: Map[Long, Long], lamDefault: Long,
+                   buckets: Int): DataFrame = {
+    val lamLit = typedLit(lam)
+    val toks = CaptionStats.tokens(lower(col(textCol)))
+    val bgs = expr(
+      "transform(sequence(2, size(__toks)), i -> " +
+        "concat(element_at(__toks, i - 1), ' ', element_at(__toks, i)))")
+    val fs = transform(col("__bgs"), bg =>
+      pmod(conv(substring(md5(bg), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    df.filter(col(textCol).rlike("\\S"))
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= 2)
+      .withColumn("__bgs", bgs)
+      .select(col(idCol), size(col("__bgs")).cast("long").as("n_feats"),
+        aggregate(fs, lit(0L), (acc, f) =>
+          acc + coalesce(element_at(lamLit, f), lit(lamDefault)))
+          .as("weight_bits"))
+      .withColumn("mean_bits",
+        col("weight_bits").cast("double") / col("n_feats").cast("double"))
+  }
+
   /** End-to-end selection: split `df` on `srcCol` == `targetSrc`
     * (target) vs rest (raw), score the raw side, keep the top `k` docs
     * by (mean_bits desc, id) — a TakeOrderedAndProject, never a global

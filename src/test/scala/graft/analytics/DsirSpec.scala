@@ -52,6 +52,23 @@ class DsirSpec extends SparkSpec {
       .filter(col("doc_id") >= 5L).count() shouldBe 0L
   }
 
+  test("map-only scoreAgainst equals the broadcast-join batch weights " +
+    "on every doc (the m16-style incremental/streaming shape)") {
+    val lam = Dsir.bucketScores(raw, target, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = Dsir.scoreAgainst(raw, "doc_id", "text", lam,
+        lamDefault = 0L, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dsir.importanceWeights(raw, target, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    streamed shouldBe batch
+    // and the plan is join-free, aggregate-free, exchange-free
+    val plan = Dsir.scoreAgainst(raw, "doc_id", "text", lam, 0L, 64)
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Exchange"
+  }
+
   test("scale shape: λ joins broadcast, selection is TakeOrdered — " +
     "never a global sort or a shuffled join of the corpus") {
     val plan = Dsir.select(raw.union(target), "doc_id", "text", "source",

@@ -334,6 +334,43 @@ class StreamsSpec extends SparkSpec {
       d22(batchDf).collect().map(_.getLong(0)).toSet
   }
 
+  test("DSIR scoring composes onto a stream: map-only scoreAgainst a " +
+    "frozen λ table gives each streamed doc its batch weight (t18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val raw = docs.filter(col("source") =!= "src0")
+    val target = docs.filter(col("source") === "src0")
+    val lam = graft.analytics.Dsir
+      .bucketScores(raw, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = raw.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    val q = graft.analytics.Dsir.scoreAgainst(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        lam, lamDefault = 0L, buckets = 256)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"dsir stream failed: $e"))
+      val streamed = spark.sql(
+          "SELECT doc_id, weight_bits FROM dsir_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.analytics.Dsir
+        .importanceWeights(raw, target, "doc_id", "text", 256)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("weight_bits")).toMap
+      streamed shouldBe batch
+    } finally gracefulStop(q)
+  }
+
   test("stream-stream interval join pairs within the lookback, across " +
     "batches (j5's streaming twin)") {
     import spark.implicits._
