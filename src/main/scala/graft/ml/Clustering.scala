@@ -139,6 +139,18 @@ object Clustering {
     * convergence witness. */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              iters: Int): (DataFrame, Seq[Double]) = {
+    val (cents, inertias) = kmeansCentroids(vecs, idCol, vecCol, k, iters)
+    (assignLiteral(vecs, idCol, vecCol, cents), inertias)
+  }
+
+  /** The Lloyd loop itself, returning the trained centroids (with the
+    * per-iteration inertias) instead of assignments — the form PQ
+    * sub-space training ([[graft.similarity.Ann.pqTrain]]) composes.
+    * Same init (k lowest-id vectors), same update, same empty-cluster
+    * rule as [[kmeans]], which now delegates here. */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int)
+      : (Seq[(Long, Seq[Double])], Seq[Double]) = {
     import org.apache.spark.sql.types._
     val dims = vecs.select(size(col(vecCol))).first().getInt(0)
 
@@ -172,6 +184,6 @@ object Clustering {
         }.toMap
       cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
     }
-    (assignLiteral(vecs, idCol, vecCol, cents), inertias.toSeq)
+    (cents, inertias.toSeq)
   }
 }

@@ -284,6 +284,23 @@ class AnnSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("PQ training: per-sub-space Lloyd starts at the fixed codebook " +
+    "and strictly reduces total quantization error") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val fixed = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val trained = Ann.pqTrain(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, ncodes = 16, iters = 3)
+    trained.count() shouldBe 16L
+    trained.select(org.apache.spark.sql.functions.size(col("ce")))
+      .distinct().collect().map(_.getInt(0)).toSeq shouldBe Seq(64)
+    val before = Ann.pqQuantError(emb, "vec_id", "embedding",
+      fixed, "cid", "ce", m = 4, subDim = 16)
+    val after = Ann.pqQuantError(emb, "vec_id", "embedding",
+      trained, "cid", "ce", m = 4, subDim = 16)
+    after should be < before // Lloyd monotonicity from the same init
+  }
+
   test("PQ codes are query-independent: two different queries produce " +
     "identical code columns for every vector") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
