@@ -3462,6 +3462,120 @@ object Queries {
             AS sum_digest
         FROM h GROUP BY shard ORDER BY shard""")),
 
+    // ---- Q8: targeted dataset build (composition proof #5) -------------
+    // The modern domain-targeting recipe end to end: DSIR-select the
+    // 200 most target-like raw docs (t18, λ in integer bits), drop any
+    // that leak the benchmark's 5-grams (d8's NFC bloom+digest
+    // semi-join — selection optimizes FOR target-likeness, so it
+    // actively fishes near-benchmark docs out of the crawl; running
+    // decontamination AFTER selection is the order that matters), and
+    // ship the survivors as token-balanced shards with the k10
+    // order-independent digest manifest. Oracle re-derives all three
+    // stages — a divergence in any λ bit, any bloom digest, or any
+    // shard cut flips the hash.
+    QueryDef("q8_targeted_build",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val selected = Dsir.select(docs, "doc_id", "text", "source",
+          targetSrc = "src0", buckets = 1024, k = 200)
+          .select("doc_id").localCheckpoint() // 200 ids; see q4 on stages
+        val clean = Dedup.decontaminate(
+          selected.join(docs, "doc_id"),
+          docs.filter(col("source") === "src0"), "doc_id", "text",
+          shingleN = 5)
+        graft.analytics.Layout.shardManifest(
+          clean.select(col("doc_id"), col("text"),
+            size(CaptionStats.tokens(col("text"))).cast("long")
+              .as("n_toks")),
+          "doc_id", "text", "n_toks", nShards = 4)
+          .orderBy("shard")
+      },
+      Some {
+        val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
+          ELSE list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
+        s"""WITH base AS (
+          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
+          FROM documents WHERE regexp_matches(text, '\\S')),
+        bg AS (
+          SELECT doc_id, source,
+            unnest(list_transform(range(2, len(toks) + 1),
+              i -> toks[i - 1] || ' ' || toks[i])) AS bg
+          FROM base WHERE len(toks) >= 2),
+        ft AS (
+          SELECT doc_id, source,
+            CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS f
+          FROM bg),
+        tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
+          FROM ft WHERE source = 'src0' GROUP BY f),
+        tN AS (SELECT CAST(count(*) AS BIGINT) AS n_t
+          FROM ft WHERE source = 'src0'),
+        rf AS (SELECT doc_id, f FROM ft WHERE source <> 'src0'),
+        rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r
+          FROM rf GROUP BY f),
+        rN AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM rf),
+        lam AS (
+          SELECT r.f,
+            CAST((length(bin(coalesce(t.c_t, 0) + 1))
+                - length(bin(n_t + 1024)))
+              - (length(bin(c_r + 1)) - length(bin(n_r + 1024)))
+              AS BIGINT) AS lam_bits
+          FROM rcnt r LEFT JOIN tcnt t USING (f)
+            CROSS JOIN tN CROSS JOIN rN),
+        dtf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS tf
+          FROM rf GROUP BY doc_id, f),
+        wts AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+            CAST(sum(tf * lam_bits) AS BIGINT) AS weight_bits
+          FROM dtf JOIN lam USING (f) GROUP BY doc_id),
+        sel AS MATERIALIZED (
+          SELECT doc_id FROM wts
+          ORDER BY CAST(weight_bits AS DOUBLE) / CAST(n_feats AS DOUBLE)
+            DESC, doc_id
+          LIMIT 200),
+        toked AS (
+          SELECT doc_id, source,
+            ${toksSql("lower(nfc_normalize(text))")} AS toks
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT substr(md5(unnest($five)), 1, 16) AS bd
+          FROM toked WHERE source = 'src0'),
+        corp AS (
+          SELECT t.doc_id, substr(md5(unnest($five)), 1, 16) AS bd
+          FROM toked t JOIN sel USING (doc_id)),
+        bad AS (
+          SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (bd)),
+        surv AS (
+          SELECT d.doc_id, d.text,
+            len(${toksSql("d.text")}) AS n_toks
+          FROM documents d JOIN sel USING (doc_id)
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)),
+        tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM surv),
+        o AS (
+          SELECT doc_id, text, n_toks,
+            sum(n_toks) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM surv),
+        a AS (
+          SELECT doc_id, text, n_toks,
+            CAST(((cum - n_toks) * 4) // total AS INT) AS shard
+          FROM o CROSS JOIN tot),
+        h AS (
+          SELECT shard, n_toks,
+            CAST(('0x' || substr(md5(
+              CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')), 1, 15))
+              AS BIGINT) AS h
+          FROM a)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS shard_weight,
+          bit_xor(h) AS xor_digest,
+          CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+            AS sum_digest
+        FROM h GROUP BY shard ORDER BY shard"""
+      }),
+
     // ---- W5: lag / cume_dist / ntile window ----------------------------
     // The remaining analytic-window family: per-customer order history
     // with the previous-order delta (lag), running distribution position
