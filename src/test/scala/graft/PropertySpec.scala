@@ -366,4 +366,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("KMV sketch invariants on generated corpora: sketch(A∪B∪C) = " +
+    "merge in any association; estimator = exact count below k") {
+    import graft.analytics.Sketches
+    val itemGen = Gen.listOfN(60,
+      Gen.chooseNum(0, 400).map(i => s"item$i"))
+    val corpora = (0 until 6).map(i =>
+      itemGen.apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).get)
+    def sk(items: Seq[String]*) = Sketches.kmvSketch(
+      items.flatten.map(("s", _)).toDF("source", "sh"),
+      "source", "sh", k = 24)
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(1)).sorted.toSeq
+    corpora.grouped(3).foreach { case Seq(a, b, c) =>
+      val whole = hashes(sk(a, b, c))
+      // left- and right-associated merges both equal the direct sketch
+      hashes(Sketches.kmvMerge(
+        Sketches.kmvMerge(sk(a), sk(b), 24), sk(c), 24)) shouldBe whole
+      hashes(Sketches.kmvMerge(
+        sk(a), Sketches.kmvMerge(sk(b), sk(c), 24), 24)) shouldBe whole
+      // distinct-below-k sets are counted exactly (partial sketch = set)
+      val small = a.distinct.take(10)
+      val skSmall = sk(small)
+      skSmall.count() shouldBe small.size.toLong
+    }
+  }
 }
