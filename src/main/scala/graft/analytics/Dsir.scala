@@ -85,12 +85,32 @@ object Dsir {
 
   /** Per-document importance weights over the raw corpus:
     * (id, n_feats, weight_bits, mean_bits) — everything integer except
-    * the final int/int mean. */
+    * the final int/int mean.
+    *
+    * One raw-corpus pass: the per-doc tf frame is the only raw-keyed
+    * aggregate, and the raw bucket counts ROLL UP FROM IT
+    * (Σ_doc tf ≡ count of occurrences — no second feature scan; the
+    * plan shows exactly one raw scan plus the tiny target scan). The
+    * λ table is ≤ B rows and eagerly materialized (localCheckpoint) so
+    * the scoring join reads kilobytes, not a re-derivation. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, buckets: Int): DataFrame = {
-    val lam = bucketScores(raw, target, idCol, textCol, buckets)
     val tf = features(raw, idCol, textCol, buckets)
       .groupBy(col(idCol), col("f")).agg(count(lit(1)).as("tf"))
+    val rcnt = tf.groupBy("f").agg(sum("tf").as("c_r"))
+    val tcnt = features(target, idCol, textCol, buckets)
+      .groupBy("f").agg(count(lit(1)).as("c_t"))
+    val rN = rcnt.agg(sum("c_r").as("n_r"))
+    val tN = tcnt.agg(sum("c_t").as("n_t"))
+    val b = lit(buckets.toLong)
+    val lam = rcnt.join(tcnt, Seq("f"), "left")
+      .crossJoin(broadcast(rN)).crossJoin(broadcast(tN))
+      .select(col("f"),
+        ((length(bin(coalesce(col("c_t"), lit(0L)) + 1L))
+          - length(bin(col("n_t") + b)))
+          - (length(bin(col("c_r") + 1L))
+            - length(bin(col("n_r") + b)))).cast("long").as("lam_bits"))
+      .localCheckpoint()
     tf.join(broadcast(lam), Seq("f"))
       .groupBy(col(idCol))
       .agg(sum("tf").as("n_feats"),
@@ -143,7 +163,11 @@ object Dsir {
              k: Int): DataFrame = {
     val raw = df.filter(col(srcCol) =!= targetSrc)
     val target = df.filter(col(srcCol) === targetSrc)
+    // scores materialize once (one row per raw doc — the frame a
+    // production run persists anyway); top-k and the result join then
+    // read the checkpoint instead of re-deriving the corpus pass twice
     val w = importanceWeights(raw, target, idCol, textCol, buckets)
+      .localCheckpoint()
     val sel = w.orderBy(desc("mean_bits"), col(idCol)).limit(k)
       .select(col(idCol))
     w.join(sel, Seq(idCol))

@@ -308,22 +308,27 @@ object Sketches {
         when(col("n") >= k, col("kth")).otherwise(lit(KmvHashSpace)))
     val pr = st.select(col("source").as("src_a"), col("n").as("n_a"),
         col("kth").as("kth_a"), col("theta").as("th_a"))
-      .join(st.select(col("source").as("src_b"), col("n").as("n_b"),
-        col("kth").as("kth_b"), col("theta").as("th_b")),
+      .join(broadcast(st.select(col("source").as("src_b"),
+        col("n").as("n_b"), col("kth").as("kth_b"),
+        col("theta").as("th_b"))),
         col("src_a") < col("src_b"))
       .withColumn("theta", least(col("th_a"), col("th_b")))
+    // every frame here is sketch-sized (≤ sources × k rows) — broadcast
+    // hints keep even the STATIC plan free of sort-merge machinery
     val ska = sk.select(col("source").as("src_a"), col("h"))
     val skb = sk.select(col("source").as("src_b"), col("h"))
-    val inter = pr.join(ska, Seq("src_a")).filter(col("h") < col("theta"))
-      .join(skb, Seq("src_b", "h"))
+    val inter = pr.join(broadcast(ska), Seq("src_a"))
+      .filter(col("h") < col("theta"))
+      .join(broadcast(skb), Seq("src_b", "h"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
     val uni = pr
-      .join(sk, sk("source") === col("src_a") || sk("source") === col("src_b"))
+      .join(broadcast(sk),
+        sk("source") === col("src_a") || sk("source") === col("src_b"))
       .filter(col("h") < col("theta"))
       .select(col("src_a"), col("src_b"), col("h")).distinct()
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_union"))
-    pr.join(inter, Seq("src_a", "src_b"), "left")
-      .join(uni, Seq("src_a", "src_b"), "left")
+    pr.join(broadcast(inter), Seq("src_a", "src_b"), "left")
+      .join(broadcast(uni), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("theta"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
