@@ -71,8 +71,11 @@ object Dsir {
     val tf = features(target, idCol, textCol, buckets)
     val rcnt = rf.groupBy("f").agg(count(lit(1)).as("c_r"))
     val tcnt = tf.groupBy("f").agg(count(lit(1)).as("c_t"))
-    val rN = rcnt.agg(sum("c_r").as("n_r"))
-    val tN = tcnt.agg(sum("c_t").as("n_t"))
+    // coalesce: an EMPTY target (or raw) corpus must degrade to the
+    // all-smoothing distribution, not propagate a null total through
+    // every lambda (sum over zero rows is null in SQL semantics)
+    val rN = rcnt.agg(coalesce(sum("c_r"), lit(0L)).as("n_r"))
+    val tN = tcnt.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
     val b = lit(buckets.toLong)
     rcnt.join(tcnt, Seq("f"), "left")
       .crossJoin(broadcast(rN)).crossJoin(broadcast(tN))
@@ -100,8 +103,11 @@ object Dsir {
     val rcnt = tf.groupBy("f").agg(sum("tf").as("c_r"))
     val tcnt = features(target, idCol, textCol, buckets)
       .groupBy("f").agg(count(lit(1)).as("c_t"))
-    val rN = rcnt.agg(sum("c_r").as("n_r"))
-    val tN = tcnt.agg(sum("c_t").as("n_t"))
+    // coalesce: an EMPTY target (or raw) corpus must degrade to the
+    // all-smoothing distribution, not propagate a null total through
+    // every lambda (sum over zero rows is null in SQL semantics)
+    val rN = rcnt.agg(coalesce(sum("c_r"), lit(0L)).as("n_r"))
+    val tN = tcnt.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
     val b = lit(buckets.toLong)
     val lam = rcnt.join(tcnt, Seq("f"), "left")
       .crossJoin(broadcast(rN)).crossJoin(broadcast(tN))

@@ -52,6 +52,20 @@ class DsirSpec extends SparkSpec {
       .filter(col("doc_id") >= 5L).count() shouldBe 0L
   }
 
+  test("empty target corpus degrades to the all-smoothing distribution " +
+    "instead of nulling every weight") {
+    val noTarget = target.filter(col("doc_id") < 0L)
+    val w = Dsir.importanceWeights(raw, noTarget, "doc_id", "text", 64)
+      .collect()
+    w.length shouldBe 4
+    // every lambda is bitlen(1) − bitlen(0+64) − (bitlen(c_r+1) −
+    // bitlen(n_r+64)) — finite integers, no nulls anywhere
+    w.foreach { r =>
+      r.isNullAt(2) shouldBe false
+      r.getAs[Double]("mean_bits").isNaN shouldBe false
+    }
+  }
+
   test("map-only scoreAgainst equals the broadcast-join batch weights " +
     "on every doc (the m16-style incremental/streaming shape)") {
     val lam = Dsir.bucketScores(raw, target, "doc_id", "text", 64)

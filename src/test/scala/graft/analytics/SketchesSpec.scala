@@ -174,6 +174,17 @@ class SketchesSpec extends SparkSpec {
     merged shouldBe whole
   }
 
+  test("KMV overlap of a single source is an empty frame with the full " +
+    "report schema (no pairs, no crash)") {
+    val one = (1 to 50).map(i => ("solo", s"x$i")).toDF("source", "sh")
+    val r = Sketches.kmvOverlap(
+      Sketches.kmvSketch(one, "source", "sh", k = 16), k = 16)
+    r.count() shouldBe 0L
+    r.columns.toSeq shouldBe Seq("src_a", "src_b", "n_a", "n_b",
+      "theta", "n_inter", "n_union", "est_a", "est_b", "est_inter",
+      "est_union", "jaccard")
+  }
+
   test("KMV overlap: exact on partial sketches, estimates within the " +
     "theory bound on full ones, Jaccard consistent with truth") {
     // two sources, 1000 items each, 500 shared -> true J = 1/3
