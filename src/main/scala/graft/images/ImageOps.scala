@@ -89,9 +89,14 @@ object ImageOps {
     * exactly. `lossless=false` maps the quality knob onto a
     * deterministic channel quantization (keep the top 8−shift bits,
     * shift = (100−quality)/20, capped at 5) before the same lossless
-    * encode — a documented stand-in for VP8's DCT path, which has no
-    * JVM implementation; the output container is still real WebP that
-    * any conforming decoder accepts. `method` (an encoder effort knob
+    * encode — the r5-accepted stand-in contract, kept as the default
+    * for its pointwise error bounds (PropertySpec pins them). The
+    * REAL VP8 transform layer exists as [[webpEncodeDct]] (RFC 6386
+    * integer DCT pair + DC/AC quantization — chain param
+    * `mode=vp8dct`); only the boolean-coder BITSTREAM remains out of
+    * scope, for lack of an offline conformance oracle (Vp8Transform
+    * scaladoc). The output container is still real WebP that any
+    * conforming decoder accepts. `method` (an encoder effort knob
     * in libwebp) has no analogue here and is ignored. */
   def webpEncode(bytes: Array[Byte], lossless: Boolean = true,
                  quality: Int = 50): Option[Array[Byte]] =
@@ -118,6 +123,46 @@ object ImageOps {
       WebpCodec.encodeLossless(src)
     }
 
+  /** I3, VP8-TRANSFORM lossy mode: the REAL RFC 6386 DCT layer
+    * ([[Vp8Transform]]) instead of the channel-quantization stand-in —
+    * per 4×4 block and channel: residual → integer forward transform →
+    * DC/AC quantization → dequantize → inverse transform (the exact
+    * fixed-point pair, roundtrip ±1 property-tested), then the VP8L
+    * container. Alpha passes through untouched (real lossy WebP stores
+    * alpha as a separate lossless chunk). Quality maps linearly onto
+    * the DC/AC quantizer steps (VP8's 4..157 / 4..284 ranges); the
+    * qindex→step lookup and boolean-coder bitstream stay out of scope
+    * — they are entropy-layer constants with no offline conformance
+    * oracle here (Vp8Transform scaladoc). */
+  def webpEncodeDct(bytes: Array[Byte], quality: Int = 50)
+      : Option[Array[Byte]] =
+    decode(bytes).flatMap { img =>
+      val q = math.min(100, math.max(0, quality))
+      val qdc = 4 + (100 - q) * 153 / 100  // 4..157, the VP8 DC range
+      val qac = 4 + (100 - q) * 280 / 100  // 4..284, the VP8 AC range
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Int](px.length)
+      val plane = new Array[Int](px.length)
+      var shift = 16
+      java.util.Arrays.fill(out, 0)
+      var i = 0
+      while (i < px.length) { out(i) = px(i) & 0xff000000; i += 1 }
+      while (shift >= 0) {
+        i = 0
+        while (i < px.length) {
+          plane(i) = (px(i) >>> shift) & 0xff; i += 1
+        }
+        val rec = Vp8Transform.quantizePlane(plane, w, h, qdc, qac)
+        i = 0
+        while (i < px.length) { out(i) |= rec(i) << shift; i += 1 }
+        shift -= 8
+      }
+      val res = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+      res.setRGB(0, 0, w, h, out, 0, w)
+      WebpCodec.encodeLossless(res)
+    }
+
   /** I4: fold the configured chain over one payload; None = failure
     * (→ F4 success-mask drop, `wikicaps_etl_pipeline.py:203-210`). */
   def applyChain(bytes: Array[Byte],
@@ -131,6 +176,8 @@ object ImageOps {
             t.params.getOrElse("max_height", "640").toInt)
           case "compress" => compressBytes(b,
             t.params.getOrElse("quality", "0.8").toFloat)
+          case "webp" if t.params.get("mode").contains("vp8dct") =>
+            webpEncodeDct(b, t.params.getOrElse("quality", "50").toInt)
           case "webp" => webpEncode(b,
             t.params.getOrElse("lossless", "true").toBoolean,
             t.params.getOrElse("quality", "50").toInt)
