@@ -74,6 +74,53 @@ object Queries {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")
 
+  /** Shared DSIR-selection CTE chain of the t18 AND q8 oracles
+    * (B = 1024, target src0, top-200 by length-normalized weight):
+    * ends at `sel` (the selected doc_ids); `w` carries the weights.
+    * One definition so the two oracles can never assert different
+    * DSIR semantics for the same engine code (the kmvOverlapSql
+    * principle). */
+  private lazy val dsirSelectCtes: String =
+    s"""base AS (
+          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
+          FROM documents WHERE regexp_matches(text, '\\S')),
+        bg AS (
+          SELECT doc_id, source,
+            unnest(list_transform(range(2, len(toks) + 1),
+              i -> toks[i - 1] || ' ' || toks[i])) AS bg
+          FROM base WHERE len(toks) >= 2),
+        ft AS (
+          SELECT doc_id, source,
+            CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS f
+          FROM bg),
+        tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
+          FROM ft WHERE source = 'src0' GROUP BY f),
+        tN AS (SELECT CAST(count(*) AS BIGINT) AS n_t
+          FROM ft WHERE source = 'src0'),
+        rf AS (SELECT doc_id, f FROM ft WHERE source <> 'src0'),
+        rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r
+          FROM rf GROUP BY f),
+        rN AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM rf),
+        lam AS (
+          SELECT r.f,
+            CAST((length(bin(coalesce(t.c_t, 0) + 1))
+                - length(bin(n_t + 1024)))
+              - (length(bin(c_r + 1)) - length(bin(n_r + 1024)))
+              AS BIGINT) AS lam_bits
+          FROM rcnt r LEFT JOIN tcnt t USING (f)
+            CROSS JOIN tN CROSS JOIN rN),
+        tf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS tf
+          FROM rf GROUP BY doc_id, f),
+        w AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+            CAST(sum(tf * lam_bits) AS BIGINT) AS weight_bits
+          FROM tf JOIN lam USING (f) GROUP BY doc_id),
+        sel AS MATERIALIZED (
+          SELECT doc_id FROM w
+          ORDER BY CAST(weight_bits AS DOUBLE) / CAST(n_feats AS DOUBLE)
+            DESC, doc_id
+          LIMIT 200)"""
+
   /** Shared oracle of m18 AND m19 (k = 128, 5-gram shingles): the
     * from-scratch KMV overlap report over the full documents table.
     * m19's store+absorb path must hash-match this VERBATIM — kmvMerge ≡
@@ -1239,45 +1286,7 @@ object Queries {
     QueryDef("t18_dsir_select",
       (s, dir) => Dsir.select(t(s, dir, "documents"), "doc_id", "text",
         "source", targetSrc = "src0", buckets = 1024, k = 200),
-      Some(s"""WITH base AS (
-          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
-          FROM documents WHERE regexp_matches(text, '\\S')),
-        bg AS (
-          SELECT doc_id, source,
-            unnest(list_transform(range(2, len(toks) + 1),
-              i -> toks[i - 1] || ' ' || toks[i])) AS bg
-          FROM base WHERE len(toks) >= 2),
-        ft AS (
-          SELECT doc_id, source,
-            CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS f
-          FROM bg),
-        tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
-          FROM ft WHERE source = 'src0' GROUP BY f),
-        tN AS (SELECT CAST(count(*) AS BIGINT) AS n_t
-          FROM ft WHERE source = 'src0'),
-        rf AS (SELECT doc_id, f FROM ft WHERE source <> 'src0'),
-        rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r
-          FROM rf GROUP BY f),
-        rN AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM rf),
-        lam AS (
-          SELECT r.f,
-            CAST((length(bin(coalesce(t.c_t, 0) + 1))
-                - length(bin(n_t + 1024)))
-              - (length(bin(c_r + 1)) - length(bin(n_r + 1024)))
-              AS BIGINT) AS lam_bits
-          FROM rcnt r LEFT JOIN tcnt t USING (f)
-            CROSS JOIN tN CROSS JOIN rN),
-        tf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS tf
-          FROM rf GROUP BY doc_id, f),
-        w AS (
-          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
-            CAST(sum(tf * lam_bits) AS BIGINT) AS weight_bits
-          FROM tf JOIN lam USING (f) GROUP BY doc_id),
-        sel AS (
-          SELECT doc_id FROM w
-          ORDER BY CAST(weight_bits AS DOUBLE) / CAST(n_feats AS DOUBLE)
-            DESC, doc_id
-          LIMIT 200)
+      Some(s"""WITH $dsirSelectCtes
         SELECT w.doc_id, d.source, n_feats, weight_bits,
           CAST(weight_bits AS DOUBLE) / CAST(n_feats AS DOUBLE)
             AS mean_bits
@@ -3495,45 +3504,7 @@ object Queries {
           ELSE list_transform(range(1, len(toks) - 3),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
               || ' ' || toks[i+3] || ' ' || toks[i+4]) END)"""
-        s"""WITH base AS (
-          SELECT doc_id, source, ${toksSql("lower(text)")} AS toks
-          FROM documents WHERE regexp_matches(text, '\\S')),
-        bg AS (
-          SELECT doc_id, source,
-            unnest(list_transform(range(2, len(toks) + 1),
-              i -> toks[i - 1] || ' ' || toks[i])) AS bg
-          FROM base WHERE len(toks) >= 2),
-        ft AS (
-          SELECT doc_id, source,
-            CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS f
-          FROM bg),
-        tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
-          FROM ft WHERE source = 'src0' GROUP BY f),
-        tN AS (SELECT CAST(count(*) AS BIGINT) AS n_t
-          FROM ft WHERE source = 'src0'),
-        rf AS (SELECT doc_id, f FROM ft WHERE source <> 'src0'),
-        rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r
-          FROM rf GROUP BY f),
-        rN AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM rf),
-        lam AS (
-          SELECT r.f,
-            CAST((length(bin(coalesce(t.c_t, 0) + 1))
-                - length(bin(n_t + 1024)))
-              - (length(bin(c_r + 1)) - length(bin(n_r + 1024)))
-              AS BIGINT) AS lam_bits
-          FROM rcnt r LEFT JOIN tcnt t USING (f)
-            CROSS JOIN tN CROSS JOIN rN),
-        dtf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS tf
-          FROM rf GROUP BY doc_id, f),
-        wts AS (
-          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
-            CAST(sum(tf * lam_bits) AS BIGINT) AS weight_bits
-          FROM dtf JOIN lam USING (f) GROUP BY doc_id),
-        sel AS MATERIALIZED (
-          SELECT doc_id FROM wts
-          ORDER BY CAST(weight_bits AS DOUBLE) / CAST(n_feats AS DOUBLE)
-            DESC, doc_id
-          LIMIT 200),
+        s"""WITH $dsirSelectCtes,
         toked AS (
           SELECT doc_id, source,
             ${toksSql("lower(nfc_normalize(text))")} AS toks

@@ -65,12 +65,11 @@ object Dsir {
     * score. ≤ `buckets` rows — built from two map-combined bucket
     * counts, broadcastable, persistable (score tomorrow's crawl without
     * recounting the target). */
-  def bucketScores(raw: DataFrame, target: DataFrame, idCol: String,
-                   textCol: String, buckets: Int): DataFrame = {
-    val rf = features(raw, idCol, textCol, buckets)
-    val tf = features(target, idCol, textCol, buckets)
-    val rcnt = rf.groupBy("f").agg(count(lit(1)).as("c_r"))
-    val tcnt = tf.groupBy("f").agg(count(lit(1)).as("c_t"))
+  /** λ table from the two bucket-count frames — THE scoring
+    * definition, shared by the batch and incremental paths so the
+    * smoothing can never de-synchronize between them. */
+  private def lamTable(rcnt: DataFrame, tcnt: DataFrame,
+                       buckets: Int): DataFrame = {
     // coalesce: an EMPTY target (or raw) corpus must degrade to the
     // all-smoothing distribution, not propagate a null total through
     // every lambda (sum over zero rows is null in SQL semantics)
@@ -84,6 +83,14 @@ object Dsir {
           - length(bin(col("n_t") + b)))
           - (length(bin(col("c_r") + 1L))
             - length(bin(col("n_r") + b)))).cast("long").as("lam_bits"))
+  }
+
+  def bucketScores(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, buckets: Int): DataFrame = {
+    val rf = features(raw, idCol, textCol, buckets)
+    val tf = features(target, idCol, textCol, buckets)
+    lamTable(rf.groupBy("f").agg(count(lit(1)).as("c_r")),
+      tf.groupBy("f").agg(count(lit(1)).as("c_t")), buckets)
   }
 
   /** Per-document importance weights over the raw corpus:
@@ -100,22 +107,10 @@ object Dsir {
                         textCol: String, buckets: Int): DataFrame = {
     val tf = features(raw, idCol, textCol, buckets)
       .groupBy(col(idCol), col("f")).agg(count(lit(1)).as("tf"))
-    val rcnt = tf.groupBy("f").agg(sum("tf").as("c_r"))
-    val tcnt = features(target, idCol, textCol, buckets)
-      .groupBy("f").agg(count(lit(1)).as("c_t"))
-    // coalesce: an EMPTY target (or raw) corpus must degrade to the
-    // all-smoothing distribution, not propagate a null total through
-    // every lambda (sum over zero rows is null in SQL semantics)
-    val rN = rcnt.agg(coalesce(sum("c_r"), lit(0L)).as("n_r"))
-    val tN = tcnt.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
-    val b = lit(buckets.toLong)
-    val lam = rcnt.join(tcnt, Seq("f"), "left")
-      .crossJoin(broadcast(rN)).crossJoin(broadcast(tN))
-      .select(col("f"),
-        ((length(bin(coalesce(col("c_t"), lit(0L)) + 1L))
-          - length(bin(col("n_t") + b)))
-          - (length(bin(col("c_r") + 1L))
-            - length(bin(col("n_r") + b)))).cast("long").as("lam_bits"))
+    val lam = lamTable(
+      tf.groupBy("f").agg(sum("tf").as("c_r")), // Σ tf ≡ occurrences
+      features(target, idCol, textCol, buckets)
+        .groupBy("f").agg(count(lit(1)).as("c_t")), buckets)
       .localCheckpoint()
     tf.join(broadcast(lam), Seq("f"))
       .groupBy(col(idCol))
@@ -163,7 +158,10 @@ object Dsir {
   /** End-to-end selection: split `df` on `srcCol` == `targetSrc`
     * (target) vs rest (raw), score the raw side, keep the top `k` docs
     * by (mean_bits desc, id) — a TakeOrderedAndProject, never a global
-    * sort. Returns the selected docs with their scores, ordered by id. */
+    * sort. Returns the selected docs with their scores, ordered by id.
+    * The trailing source-label join re-reads only a column-pruned
+    * (id, src) projection against the k-row selection — the one scan
+    * past the weights pass, and a narrow one. */
   def select(df: DataFrame, idCol: String, textCol: String,
              srcCol: String, targetSrc: String, buckets: Int,
              k: Int): DataFrame = {

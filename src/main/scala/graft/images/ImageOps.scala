@@ -145,7 +145,6 @@ object ImageOps {
       val out = new Array[Int](px.length)
       val plane = new Array[Int](px.length)
       var shift = 16
-      java.util.Arrays.fill(out, 0)
       var i = 0
       while (i < px.length) { out(i) = px(i) & 0xff000000; i += 1 }
       while (shift >= 0) {

@@ -42,8 +42,9 @@ object UnigramLm {
       (64 - java.lang.Long.numberOfLeadingZeros(math.max(cnt, 1L)))
 
   /** A trained (or seeded) piece table: counts + the derived total.
-    * Unknown single chars cost bitlen(total) + 1 (the OOV floor one
-    * past any in-vocab piece). */
+    * Unknown single chars cost bitlen(total) — one past the
+    * costBits(1) = bitlen(total) − 1 maximum any in-vocab piece can
+    * reach, the OOV floor. */
   final case class PieceTable(counts: Map[String, Long]) {
     val total: Long = math.max(counts.valuesIterator.sum, 1L)
     private val oovCost = costBits(1L, total) + 1L
@@ -109,10 +110,17 @@ object UnigramLm {
            transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
              l -> substring(w, i, l))))""")).as("piece"), col("n"))
       .groupBy("piece").agg(sum("n").as("cnt"))
-    val all = subs.orderBy(col("cnt").desc, col("piece").asc)
+    // cap SERVER-SIDE: the multi-char top-seedSize is a
+    // TakeOrderedAndProject, and the single-char floor is alphabet-
+    // bounded — the driver never sees the substring universe (which is
+    // histogram × maxPieceLen rows at web scale)
+    val chars = subs.filter(length(col("piece")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val (chars, multi) = all.partition(_._1.length == 1)
-    chars ++ multi.take(math.max(0, seedSize - chars.length))
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(math.max(0, seedSize - chars.length))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    chars ++ multi
   }
 
   /** Viterbi-EM training: seed, then `iters` rounds of
