@@ -92,6 +92,11 @@ class ImageOpsSpec extends SparkSpec {
     ImageOps.applyChain(Fixtures.corrupt, chain) shouldBe None
     ImageOps.applyChain(Fixtures.png(8, 8),
       Seq(TransformCfg("nope"))) shouldBe None
+    // config surface routes mode=vp8dct to the VP8-transform encoder
+    val png = Fixtures.png(20, 12)
+    ImageOps.applyChain(png, Seq(TransformCfg("webp",
+      Map("mode" -> "vp8dct", "quality" -> "60")))).get.toSeq shouldBe
+      ImageOps.webpEncodeDct(png, 60).get.toSeq
   }
 
   test("binary-column transform keeps plumbing: schema + fail flag (F4)") {
