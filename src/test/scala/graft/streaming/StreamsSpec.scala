@@ -371,6 +371,39 @@ class StreamsSpec extends SparkSpec {
     } finally gracefulStop(q)
   }
 
+  test("KMV store absorbs a micro-batched stream: after three batches " +
+    "the store equals the batch sketch of everything seen (m19's " +
+    "ingest loop, streamed via foreachBatch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val chunks = Seq(
+      (1 to 400).map(i => ("a", s"x$i")) ++ (1 to 100).map(i => ("b", s"y$i")),
+      (300 to 700).map(i => ("a", s"x$i")),
+      (1 to 500).map(i => ("b", s"y$i")))
+    var store = Seq.empty[(String, Long)].toDF("source", "h")
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("source", "sh")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store = graft.analytics.Sketches.kmvMerge(store,
+          graft.analytics.Sketches.kmvSketch(batch, "source", "sh", 64),
+          64).localCheckpoint()
+      }
+      .start()
+    try {
+      chunks.foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val whole = graft.analytics.Sketches.kmvSketch(
+        chunks.flatten.toDF("source", "sh"), "source", "sh", 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      store.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sorted.toSeq shouldBe whole
+    } finally gracefulStop(q)
+  }
+
   test("stream-stream interval join pairs within the lookback, across " +
     "batches (j5's streaming twin)") {
     import spark.implicits._
