@@ -178,7 +178,10 @@ object Sketches {
       .groupBy("reg").agg(max("rho").as("rho"))
     val domain = df.sparkSession.range(m)
       .select(lpad(lower(hex(col("id"))), hexChars, "0").as("reg"))
-    broadcast(domain).join(obs, Seq("reg"), "left")
+    // hint the RIGHT side: a left-outer BroadcastHashJoin can only
+    // build right, so a broadcast() on the preserved domain side is
+    // silently discarded by the planner ("hint is not supported")
+    domain.join(broadcast(obs), Seq("reg"), "left")
       .select(col("reg"), coalesce(col("rho"), lit(0)).as("rho"))
   }
 
@@ -224,9 +227,11 @@ object Sketches {
     * spell the same way. */
   val KmvHashSpace: Long = 1L << 60
 
-  /** 60-bit uniform hash of an item: top 15 hex chars of md5. */
+  /** 60-bit uniform hash of an item: top 15 hex chars of md5 (the
+    * item is cast to string first — the hllRegisters discipline, so
+    * numeric item columns work instead of failing analysis). */
   def kmvHash(item: Column): Column =
-    conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+    conv(substring(md5(item.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Per-source KMV sketch: the k smallest DISTINCT hashes of
     * `itemCol` per `srcCol` value — (src, h) rows, at most k per
@@ -242,6 +247,9 @@ object Sketches {
   def kmvSketch(items: DataFrame, srcCol: String, itemCol: String,
                 k: Int): DataFrame =
     rankK(items
+      .filter(col(itemCol).isNotNull) // null → null h, which would
+      // sort FIRST in the rank window and occupy a sketch slot,
+      // silently skewing n/kth/theta in every downstream estimate
       .select(col(srcCol).as("source"), kmvHash(col(itemCol)).as("h"))
       .distinct(), k)
 

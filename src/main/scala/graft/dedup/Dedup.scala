@@ -186,11 +186,29 @@ object Dedup {
                         k: Int, shingleN: Int = 1): DataFrame =
     signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k)
 
+  /** rows-per-band with the divisibility contract made loud: a
+    * truncating k/bands would silently ignore trailing minhashes and
+    * invalidate the documented recall math. */
+  private def rowsPer(k: Int, bands: Int): Int = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature width k ($k)")
+    k / bands
+  }
+
   /** LSH banding over a minhash signature: `bands` bands of `rowsPerBand`
     * hashes each; band key = md5(concat of the band's hashes). Docs sharing
     * any band key are candidate pairs. Returns (band_idx, band_key, id). */
   def lshBands(sig: DataFrame, idCol: String, bands: Int,
                rowsPerBand: Int): DataFrame = {
+    // bands must tile the signature exactly: truncating k/bands would
+    // silently ignore trailing hashes (wrong recall math), and
+    // rowsPerBand = 0 would give EVERY doc the constant md5("") band
+    // key — one corpus-sized bucket, then zero candidates after the
+    // cap. Fail loud instead; every k/bands caller inherits the check.
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands ($bands) and rowsPerBand ($rowsPerBand) must be >= 1")
+    require(sig.columns.contains(s"mh${bands * rowsPerBand - 1}"),
+      s"signature too narrow: need mh0..mh${bands * rowsPerBand - 1}")
     val bandRows = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"mh$i"))
@@ -249,13 +267,24 @@ object Dedup {
       .filter(col("__one") > 0)
     val buckets = sized.groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-    val n = size(col("__ids"))
-    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
-      transform(sequence(i + 1, n - 1), j =>
-        struct(element_at(col("__ids"), i + 1).as("id_a"),
-          element_at(col("__ids"), j + 1).as("id_b")))))
-    buckets.select(explode(pairs).as("p"))
+    buckets.select(explode(sortedIdPairs(col("__ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
+
+  /** All (a < b) pairs of a SORTED-id array column, as an
+    * array<struct<id_a, id_b>> — the shared bucket pair-explode of
+    * [[pairsFromSignatures]], [[shardCandidatePairs]] and
+    * [[graft.similarity.Ann.cosineNearDupPairs]]. CALLER CONTRACT:
+    * the array must have ≥ 2 elements — sequence(0, -1) DESCENDS in
+    * Spark (the lower bound is not a guard) and the descending index
+    * then trips ANSI element_at; every call site filters or
+    * guarantees bucket size ≥ 2 upstream. */
+  private[graft] def sortedIdPairs(ids: Column): Column = {
+    val n = size(ids)
+    flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(ids, i + 1).as("id_a"),
+          element_at(ids, j + 1).as("id_b")))))
   }
 
   /** Per-bucket LSH band sizes (band_idx, band_key, __bn) — the frame
@@ -282,7 +311,7 @@ object Dedup {
                          maxBucket: Int = 10000): DataFrame =
     Metrics.capReport(bandBucketSizes(
       signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k),
-      idCol, bands, k / bands), "__bn", maxBucket)
+      idCol, bands, rowsPer(k, bands)), "__bn", maxBucket)
 
   /** Candidate duplicate pairs (a < b) from shared LSH bands — one
     * shuffle chain (shingles → signatures → band buckets → pairs), no
@@ -293,7 +322,7 @@ object Dedup {
                             maxBucket: Int = 10000): DataFrame =
     pairsFromSignatures(
       signaturesFrom(shingleTable(df, idCol, textCol, shingleN), idCol, k),
-      idCol, bands, k / bands, maxBucket)
+      idCol, bands, rowsPer(k, bands), maxBucket)
 
   /** End-to-end near-duplicate detection: LSH candidates verified by
     * true shingle-Jaccard. Returns (id_a, id_b, jaccard) for verified
@@ -315,7 +344,7 @@ object Dedup {
     val sh = shingleTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pairsFromSignatures(signaturesFrom(sh, idCol, k), idCol,
-      bands, k / bands, maxBucket)
+      bands, rowsPer(k, bands), maxBucket)
     val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
     val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))
@@ -331,7 +360,7 @@ object Dedup {
     // aggregate job over cached shingles (map-only minhash + band count)
     Metrics.logDrops("nearDupPairs bucket cap", Metrics.capReport(
       bandBucketSizes(signaturesFrom(sh, idCol, k), idCol, bands,
-        k / bands), "__bn", maxBucket))
+        rowsPer(k, bands)), "__bn", maxBucket))
     sh.unpersist(blocking = false)
     verified
   }
@@ -352,7 +381,7 @@ object Dedup {
     val sig = signaturesFrom(shingleTable(df, idCol, textCol, shingleN),
       idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = pairsFromSignatures(sig, idCol, bands, k / bands, maxBucket)
+    val cand = pairsFromSignatures(sig, idCol, bands, rowsPer(k, bands), maxBucket)
     def side(name: String, p: String) = (0 until k).foldLeft(
       sig.withColumnRenamed(idCol, name))(
       (d, i) => d.withColumnRenamed(s"mh$i", s"$p$i"))
@@ -366,7 +395,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the signature cache is alive
     Metrics.logDrops("minhashEstimates bucket cap", Metrics.capReport(
-      bandBucketSizes(sig, idCol, bands, k / bands), "__bn", maxBucket))
+      bandBucketSizes(sig, idCol, bands, rowsPer(k, bands)), "__bn", maxBucket))
     sig.unpersist(blocking = false)
     out
   }
@@ -401,7 +430,7 @@ object Dedup {
     val sh = shingleTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pairsFromSignatures(signaturesFrom(sh, idCol, k), idCol,
-      bands, k / bands, maxBucket)
+      bands, rowsPer(k, bands), maxBucket)
     val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
     val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))
@@ -420,7 +449,7 @@ object Dedup {
     verified.count() // materialize while the shingle cache is alive
     Metrics.logDrops("containmentPairs bucket cap", Metrics.capReport(
       bandBucketSizes(signaturesFrom(sh, idCol, k), idCol, bands,
-        k / bands), "__bn", maxBucket))
+        rowsPer(k, bands)), "__bn", maxBucket))
     sh.unpersist(blocking = false)
     verified
   }
@@ -524,8 +553,14 @@ object Dedup {
       if (sc.getCheckpointDir.isDefined && iter % 5 == 4)
         joined = joined.checkpoint()
       joined.persist(StorageLevel.MEMORY_AND_DISK)
-      val changed =
-        joined.filter(col("nlabel") < col("label")).limit(1).count()
+      // FULL count, deliberately not limit(1): a CollectLimit probe can
+      // stop after the first partitions, leaving most of `joined`
+      // UNCACHED — then unpersisting the previous frontier below would
+      // force the next iteration to recompute those partitions through
+      // an ever-longer unpersisted lineage. The full scan materializes
+      // every partition into the persist; its cost is one pass over the
+      // frame the iteration just built anyway.
+      val changed = joined.filter(col("nlabel") < col("label")).count()
       // the probe above materialized `joined` → `edges`; a pair cache WE
       // created has served its purpose (count + edge build) and can go
       if (iter == 0 && ownCache) pairs.unpersist(blocking = false)
@@ -536,6 +571,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // the returned frame reads the FINAL iteration's persisted blocks;
+    // they are released by the ContextCleaner when the caller drops the
+    // result (same ownership contract as nearDupPairs' verified set)
     labels
   }
 
@@ -600,8 +638,10 @@ object Dedup {
     * of the verified-pair graph, keep the member with the HIGHEST
     * `scoreCol` (ties → smallest id) instead of the smallest id — the
     * "keep the best copy, not the first copy" rule real corpus curation
-    * wants (longest doc, highest quality score, freshest crawl; pass any
-    * orderable score column). [[dropNearDupsCC]] is the scoreCol = const
+    * wants (longest doc, highest quality score, freshest crawl). The
+    * score must be NUMERIC (the representative aggregate negates it);
+    * non-numeric orderables map first — e.g. `unix_micros(crawl_ts)`
+    * for freshest-crawl. [[dropNearDupsCC]] is the scoreCol = const
     * degenerate case.
     *
     * Scale shape: everything downstream of [[componentLabels]] operates
@@ -627,6 +667,42 @@ object Dedup {
     val losers = members.select("id").join(reps, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** BINARY(8) digest key: first 64 bits of md5 — the decontamination
+    * join key (see [[decontaminate]]'s scaladoc for why 64 bits). */
+  private def key64(tok: Column): Column = unhex(substring(md5(tok), 1, 16))
+
+  /** Shared build side of the decontamination family: the benchmark's
+    * distinct shingle tokens (PERSISTED — caller unpersists when its
+    * plan is built), the driver-built Bloom predicate over them, and
+    * the BINARY(8) digest frame. ONE definition so [[decontaminate]]
+    * and [[decontaminationReport]] can never drift on the keying
+    * (xxhash64 bloom + md5-64 digest); [[shingleBloom]] shares the
+    * same xxhash64 convention for the streaming twin. */
+  private def decontaminationBenchSide(
+      benchmark: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bloomFpp: Double, nfc: Boolean)
+      : (DataFrame, Column => Column, DataFrame) = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val benchToks = shingleTable(benchmark, idCol, textCol, shingleN, nfc)
+      .select(explode(col("__s")).as("token")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two driver-side jobs over the (persisted) small side: exact count
+    // to size the filter, then the bloom build itself
+    val nBench = math.max(benchToks.count(), 1L)
+    val bloom = benchToks.select(xxhash64(col("token")).as("__h"))
+      .stat.bloomFilter("__h", nBench, bloomFpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val mightContain = (tok: Column) => Bridge.column(
+      new BloomFilterMightContain(Literal(bloomBytes),
+        Bridge.expression(xxhash64(tok))))
+    val bench = benchToks.select(key64(col("token")).as("__bd")).distinct()
+    (benchToks, mightContain, bench)
   }
 
   /** Benchmark decontamination: drop from `corpus` every doc sharing at
@@ -660,28 +736,11 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 5,
                     bloomFpp: Double = 0.01, nfc: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
     // both sides explode HOF-built shingle arrays — without this the
     // inferred size>0 filter re-tokenizes per element (17× on this query)
     graft.util.OptimizerTuning.tune(corpus.sparkSession)
-    def key64(tok: Column): Column = unhex(substring(md5(tok), 1, 16))
-    val benchToks = shingleTable(benchmark, idCol, textCol, shingleN, nfc)
-      .select(explode(col("__s")).as("token")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // two driver-side jobs over the (persisted) small side: exact count to
-    // size the filter, then the bloom build itself
-    val nBench = math.max(benchToks.count(), 1L)
-    val bloom = benchToks.select(xxhash64(col("token")).as("__h"))
-      .stat.bloomFilter("__h", nBench, bloomFpp)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos); bos.toByteArray
-    }
-    def mightContain(tok: Column): Column = Bridge.column(
-      new BloomFilterMightContain(Literal(bloomBytes),
-        Bridge.expression(xxhash64(tok))))
-    val bench = benchToks.select(key64(col("token")).as("__bd")).distinct()
+    val (benchToks, mightContain, bench) = decontaminationBenchSide(
+      benchmark, idCol, textCol, shingleN, bloomFpp, nfc)
     val corpusSh = shingleTable(corpus, idCol, textCol, shingleN, nfc)
       .select(col(idCol), explode(col("__s")).as("token"))
       .filter(mightContain(col("token")))
@@ -715,24 +774,9 @@ object Dedup {
                             idCol: String, textCol: String,
                             shingleN: Int = 5, bloomFpp: Double = 0.01,
                             nfc: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
     graft.util.OptimizerTuning.tune(corpus.sparkSession)
-    def key64(tok: Column): Column = unhex(substring(md5(tok), 1, 16))
-    val benchToks = shingleTable(benchmark, idCol, textCol, shingleN, nfc)
-      .select(explode(col("__s")).as("token")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBench = math.max(benchToks.count(), 1L)
-    val bloom = benchToks.select(xxhash64(col("token")).as("__h"))
-      .stat.bloomFilter("__h", nBench, bloomFpp)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos); bos.toByteArray
-    }
-    def mightContain(tok: Column): Column = Bridge.column(
-      new BloomFilterMightContain(Literal(bloomBytes),
-        Bridge.expression(xxhash64(tok))))
-    val bench = benchToks.select(key64(col("token")).as("__bd")).distinct()
+    val (benchToks, mightContain, bench) = decontaminationBenchSide(
+      benchmark, idCol, textCol, shingleN, bloomFpp, nfc)
     // per-doc shingle arrays are already distinct (hash-set Shingles),
     // so both counts are DISTINCT-shingle counts without a distinct
     val docSh = shingleTable(corpus, idCol, textCol, shingleN, nfc)
@@ -1233,7 +1277,7 @@ object Dedup {
     val nb = if (nBuckets > 0) nBuckets else suggestedStoreBuckets(df)
     val sh = shingleTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, k / bands)
+    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, rowsPer(k, bands))
       .select(bandJoinKey.as("bk"), col(idCol))
       .write.mode("overwrite").option("path", s"$path/bands")
       .bucketBy(nb, "bk").sortBy("bk")
@@ -1310,7 +1354,7 @@ object Dedup {
           "written by writeSignatureStore?"))
     val sh = shingleTable(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, k / bands)
+    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, rowsPer(k, bands))
       .select(bandJoinKey.as("bk"), col(idCol))
       .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
       .format("parquet").saveAsTable(s"${tablePrefix}_bands")
@@ -1374,7 +1418,7 @@ object Dedup {
     val shardSh = shingleTable(shard, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shardB = lshBands(signaturesFrom(shardSh, idCol, k), idCol,
-      bands, k / bands)
+      bands, rowsPer(k, bands))
       .select(bandJoinKey.as("bk"), col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val losers = shardLoserIds(shardSh, shardB, idCol, tablePrefix,
@@ -1433,7 +1477,7 @@ object Dedup {
                            maxBucket: Int = 10000): DataFrame = {
     val shardB = lshBands(
       signaturesFrom(shingleTable(shard, idCol, textCol, shingleN),
-        idCol, k), idCol, bands, k / bands)
+        idCol, k), idCol, bands, rowsPer(k, bands))
       .select(bandJoinKey.as("bk"), col(idCol))
     Metrics.capReport(combinedBucketSizes(shardB, tablePrefix),
       "__tot", maxBucket)
@@ -1466,12 +1510,8 @@ object Dedup {
     val buckets = okShardB.groupBy("bk")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       .filter(size(col("__ids")) >= 2)
-    val n = size(col("__ids"))
-    val internal = buckets.select(explode(flatten(
-        transform(sequence(lit(0), n - 2), i =>
-          transform(sequence(i + 1, n - 1), j =>
-            struct(element_at(col("__ids"), i + 1).as("id_a"),
-              element_at(col("__ids"), j + 1).as("id_b")))))).as("p"))
+    val internal = buckets
+      .select(explode(sortedIdPairs(col("__ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
     cross.filter(col("id_a") < col("id_b")).union(internal).distinct()
   }

@@ -101,12 +101,23 @@ object Ann {
       .drop("__ma")
   }
 
-  /** Top-k by EXACT integer dot product over int8-quantized vectors — the
-    * memory-bound rerank-free form of [[bruteForceTopK]]: same map-only
-    * scan + TakeOrderedAndProject shape (no corpus shuffle; k rows per
-    * partition reach the driver), but each row's math touches 4× fewer
-    * bytes. `qdot` is bit-exact in any engine (integer values throughout),
-    * so the whole operator is oracle-checkable with no rounding step. */
+  /** Top-k by EXACT integer dot product over int8-quantized vectors —
+    * same map-only scan + TakeOrderedAndProject shape as
+    * [[bruteForceTopK]] (no corpus shuffle; k rows per partition reach
+    * the driver), but each row's math touches 4× fewer bytes. `qdot`
+    * is bit-exact in any engine (integer values throughout), so the
+    * whole operator is oracle-checkable with no rounding step.
+    *
+    * RANKING SEMANTICS, stated precisely: the per-vector scale
+    * (127/max|v|) makes qdot ∝ (a·q)/|a|∞ across corpus vectors — an
+    * INF-NORM-normalized dot. Cosine is scale-invariant, so this is a
+    * cosine-family order whose normalization differs from L2 by the
+    * vector's ‖a‖₂/|a|∞ ∈ [1, √d] shape factor — flat vectors rank
+    * relatively higher than spiky ones vs true cosine. That makes this
+    * form a CANDIDATE GENERATOR: [[quantizedRerankTopK]] re-scores its
+    * top `candidates` in full-precision cosine, which restores exact
+    * cosine order whenever the true top-k survive the (size-`candidates`)
+    * cut — size the margin by the corpus' shape-factor spread. */
   def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
                     query: DataFrame, queryVecCol: String,
                     k: Int): DataFrame = {
@@ -122,9 +133,10 @@ object Ann {
   }
 
   /** Two-phase ANN: the SCALE.md N4 recipe made concrete. Phase 1 ranks
-    * the corpus by EXACT integer quantized dot product and keeps the top
+    * the corpus by the quantized inf-norm-normalized dot (see
+    * [[quantizedTopK]]'s ranking-semantics note) and keeps the top
     * `candidates` (deterministic cutoff: ties break on id); phase 2
-    * reranks only those in full precision. The corpus-wide scan touches
+    * reranks only those in full-precision cosine. The corpus-wide scan touches
     * int8-sized vectors; float math runs on `candidates` rows — the
     * memory-bound/accuracy trade stated as one plan. Both phases are
     * TakeOrderedAndProject; the candidate set is deterministic, so the
@@ -146,11 +158,15 @@ object Ann {
   /** Deterministic LSH bucket: sign bits of `nBits` dimensions starting at
     * `offset` (0-based), as a '0'/'1' string. (Axis-aligned hyperplane
     * family — deterministic stand-in for random projections; multiple probe
-    * tables use disjoint dimension blocks.) */
+    * tables use disjoint dimension blocks.) Dimension indices WRAP via
+    * pmod(size) — embeddings shorter than offset+nBits reuse leading dims
+    * (degenerate but safe) instead of crashing ANSI element_at; a no-op
+    * whenever the blocks fit, so existing buckets are unchanged. */
   def signBucketAt(vec: Column, nBits: Int, offset: Int): Column =
     concat((0 until nBits).map(i =>
-      when(element_at(vec, offset + i + 1) >= 0, lit("1"))
-        .otherwise(lit("0"))): _*)
+      when(element_at(vec, (pmod(lit(offset + i),
+        org.apache.spark.sql.functions.size(vec)) + 1).cast("int")) >= 0,
+        lit("1")).otherwise(lit("0"))): _*)
 
   /** Single-table bucket over the leading dimensions. */
   def signBucket(vec: Column, nBits: Int): Column =
@@ -401,12 +417,9 @@ object Ann {
       .filter(col("__one") > 0)
     val buckets = sized.groupBy("tbl", "bkt")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-    val n = size(col("__ids"))
-    val pairsOfBucket = flatten(transform(sequence(lit(0), n - 2), i =>
-      transform(sequence(i + 1, n - 1), j =>
-        struct(element_at(col("__ids"), i + 1).as("id_a"),
-          element_at(col("__ids"), j + 1).as("id_b")))))
-    val cand = buckets.select(explode(pairsOfBucket).as("p"))
+    val cand = buckets
+      .select(explode(
+        graft.dedup.Dedup.sortedIdPairs(col("__ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
     val va = base.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       l2Norm(col(vecCol)).as("__na"))
