@@ -67,7 +67,14 @@ object Dsir {
     * recounting the target). */
   /** λ table from the two bucket-count frames — THE scoring
     * definition, shared by the batch and incremental paths so the
-    * smoothing can never de-synchronize between them. */
+    * smoothing can never de-synchronize between them. The join is FULL
+    * OUTER: a bucket seen only in the TARGET corpus still gets its
+    * (high) λ, so a persisted λ map scores tomorrow's crawl correctly
+    * on exactly the most target-like features (a raw-side left join
+    * would dump those buckets onto `lamDefault`, i.e. the c_t = 0
+    * maximal penalty — the opposite of what they deserve). The batch
+    * path is indifferent (its tf join is inner on raw buckets); only
+    * [[scoreAgainst]] on unseen data observes the difference. */
   private def lamTable(rcnt: DataFrame, tcnt: DataFrame,
                        buckets: Int): DataFrame = {
     // coalesce: an EMPTY target (or raw) corpus must degrade to the
@@ -76,12 +83,12 @@ object Dsir {
     val rN = rcnt.agg(coalesce(sum("c_r"), lit(0L)).as("n_r"))
     val tN = tcnt.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
     val b = lit(buckets.toLong)
-    rcnt.join(tcnt, Seq("f"), "left")
+    rcnt.join(tcnt, Seq("f"), "full_outer")
       .crossJoin(broadcast(rN)).crossJoin(broadcast(tN))
       .select(col("f"),
         ((length(bin(coalesce(col("c_t"), lit(0L)) + 1L))
           - length(bin(col("n_t") + b)))
-          - (length(bin(col("c_r") + 1L))
+          - (length(bin(coalesce(col("c_r"), lit(0L)) + 1L))
             - length(bin(col("n_r") + b)))).cast("long").as("lam_bits"))
   }
 
@@ -97,21 +104,24 @@ object Dsir {
     * (id, n_feats, weight_bits, mean_bits) — everything integer except
     * the final int/int mean.
     *
-    * One raw-corpus pass: the per-doc tf frame is the only raw-keyed
-    * aggregate, and the raw bucket counts ROLL UP FROM IT
-    * (Σ_doc tf ≡ count of occurrences — no second feature scan; the
-    * plan shows exactly one raw scan plus the tiny target scan). The
-    * λ table is ≤ B rows and eagerly materialized (localCheckpoint) so
-    * the scoring join reads kilobytes, not a re-derivation. */
+    * One raw-corpus pass AT RUNTIME, not just in the plan: the per-doc
+    * tf frame (≤ B distinct keys per doc) is eagerly materialized
+    * (localCheckpoint — the frame a production run persists anyway),
+    * the raw bucket counts ROLL UP FROM IT (Σ_doc tf ≡ count of
+    * occurrences), and the scoring join reads the SAME materialization
+    * — so the features+shuffle chain over the raw corpus executes
+    * exactly once even though two downstream plans consume it. The λ
+    * rollup itself is a ≤ B-row aggregate of the checkpoint, broadcast
+    * into the scoring join. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, buckets: Int): DataFrame = {
     val tf = features(raw, idCol, textCol, buckets)
       .groupBy(col(idCol), col("f")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val lam = lamTable(
       tf.groupBy("f").agg(sum("tf").as("c_r")), // Σ tf ≡ occurrences
       features(target, idCol, textCol, buckets)
         .groupBy("f").agg(count(lit(1)).as("c_t")), buckets)
-      .localCheckpoint()
     tf.join(broadcast(lam), Seq("f"))
       .groupBy(col(idCol))
       .agg(sum("tf").as("n_feats"),
@@ -126,8 +136,12 @@ object Dsir {
     * so scoring a new crawl is a pure per-row expression — no join, no
     * aggregate, no shuffle — and composes onto a stream unchanged
     * (StreamsSpec pins streamed ≡ batch). `lamDefault` scores buckets
-    * absent from λ (absent from BOTH corpora at λ-build time:
-    * bitlen(N_r+B) − bitlen(N_t+B)); docs with < 2 tokens score null.
+    * absent from λ — with the full-outer [[lamTable]] that genuinely
+    * means absent from BOTH corpora at λ-build time, so the right value
+    * is the pure-smoothing score bitlen(N_r+B) − bitlen(N_t+B). Docs
+    * with < 2 tokens (or whitespace-only / null text) are DROPPED from
+    * the output, matching the [[features]] contract and the batch path
+    * — they are absent, not null-scored.
     *
     * The broadcast-join form ([[importanceWeights]]) stays the batch
     * path — a literal-map lookup is a linear scan per feature, the

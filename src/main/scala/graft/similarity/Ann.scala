@@ -525,10 +525,18 @@ object Ann {
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, subDim: Int, ncodes: Int, iters: Int): DataFrame = {
     val perSub = (0 until m).map { j =>
-      graft.ml.Clustering.kmeansCentroids(
+      val cents = graft.ml.Clustering.kmeansCentroids(
         corpus.select(col(idCol),
           slice(col(vecCol), j * subDim + 1, subDim).as("__sv")),
         idCol, "__sv", ncodes, iters)._1.toMap
+      // kmeans init is limit(k) over the corpus: a corpus smaller than
+      // ncodes silently yields a short codebook and the re-assembly
+      // below would throw an opaque NoSuchElementException — fail loud
+      require(cents.size == ncodes,
+        s"pqTrain: sub-space $j trained ${cents.size} centroids but " +
+          s"ncodes=$ncodes was requested — the corpus must have at " +
+          "least ncodes rows (distinct vectors) to train a PQ codebook")
+      cents
     }
     val cents = (0 until ncodes).map { c =>
       (c.toLong, (0 until m).flatMap(j => perSub(j)(c.toLong)))

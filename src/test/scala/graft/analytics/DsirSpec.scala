@@ -83,6 +83,34 @@ class DsirSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("λ covers TARGET-only buckets (full-outer build): a bigram seen " +
+    "only in the target corpus scores its high λ in scoreAgainst, not " +
+    "the lamDefault penalty — the persisted-λ new-crawl contract") {
+    // "slept mat" appears nowhere; craft a target with a unique bigram
+    val t2 = Seq((1000L, "t", "uniqua uniqub uniqua uniqub")) // bigrams of rare tokens
+      .toDF("doc_id", "source", "text")
+    val lam = Dsir.bucketScores(raw, t2, "doc_id", "text", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the target-only bucket for "uniqua uniqub" must be IN λ...
+    val f = Dsir.features(t2, "doc_id", "text", 4096)
+      .select("f").distinct().collect().map(_.getLong(0))
+    f.foreach { b => lam.keySet should contain(b) }
+    // ...and score ABOVE the pure-smoothing default (c_t > 0 ⇒ better
+    // than absent-from-both), so a new crawl doc hitting it is rewarded
+    val nR = 22L; val nT = 3L; val b = 4096L // raw/target occurrence totals
+    val lamDefault = (java.lang.Long.toBinaryString(nR + b).length
+      - java.lang.Long.toBinaryString(nT + b).length).toLong
+    f.foreach { bk => lam(bk) should be >= lamDefault }
+    // and a streamed doc made of the target-only bigram outranks an
+    // alien-vocabulary doc under the SAME frozen λ
+    val crawl = Seq((50L, "uniqua uniqub uniqua"), (51L, "zz9 yy8 xx7"))
+      .toDF("doc_id", "text")
+    val scored = Dsir.scoreAgainst(crawl, "doc_id", "text", lam,
+        lamDefault, 4096)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_bits")).toMap
+    scored(50L) should be > scored(51L)
+  }
+
   test("scale shape: λ joins broadcast, selection is TakeOrdered — " +
     "never a global sort or a shuffled join of the corpus") {
     val plan = Dsir.select(raw.union(target), "doc_id", "text", "source",
