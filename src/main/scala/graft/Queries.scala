@@ -1450,14 +1450,18 @@ object Queries {
         // stage boundary truncates lineage (the q4 discipline): the
         // dedup internals reference their input repeatedly, which
         // would re-run the gopher gram shuffle per reference
+        // tokenize once after the map-only Gopher gate (the q4
+        // discipline): the array rides both checkpoints, LSH shingles
+        // and store-surprisal consume it via tokensCol
         val clean = TextAnalysis.gopherFilter(shard, "doc_id", "text",
           minWords = 20L, minStopHits = 1L)
+          .withColumn("__toks", CaptionStats.tokens(col("text")))
           .localCheckpoint()
         val unique = Dedup.dedupShardAgainst(clean, "doc_id", "text",
-          "graft_q6sig", threshold = 0.5)
+          "graft_q6sig", threshold = 0.5, tokensCol = Some("__toks"))
           .localCheckpoint()
         TextAnalysis.surprisalAgainstStore(unique, "doc_id", "text",
-          "graft_q6lm")
+          "graft_q6lm", tokensCol = Some("__toks"))
           .orderBy("doc_id")
       },
       Some {
@@ -3488,14 +3492,16 @@ object Queries {
         val selected = Dsir.select(docs, "doc_id", "text", "source",
           targetSrc = "src0", buckets = 1024, k = 200)
           .select("doc_id").localCheckpoint() // 200 ids; see q4 on stages
-        val clean = Dedup.decontaminate(
-          selected.join(docs, "doc_id"),
+        // tokenize the 200 selected docs once; decontamination shingles
+        // and the manifest's n_toks both read the array
+        val withToks = selected.join(docs, "doc_id")
+          .withColumn("__toks", CaptionStats.tokens(col("text")))
+        val clean = Dedup.decontaminate(withToks,
           docs.filter(col("source") === "src0"), "doc_id", "text",
-          shingleN = 5)
+          shingleN = 5, corpusTokensCol = Some("__toks"))
         graft.analytics.Layout.shardManifest(
           clean.select(col("doc_id"), col("text"),
-            size(CaptionStats.tokens(col("text"))).cast("long")
-              .as("n_toks")),
+            size(col("__toks")).cast("long").as("n_toks")),
           "doc_id", "text", "n_toks", nShards = 4)
           .orderBy("shard")
       },
@@ -4126,22 +4132,35 @@ object Queries {
         // collected once the result frame is dropped; the production
         // analogue at 100 TB is Pipeline's per-stage parquet
         // checkpoints (R3), which also give restart resume.
+        //
+        // TOKENIZE ONCE: the regex split runs here, right after exact
+        // dedup, and the array rides the checkpoint chain; every later
+        // stage (LSH shingles, span windows, decontamination shingles,
+        // surprisal) consumes it via tokensCol — per-token lower/NFC
+        // views, never a re-split. dropDupSpans re-emits the
+        // POST-EXCISION array (keepToksCol), so stages after the
+        // rebuild stay on the threaded contract too.
         val exact = Dedup.dropExactDups(cleaned, "doc_id", "text")
+          .withColumn("__toks", CaptionStats.tokens(col("text")))
           .localCheckpoint()
         val near = Dedup.dropNearDupsKeepBest(
             exact.withColumn("__len", length(col("text"))),
-            "doc_id", "text", "__len", threshold = 0.5)
+            "doc_id", "text", "__len", threshold = 0.5,
+            tokensCol = Some("__toks"))
           .drop("__len")
           .localCheckpoint()
         val spanned = Dedup.dropDupSpans(near, "doc_id", "text",
-            n = 8, minDocs = 2)
-          .select(col("doc_id"), col("text_kept").as("text"))
+            n = 8, minDocs = 2,
+            tokensCol = Some("__toks"), keepToksCol = Some("__toks"))
+          .select(col("doc_id"), col("text_kept").as("text"),
+            col("__toks"))
           .join(near.select("doc_id", "source"), "doc_id")
         val corpus = Dedup.decontaminate(spanned,
-          d.filter(col("source") === "src0"), "doc_id", "text")
+          d.filter(col("source") === "src0"), "doc_id", "text",
+          corpusTokensCol = Some("__toks"))
           .localCheckpoint()
         val scored = TextAnalysis.unigramSurprisal(corpus, "doc_id",
-          "text")
+          "text", tokensCol = Some("__toks"))
         val withW = corpus.select("doc_id", "source")
           .join(scored.select("doc_id", "n_toks", "mean_bits"), "doc_id")
         Mixture.mix(withW, "doc_id", "source", "n_toks",
@@ -4665,6 +4684,65 @@ object Queries {
           WHERE s.nd >= 2 AND NOT (w.doc_id = s.fdoc AND w.p = f.fp)),
         cov AS (SELECT DISTINCT e.doc_id, e.p + r.i AS cp
           FROM exc e CROSS JOIN (SELECT unnest(range(0, 8)) AS i) r),
+        toks AS (SELECT doc_id, u['i'] AS p, u['t'] AS tok FROM (
+          SELECT doc_id, unnest(list_transform(ot,
+            (t, i) -> {'i': i, 't': t})) AS u
+          FROM tk))
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text_kept,
+          count(*) AS n_kept
+        FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+          WHERE c.doc_id = t.doc_id AND c.cp = t.p)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ---- D24: VARIABLE-LENGTH exact-substring dedup --------------------
+    // Lee et al. 2022's ExactSubstr, distributed (Dedup.dropDupSubstrings):
+    // seed-and-extend — hash 5-token seeds, join occurrences, merge
+    // consecutive seed matches on one (doc pair, diagonal) into maximal
+    // runs; every run witnessing a >= 12-token match excises its LATER
+    // occurrence's positions (keep-first), docs rebuild from surviving
+    // ORIGINAL tokens. Unlike d16's fixed windows this also dedups
+    // WITHIN-doc repeats and only ever excises substrings matched
+    // token-for-token against ONE partner (sound — no chained-partner
+    // stitching). The oracle mirrors the whole machinery: the 2..1000
+    // occurrence gate, ordered pairs, the row_number diagonal-run trick
+    // (Spark uses an aggregate fold — Window-free), coverage union,
+    // indexed rebuild. n_kept stays BIGINT on both sides.
+    QueryDef("d24_substring_dedup",
+      (s, dir) => Dedup.dropDupSubstrings(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 12, seedN = 5, maxOcc = 1000)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS ot,
+            ${toksSql("lower(nfc_normalize(text))")} AS nt
+          FROM documents),
+        w AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE len(nt) >= 5)),
+        elig AS (SELECT h FROM (
+            SELECT h, count(*) AS c FROM w GROUP BY h)
+          WHERE c BETWEEN 2 AND 1000),
+        we AS (SELECT w.doc_id, w.p, w.h FROM w JOIN elig USING (h)),
+        pairs AS (
+          SELECT a.doc_id AS ida, a.p AS pa, b.doc_id AS idb,
+            b.p - a.p AS diag
+          FROM we a JOIN we b ON a.h = b.h
+          WHERE a.doc_id < b.doc_id
+            OR (a.doc_id = b.doc_id AND a.p < b.p)),
+        runs AS (
+          SELECT ida, idb, diag, pa,
+            pa - row_number() OVER (PARTITION BY ida, idb, diag
+              ORDER BY pa) AS g
+          FROM pairs),
+        spans AS (
+          SELECT idb, diag, min(pa) AS s0, max(pa) AS e0
+          FROM runs GROUP BY ida, idb, diag, g
+          HAVING max(pa) - min(pa) + 5 >= 12),
+        cov AS (SELECT DISTINCT doc_id, cp FROM (
+          SELECT idb AS doc_id,
+            unnest(range(s0 + diag, e0 + diag + 5)) AS cp
+          FROM spans)),
         toks AS (SELECT doc_id, u['i'] AS p, u['t'] AS tok FROM (
           SELECT doc_id, unnest(list_transform(ot,
             (t, i) -> {'i': i, 't': t})) AS u

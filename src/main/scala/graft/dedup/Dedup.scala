@@ -115,12 +115,33 @@ object Dedup {
     * token-count predicate re-evaluates only the lambda-free tokenizer.
     * Semantics are identical: size(shingles) > 0 ⇔ size(tokens) ≥ n, and
     * every consumer (signatures, explode, candidate-verify join) ignores
-    * zero-shingle rows anyway — as does the oracle's `unnest`. */
+    * zero-shingle rows anyway — as does the oracle's `unnest`.
+    *
+    * `tokensCol` (tokenize-once threading): when set, it names a column
+    * the CALLER asserts equals `CaptionStats.tokens(col(textCol))` — the
+    * original-case whitespace token array — and the regex tokenization
+    * is skipped; the normalized view derives PER TOKEN
+    * (`lower(nfc(tok))`), which is positionally and value-identical to
+    * tokenizing the transformed string because neither lowercasing nor
+    * NFC composition creates or removes whitespace (the alignment
+    * contract [[dropDupSpans]] documents). The length filter runs on the
+    * SOURCE array (same size — `transform` is length-preserving), so the
+    * pushed-down predicate never re-evaluates the lambda. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int, nfc: Boolean = false): DataFrame = {
-    val withToks = graft.util.Partitioning.spread(df).select(col(idCol),
-      CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__toks"))
-      .filter(size(col("__toks")) >= shingleN)
+                           shingleN: Int, nfc: Boolean = false,
+                           tokensCol: Option[String] = None): DataFrame = {
+    val withToks = tokensCol match {
+      case Some(tc) =>
+        graft.util.Partitioning.spread(df)
+          .select(col(idCol), col(tc).as("__rt"))
+          .filter(size(col("__rt")) >= shingleN)
+          .select(col(idCol),
+            transform(col("__rt"), t => lower(nfcKey(t, nfc))).as("__toks"))
+      case None =>
+        graft.util.Partitioning.spread(df).select(col(idCol),
+          CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__toks"))
+          .filter(size(col("__toks")) >= shingleN)
+    }
     withToks.select(col(idCol),
       shinglesFromToks(col("__toks"), shingleN).as("__s"))
   }
@@ -340,8 +361,10 @@ object Dedup {
     * oracle. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 12, bands: Int = 4,
-                   shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, shingleN)
+                   shingleN: Int = 3, maxBucket: Int = 10000,
+                   tokensCol: Option[String] = None): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleN,
+      tokensCol = tokensCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pairsFromSignatures(signaturesFrom(sh, idCol, k), idCol,
       bands, rowsPer(k, bands), maxBucket)
@@ -473,9 +496,11 @@ object Dedup {
     * library). */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 12, bands: Int = 4,
-                   shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                   shingleN: Int = 3, maxBucket: Int = 10000,
+                   tokensCol: Option[String] = None): DataFrame = {
     val losers = nearDupPairs(df, idCol, textCol, threshold, k, bands,
-      shingleN, maxBucket).select(col("id_b").as(idCol)).distinct()
+      shingleN, maxBucket, tokensCol).select(col("id_b").as(idCol))
+      .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -625,10 +650,10 @@ object Dedup {
     * components folds them in and drops them. */
   def dropNearDupsCC(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 12, bands: Int = 4,
-                     shingleN: Int = 3,
-                     maxBucket: Int = 10000): DataFrame = {
+                     shingleN: Int = 3, maxBucket: Int = 10000,
+                     tokensCol: Option[String] = None): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, k, bands,
-      shingleN, maxBucket)
+      shingleN, maxBucket, tokensCol)
     val losers = componentLabels(pairs)
       .filter(col("label") < col("id")).select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -655,9 +680,10 @@ object Dedup {
   def dropNearDupsKeepBest(df: DataFrame, idCol: String, textCol: String,
                            scoreCol: String, threshold: Double,
                            k: Int = 12, bands: Int = 4, shingleN: Int = 3,
-                           maxBucket: Int = 10000): DataFrame = {
+                           maxBucket: Int = 10000,
+                           tokensCol: Option[String] = None): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, k, bands,
-      shingleN, maxBucket)
+      shingleN, maxBucket, tokensCol)
     val members = componentLabels(pairs)
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")),
         Seq("id"))
@@ -735,13 +761,18 @@ object Dedup {
     * still collide. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 5,
-                    bloomFpp: Double = 0.01, nfc: Boolean = true): DataFrame = {
+                    bloomFpp: Double = 0.01, nfc: Boolean = true,
+                    corpusTokensCol: Option[String] = None): DataFrame = {
     // both sides explode HOF-built shingle arrays — without this the
     // inferred size>0 filter re-tokenizes per element (17× on this query)
     graft.util.OptimizerTuning.tune(corpus.sparkSession)
     val (benchToks, mightContain, bench) = decontaminationBenchSide(
       benchmark, idCol, textCol, shingleN, bloomFpp, nfc)
-    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN, nfc)
+    // corpusTokensCol: tokenize-once threading for the CORPUS side (the
+    // 100 TB side); the benchmark side is small by definition and keeps
+    // its own derivation
+    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN, nfc,
+      corpusTokensCol)
       .select(col(idCol), explode(col("__s")).as("token"))
       .filter(mightContain(col("token")))
       .select(col(idCol), key64(col("token")).as("__bd"))
@@ -962,15 +993,27 @@ object Dedup {
     * with ≥ `n` tokens. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int = 8, minDocs: Int = 2,
-               nfc: Boolean = true): DataFrame = {
+               nfc: Boolean = true,
+               tokensCol: Option[String] = None): DataFrame = {
     // the engine token definition (kept in lockstep with the oracle's
     // toksSql via CaptionStats.tokens), NFC-normalized (default, see
     // [[nfcKey]]) then lowercased — span digests must not split on
-    // Unicode composition
-    val toks = CaptionStats.tokens(lower(nfcKey(col(textCol), nfc)))
-    val winCounts = df
-      .select(col(idCol), toks.as("__toks"))
-      .filter(size(col("__toks")) >= n)
+    // Unicode composition. tokensCol = the tokenize-once contract
+    // (caller-supplied tokens(text); per-token lower/NFC is
+    // position/value-identical — see shingleTable).
+    val toks = tokensCol match {
+      case Some(tc) => transform(col(tc), t => lower(nfcKey(t, nfc)))
+      case None => CaptionStats.tokens(lower(nfcKey(col(textCol), nfc)))
+    }
+    // when threaded, the length gate runs on the SOURCE array (transform
+    // is length-preserving) so the pushed filter never re-runs the lambda
+    val gated = tokensCol match {
+      case Some(tc) => df.filter(size(col(tc)) >= n)
+        .select(col(idCol), toks.as("__toks"))
+      case None => df.select(col(idCol), toks.as("__toks"))
+        .filter(size(col("__toks")) >= n)
+    }
+    val winCounts = gated
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__toks")) - (n - 1)),
         i => md5(array_join(slice(col("__toks"), i, lit(n)), " "))))
@@ -1043,13 +1086,28 @@ object Dedup {
     * [[dupSpans]]; bound it upstream with a length filter if needed.
     *
     * Output: (idCol, text_kept, n_kept) for every doc with ≥ 1
-    * surviving token. */
+    * surviving token — plus the kept ORIGINAL-CASE token array as
+    * `keepToksCol` when requested (tokenize-once threading: the rebuild
+    * already holds exactly that array, so a downstream stage —
+    * decontamination, surprisal — gets post-excision tokens for free
+    * instead of re-splitting `text_kept`).
+    *
+    * `tokensCol`: the caller-supplied `tokens(text)` array (shingleTable
+    * contract) — the original-case side is used verbatim, the
+    * normalized side derives per-token. */
   def dropDupSpans(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8, minDocs: Int = 2,
-                   nfc: Boolean = true): DataFrame = {
-    val base = df.select(col(idCol),
-      CaptionStats.tokens(col(textCol)).as("__ot"),
-      CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
+                   nfc: Boolean = true,
+                   tokensCol: Option[String] = None,
+                   keepToksCol: Option[String] = None): DataFrame = {
+    val base = tokensCol match {
+      case Some(tc) => df.select(col(idCol),
+        col(tc).as("__ot"),
+        transform(col(tc), t => lower(nfcKey(t, nfc))).as("__nt"))
+      case None => df.select(col(idCol),
+        CaptionStats.tokens(col(textCol)).as("__ot"),
+        CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
+    }
     // (id, start-pos, window-hash) occurrences; 1-based starts (slice)
     val wins = base.filter(size(col("__nt")) >= n)
       .select(col(idCol), explode(transform(
@@ -1100,9 +1158,180 @@ object Dedup {
             (t, i) => !array_contains(col("__cov"), i + 1)))
           .as("__kt"))
       .filter(size(col("__kt")) >= 1)
-      .select(col(idCol),
+      .select(Seq(col(idCol),
         concat_ws(" ", col("__kt")).as("text_kept"),
-        size(col("__kt")).cast("long").as("n_kept"))
+        size(col("__kt")).cast("long").as("n_kept")) ++
+        keepToksCol.map(kc => col("__kt").as(kc)).toSeq: _*)
+  }
+
+  /** VARIABLE-LENGTH exact-substring dedup (Lee et al. 2022 §3.1,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * their ExactSubstr): excise from the corpus every token substring
+    * of length ≥ `minLen` that ALSO OCCURS elsewhere (another document,
+    * or earlier in the same document), keeping the lexicographically
+    * first occurrence. The paper builds a corpus suffix array on one
+    * machine; the shuffle-friendly equivalent is SEED-AND-EXTEND — the
+    * genomics alignment idiom (BLAST/minimap2 chaining): hash fixed
+    * `seedN`-token windows (the d13/d16 frame), equi-join occurrences
+    * of the same seed, and merge CONSECUTIVE seed matches between the
+    * same two occurrences (same doc pair, same positional offset =
+    * same DIAGONAL) into one maximal run — a run of seed starts
+    * a..b on one diagonal witnesses a genuine token-for-token match of
+    * length (b − a) + seedN, because md5-equal seeds tile the whole
+    * stretch with overlap.
+    *
+    * Why seeds + extension instead of the fixed-window family:
+    * [[dropDupSpans]] at n = minLen is sound for CROSS-DOC spans but
+    * hashes minLen-token windows (≈ 6× the md5 bytes at the paper's
+    * L = 50 vs 8-token seeds) and its minDocs ≥ 2 keying is blind to
+    * WITHIN-doc repeats, which the paper dedups; a naive short-seed
+    * coverage rule ("every seedN-window in the span is duplicated
+    * somewhere") would be UNSOUND — a chain of different partners can
+    * stitch a span that occurs nowhere as a whole, excising text that
+    * is not a ≥ minLen duplicate. Here the whole matched stretch is
+    * witnessed against ONE partner occurrence (one diagonal), so only
+    * true repeated substrings are excised (spec-pinned with a
+    * chained-partners counterexample). Within-doc periodic repeats
+    * ("ab ab ab…") self-match on diagonal = period and excise down to
+    * the first copy — the paper's behavior, and a case the minDocs ≥ 2
+    * cross-doc family deliberately leaves alone.
+    *
+    * Keep-first is PER PAIR: each maximal run of length ≥ `minLen`
+    * excises its LATER side's positions ((doc, pos)-lexicographic
+    * order) — over any set of copies the earliest survives, every
+    * later copy is excised by its pair against the earliest.
+    *
+    * Scale shape — aggregates only, no Window anywhere: the seed frame
+    * is the d16 Generate (windows-per-doc ≈ tokens-per-doc, the
+    * inherent substring-dedup cost); eligible seeds (2 ≤ occurrences
+    * ≤ `maxOcc`) come from a map-combined groupBy(h) count semi-joined
+    * back — the `maxOcc` cap bounds the pair join at
+    * O(maxOcc²)/seed-hash and drops only viral boilerplate seeds
+    * (recall-only; counted via [[graft.util.Metrics.capReport]] and
+    * warn-logged). Diagonal merging is a groupBy on (docA, docB, diag)
+    * whose groups are bounded by DOCUMENT length (never corpus-keyed);
+    * runs emerge from one sort_array + linear fold. Excised-position
+    * coverage and the rebuild reuse the d16 machinery verbatim: one
+    * coverage array per AFFECTED doc, map-side indexed-filter rebuild,
+    * no corpus-wide token explode.
+    *
+    * `tokensCol`/`keepToksCol`: the [[dropDupSpans]] tokenize-once
+    * contract. Output: (idCol, text_kept, n_kept) for every doc with
+    * ≥ 1 surviving token. */
+  def dropDupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                        minLen: Int = 20, seedN: Int = 8,
+                        maxOcc: Int = 1000, nfc: Boolean = true,
+                        tokensCol: Option[String] = None,
+                        keepToksCol: Option[String] = None): DataFrame = {
+    require(seedN >= 1 && minLen >= seedN,
+      s"dropDupSubstrings: need 1 <= seedN <= minLen (got seedN=$seedN, " +
+        s"minLen=$minLen) — seeds longer than the match length can " +
+        "never witness it")
+    val base = tokensCol match {
+      case Some(tc) => df.select(col(idCol),
+        col(tc).as("__ot"),
+        transform(col(tc), t => lower(nfcKey(t, nfc))).as("__nt"))
+      case None => df.select(col(idCol),
+        CaptionStats.tokens(col(textCol)).as("__ot"),
+        CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
+    }
+    // (id, start-pos, seed-hash) occurrences — the d16 window frame at
+    // seed granularity (1-based starts)
+    val seeds = base.filter(size(col("__nt")) >= seedN)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__nt")) - (seedN - 1)),
+        i => struct(i.as("__p"),
+          md5(array_join(slice(col("__nt"), i, lit(seedN)), " "))
+            .as("__h"))))
+        .as("__w"))
+      .select(col(idCol), col("__w.__p").as("__p"), col("__w.__h").as("__h"))
+    // eligible seed hashes: shared (≥2 occurrences) and under the viral
+    // cap — map-combined count, the d3/d13 aggregate-not-Window rule
+    val occCounts = seeds.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val eligible = occCounts
+      .filter(col("__c") >= 2 && col("__c") <= maxOcc)
+      .select(col("__h"))
+    val occ = seeds.join(eligible, Seq("__h"), "left_semi")
+    // ordered occurrence pairs of the same seed: (A, pa) < (B, pb)
+    // lexicographically — cross-doc both orders collapse to one row,
+    // within-doc pairs keep pa < pb (diag > 0, never the self-match)
+    val a = occ.select(col("__h"), col(idCol).as("__ida"),
+      col("__p").as("__pa"))
+    val b = occ.select(col("__h"), col(idCol).as("__idb"),
+      col("__p").as("__pb"))
+    val pairs = a.join(b, Seq("__h"))
+      .filter(col("__ida") < col("__idb") ||
+        (col("__ida") === col("__idb") && col("__pa") < col("__pb")))
+      .select(col("__ida"), col("__idb"),
+        (col("__pb") - col("__pa")).as("__diag"), col("__pa"))
+    // one row per (doc pair, diagonal): the sorted seed-start list —
+    // group size ≤ min(len A, len B), document-bounded, never viral
+    val byDiag = pairs.groupBy(col("__ida"), col("__idb"), col("__diag"))
+      .agg(sort_array(collect_list(col("__pa"))).as("__ps"))
+    // linear fold → maximal consecutive runs [s, e] of seed starts;
+    // the (-2, -2) sentinel head keeps the fold off empty-array access
+    // (run starts are ≥ 1, so the sentinel never extends); a run
+    // witnesses a matched substring of (e − s) + seedN tokens
+    // the r.s >= 1 conjunct drops the sentinel (real starts are 1-based)
+    val runs = expr(
+      s"""filter(
+        aggregate(__ps,
+          array(named_struct('s', -2, 'e', -2)),
+          (acc, p) ->
+            case when element_at(acc, -1).e = p - 1
+              then concat(slice(acc, 1, size(acc) - 1),
+                array(named_struct('s', element_at(acc, -1).s, 'e', p)))
+              else concat(acc, array(named_struct('s', p, 'e', p)))
+            end),
+        r -> r.s >= 1 and r.e - r.s + $seedN >= $minLen)""")
+    // excised coverage: the LATER side's positions of every qualifying
+    // run — B-side start = run start + diagonal
+    val exc = byDiag.select(col("__idb").as(idCol), col("__diag"),
+        explode(runs).as("__r"))
+      .select(col(idCol),
+        sequence(col("__r.s") + col("__diag"),
+          col("__r.e") + col("__diag") + (seedN - 1)).as("__seq"))
+    val covered = exc.groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(col("__seq"))))
+        .as("__cov"))
+    // rebuild — the d16 map-side indexed-filter machinery verbatim
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, col("__ot"))
+          .otherwise(filter(col("__ot"),
+            (t, i) => !array_contains(col("__cov"), i + 1)))
+          .as("__kt"))
+      .filter(size(col("__kt")) >= 1)
+      .select(Seq(col(idCol),
+        concat_ws(" ", col("__kt")).as("text_kept"),
+        size(col("__kt")).cast("long").as("n_kept")) ++
+        keepToksCol.map(kc => col("__kt").as(kc)).toSeq: _*)
+  }
+
+  /** Recall-loss report for [[dropDupSubstrings]]'s `maxOcc` seed cap
+    * (this is a LAZY builder, so the report is standalone — the d13
+    * convention, not the eager nearDupPairs one): ONE row
+    * (dropped_groups, dropped_members) counting the viral seed hashes
+    * the pair join skips at these parameters. A dropped seed can only
+    * LOSE matches (recall), never excise a non-duplicate. */
+  def dupSubstringSeedCapReport(df: DataFrame, idCol: String,
+                                textCol: String, seedN: Int = 8,
+                                maxOcc: Int = 1000, nfc: Boolean = true,
+                                tokensCol: Option[String] = None)
+      : DataFrame = {
+    val toks = tokensCol match {
+      case Some(tc) => transform(col(tc), t => lower(nfcKey(t, nfc)))
+      case None => CaptionStats.tokens(lower(nfcKey(col(textCol), nfc)))
+    }
+    val sizes = df.select(toks.as("__nt"))
+      .filter(size(col("__nt")) >= seedN)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__nt")) - (seedN - 1)),
+        i => md5(array_join(slice(col("__nt"), i, lit(seedN)), " "))))
+        .as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    Metrics.capReport(sizes, "__c", maxOcc.toLong)
   }
 
   /** Word n-gram Jaccard similarity between two text columns (distinct
@@ -1412,10 +1641,12 @@ object Dedup {
                         tablePrefix: String, threshold: Double,
                         k: Int = 12, bands: Int = 4, shingleN: Int = 3,
                         maxBucket: Int = 10000,
-                        maxLocalLosers: Long = 1L << 22): DataFrame = {
+                        maxLocalLosers: Long = 1L << 22,
+                        tokensCol: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = shard.sparkSession
-    val shardSh = shingleTable(shard, idCol, textCol, shingleN)
+    val shardSh = shingleTable(shard, idCol, textCol, shingleN,
+      tokensCol = tokensCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shardB = lshBands(signaturesFrom(shardSh, idCol, k), idCol,
       bands, rowsPer(k, bands))

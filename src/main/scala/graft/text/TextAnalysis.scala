@@ -310,9 +310,17 @@ object TextAnalysis {
     * scan. Output: (idCol, n_toks, total_bits, mean_bits), all exact
     * integers except the final int/int → double division. */
   def unigramSurprisal(df: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
-    val tk = df.select(col(idCol),
-      explode(CaptionStats.tokens(lower(col(textCol)))).as("tok"))
+                       textCol: String,
+                       tokensCol: Option[String] = None): DataFrame = {
+    // tokensCol = tokenize-once threading (Dedup.shingleTable contract:
+    // caller-supplied tokens(text)); per-token lower ≡ tokenizing
+    // lower(text) because lowercasing never creates/removes whitespace
+    val tk = tokensCol match {
+      case Some(tc) => df.select(col(idCol), explode(col(tc)).as("__rt"))
+        .select(col(idCol), lower(col("__rt")).as("tok"))
+      case None => df.select(col(idCol),
+        explode(CaptionStats.tokens(lower(col(textCol)))).as("tok"))
+    }
     val tf = tk.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val counts = tf.groupBy("tok").agg(sum("tf").as("cnt"))
@@ -414,12 +422,20 @@ object TextAnalysis {
     * Exchange-free store scan, one per-doc rollup. `total` is one
     * driver scalar from the vocabulary-sized store — kilobytes. */
   def surprisalAgainstStore(shard: DataFrame, idCol: String,
-                            textCol: String, table: String): DataFrame = {
+                            textCol: String, table: String,
+                            tokensCol: Option[String] = None): DataFrame = {
     val counts = shard.sparkSession.table(table)
     val total = counts.agg(sum("cnt")).head.getLong(0)
     val totalBits = java.lang.Long.toBinaryString(total).length
-    val tf = shard.select(col(idCol),
+    // tokensCol: same tokenize-once contract as [[unigramSurprisal]]
+    val tk = tokensCol match {
+      case Some(tc) => shard
+        .select(col(idCol), explode(col(tc)).as("__rt"))
+        .select(col(idCol), lower(col("__rt")).as("tok"))
+      case None => shard.select(col(idCol),
         explode(CaptionStats.tokens(lower(col(textCol)))).as("tok"))
+    }
+    val tf = tk
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     val bits = lit(totalBits) - length(bin(coalesce(col("cnt"), lit(1L))))
     tf.join(counts, Seq("tok"), "left")

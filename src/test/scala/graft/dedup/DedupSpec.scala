@@ -568,6 +568,128 @@ class DedupSpec extends SparkSpec {
     residual shouldBe 0L
   }
 
+  test("dropDupSubstrings: a >= minLen shared substring excises from " +
+    "the LATER doc only; shorter shared substrings survive everywhere") {
+    val corpus = Seq(
+      (1L, "intro one alpha beta gamma delta epsilon zeta end1 end2"),
+      (2L, "start alpha beta gamma delta epsilon zeta tail1 tail2"),
+      (3L, "short alpha beta gamma other words five six seven")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSubstrings(corpus, "doc_id", "text",
+        minLen = 6, seedN = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept", "n_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, "intro one alpha beta gamma delta epsilon zeta end1 end2",
+        10L), // first occurrence keeps the 6-token passage
+      (2L, "start tail1 tail2", 3L), // later copy excised as a UNIT
+      (3L, "short alpha beta gamma other words five six seven",
+        9L)) // 3-token overlap < minLen: untouched
+  }
+
+  test("dropDupSubstrings: seed-and-extend is SOUND — chained " +
+    "different-partner seed matches never stitch a span that occurs " +
+    "nowhere as a whole (the naive seed-coverage relaxation would)") {
+    // every 3-token seed of doc 3's t1..t6 stretch is duplicated
+    // SOMEWHERE (p1-p3 in doc 1, p2-p4 in doc 2), but no single
+    // partner matches >= 6 consecutive tokens — nothing may be excised
+    val corpus = Seq(
+      (1L, "a1 t1 t2 t3 t4 t5 a2"),
+      (2L, "b1 t2 t3 t4 t5 t6 b2"),
+      (3L, "t1 t2 t3 t4 t5 t6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSubstrings(corpus, "doc_id", "text",
+        minLen = 6, seedN = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 7L), (2L, 7L), (3L, 6L))
+  }
+
+  test("dropDupSubstrings: WITHIN-doc periodic repeats self-match on " +
+    "the period diagonal and excise down to the first copy — the Lee " +
+    "et al. case the minDocs >= 2 window family leaves alone") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSubstrings(corpus, "doc_id", "text",
+        minLen = 4, seedN = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept", "n_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    // diag-2 self-match runs over the whole period: positions 3..8 go
+    got shouldBe Seq(
+      (1L, "alpha beta", 2L),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8", 8L))
+  }
+
+  test("dropDupSubstrings: keep-first across 3+ copies (earliest doc " +
+    "survives, every later copy pairs against an earlier one and " +
+    "drops); fully-excised docs drop out of the result") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "an entirely different and unrelated document")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSubstrings(corpus, "doc_id", "text",
+        minLen = 6, seedN = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 6L), (4L, 6L))
+  }
+
+  test("dropDupSubstrings: tokensCol threading is result-identical and " +
+    "keepToksCol re-emits exactly the kept token array") {
+    val corpus = Seq(
+      (1L, "intro one alpha beta gamma delta epsilon zeta end1 end2"),
+      (2L, "start alpha beta gamma delta epsilon zeta tail1 tail2")
+    ).toDF("doc_id", "text")
+    val plain = Dedup.dropDupSubstrings(corpus, "doc_id", "text",
+        minLen = 6, seedN = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val threaded = Dedup.dropDupSubstrings(
+        corpus.withColumn("__toks",
+          graft.enrich.CaptionStats.tokens(col("text"))),
+        "doc_id", "text", minLen = 6, seedN = 3,
+        tokensCol = Some("__toks"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    threaded shouldBe plain
+    val withKt = Dedup.dropDupSubstrings(corpus, "doc_id", "text",
+        minLen = 6, seedN = 3, keepToksCol = Some("kt"))
+      .orderBy("doc_id")
+      .select("text_kept", "kt")
+      .as[(String, Seq[String])].collect()
+    withKt.foreach { case (txt, kt) =>
+      kt shouldBe txt.split("\\s+").toSeq
+    }
+  }
+
+  test("dropDupSubstrings: the maxOcc seed cap drops viral seeds " +
+    "(recall-only — copies survive) and the standalone report counts " +
+    "the loss") {
+    import graft.util.Metrics
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    // every 3-seed occurs 3 times > maxOcc = 2: no eligible seeds, so
+    // the duplicates SURVIVE (recall loss, never precision)
+    val capped = Dedup.dropDupSubstrings(corpus, "doc_id", "text",
+        minLen = 6, seedN = 3, maxOcc = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    capped shouldBe Seq((1L, 6L), (2L, 6L), (3L, 6L))
+    // 4 distinct seed hashes, each with 3 occurrences over the cap
+    Metrics.drops(Dedup.dupSubstringSeedCapReport(corpus, "doc_id",
+      "text", seedN = 3, maxOcc = 2)) shouldBe ((4L, 12L))
+    // at the default cap nothing drops and dedup proceeds
+    Metrics.drops(Dedup.dupSubstringSeedCapReport(corpus, "doc_id",
+      "text", seedN = 3)) shouldBe ((0L, 0L))
+  }
+
   test("NFC-first keying (default) merges decomposed/precomposed " +
     "duplicates across d1/d8/d9/d13; nfc=false keys raw bytes") {
     import spark.implicits._

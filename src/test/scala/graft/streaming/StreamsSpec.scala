@@ -335,23 +335,25 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("DSIR scoring composes onto a stream: map-only scoreAgainst a " +
-    "frozen λ table gives each streamed doc its batch weight (t18)") {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    "frozen λ table gives each streamed doc its batch weight (t18) — " +
+    "END-TO-END ON A FILE STREAM (the per-crawl production shape: new " +
+    "parquet lands in a directory, scores with zero recompute)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    implicit val sc = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val raw = docs.filter(col("source") =!= "src0")
     val target = docs.filter(col("source") === "src0")
     val lam = graft.analytics.Dsir
       .bucketScores(raw, target, "doc_id", "text", buckets = 256)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rows = raw.select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val input = MemoryStream[(Long, String)]
-    input.addData(rows: _*)
+    // the "new crawl" arrives as parquet files in a watched directory
+    val crawlDir = java.nio.file.Files
+      .createTempDirectory("graft_dsir_crawl").toString
+    raw.select("doc_id", "text").write.mode("overwrite").parquet(crawlDir)
+    val streamIn = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(crawlDir)
     val q = graft.analytics.Dsir.scoreAgainst(
-        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        streamIn, "doc_id", "text",
         lam, lamDefault = 0L, buckets = 256)
       .writeStream.format("memory").queryName("dsir_out")
       .outputMode(OutputMode.Append())

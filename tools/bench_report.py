@@ -8,6 +8,8 @@ per-query table is committed here each round instead.
 Usage: python3 tools/bench_report.py <bench_log> [out_md]
 """
 import json
+import os
+import re
 import sys
 
 
@@ -81,8 +83,68 @@ def main():
         for k, v in rows:
             sp = spread.get(k) if spread else None
             f.write(f"| {k} | {v} | {sp if sp else ''} |\n")
+        comparison = r1_comparison(queries)
+        if comparison:
+            f.write(comparison)
+        notes = os.path.join(repo_root(), "tools", "bench_notes.md")
+        if os.path.exists(notes):
+            f.write("\n" + open(notes).read())
     print(f"[bench_report] wrote {out}: {len(rows)} queries, "
           f"total {total} s")
+
+
+def repo_root():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def r1_queries():
+    """Per-query map of the round-1 baseline bench, recovered from
+    BENCH_r01.json's captured stdout tail (the 46-query suite)."""
+    path = os.path.join(repo_root(), "BENCH_r01.json")
+    if not os.path.exists(path):
+        return None
+    tail = json.load(open(path)).get("tail", "")
+    m = re.search(r'\{"metric":"total".*?"sf":[^}]*\}', tail, re.S)
+    if not m:
+        return None
+    try:
+        j = json.loads(m.group(0))
+        return j.get("queries")
+    except ValueError:
+        return None
+
+
+def r1_comparison(queries):
+    """The honest companion to the 2x total-vs-total bar: the suite has
+    tripled since round 1, so the total ratio mixes coverage growth
+    with per-query speed. This compares ONLY the queries that existed
+    in round 1, name-matched."""
+    q1 = r1_queries()
+    if not q1:
+        return None
+    common = sorted(set(q1) & set(queries))
+    if not common:
+        return None
+    s1 = sum(q1[k] for k in common)
+    s_now = sum(queries[k] for k in common)
+    lines = [
+        "\n## Normalized round-1 comparison (matched queries)\n\n",
+        f"The headline total is compared against BENCH_r01's 2x bar, "
+        f"but the suite has grown from {len(q1)} to {len(queries)} "
+        f"queries — total-vs-total conflates coverage with speed. On "
+        f"the {len(common)} name-matched round-1 queries: r1 "
+        f"**{s1:.1f} s** vs this run **{s_now:.1f} s** = "
+        f"**{s_now / s1:.2f}x** (computed by bench_report.py from "
+        "BENCH_r01.json each regeneration).\n\n"
+        "Largest per-query movements vs r1 (s):\n\n"
+        "| query | r1 | now | delta |\n|---|---|---|---|\n",
+    ]
+    deltas = sorted(((queries[k] - q1[k], k) for k in common),
+                    reverse=True)
+    shown = deltas[:5] + deltas[-3:]
+    for d, k in shown:
+        lines.append(f"| {k} | {q1[k]:.2f} | {queries[k]} | {d:+.2f} |\n")
+    return "".join(lines)
 
 
 if __name__ == "__main__":
