@@ -1100,22 +1100,8 @@ object Dedup {
                    nfc: Boolean = true,
                    tokensCol: Option[String] = None,
                    keepToksCol: Option[String] = None): DataFrame = {
-    val base = tokensCol match {
-      case Some(tc) => df.select(col(idCol),
-        col(tc).as("__ot"),
-        transform(col(tc), t => lower(nfcKey(t, nfc))).as("__nt"))
-      case None => df.select(col(idCol),
-        CaptionStats.tokens(col(textCol)).as("__ot"),
-        CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
-    }
-    // (id, start-pos, window-hash) occurrences; 1-based starts (slice)
-    val wins = base.filter(size(col("__nt")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("__nt")) - (n - 1)),
-        i => struct(i.as("__p"),
-          md5(array_join(slice(col("__nt"), i, lit(n)), " ")).as("__h"))))
-        .as("__w"))
-      .select(col(idCol), col("__w.__p").as("__p"), col("__w.__h").as("__h"))
+    val base = origAndNormToks(df, idCol, textCol, nfc, tokensCol)
+    val wins = windowOccurrences(base, idCol, n)
     // every occurrence position per (h, doc), one row per pair — the
     // sorted list's head is the doc-local first occurrence
     val perDoc = wins.groupBy(col("__h"), col(idCol))
@@ -1143,14 +1129,59 @@ object Dedup {
     val covered = exc.groupBy(col(idCol))
       .agg(array_distinct(flatten(collect_list(
         sequence(col("__sp"), col("__sp") + (n - 1))))).as("__cov"))
-    // rebuild MAP-SIDE: the corpus joins `covered` at DOC granularity
-    // (one row per affected doc — AQE can broadcast it when the dup
-    // tail is small) and each doc excises its own covered positions
-    // with a codegen'd indexed filter HOF over the original token
-    // array, preserving order natively. No corpus-wide token
-    // posexplode, no token-level shuffle: the pre-r14 form anti-joined
-    // every token of every document against the covered set. `filter`'s
-    // index is 0-based; coverage is 1-based (slice discipline).
+    rebuildFromCoverage(base, covered, idCol, keepToksCol)
+  }
+
+  /** (id, `__ot` original-case tokens, `__nt` lower/NFC tokens) — the
+    * shared base of the span/substring excision family
+    * ([[dropDupSpans]], [[dropDupSubstrings]] and its cap report).
+    * `tokensCol` is the tokenize-once contract (caller-supplied
+    * `tokens(text)`); the normalized view derives per token, which is
+    * position/value-identical to tokenizing the transformed string
+    * because neither lowercasing nor NFC creates or removes
+    * whitespace. */
+  private def origAndNormToks(df: DataFrame, idCol: String,
+                              textCol: String, nfc: Boolean,
+                              tokensCol: Option[String]): DataFrame =
+    tokensCol match {
+      case Some(tc) => df.select(col(idCol),
+        col(tc).as("__ot"),
+        transform(col(tc), t => lower(nfcKey(t, nfc))).as("__nt"))
+      case None => df.select(col(idCol),
+        CaptionStats.tokens(col(textCol)).as("__ot"),
+        CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
+    }
+
+  /** (id, `__p` 1-based start, `__h` md5 of the space-joined n-token
+    * window of `__nt`) — THE window/seed occurrence frame, one
+    * definition shared by [[dropDupSpans]], [[dropDupSubstrings]] and
+    * [[dupSubstringSeedCapReport]] so the hash/gate can never diverge
+    * between an operator and its recall report. Generate fuses into
+    * the scan (sequence/slice/array_join/md5, all codegen'd). */
+  private def windowOccurrences(base: DataFrame, idCol: String,
+                                n: Int): DataFrame =
+    base.filter(size(col("__nt")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__nt")) - (n - 1)),
+        i => struct(i.as("__p"),
+          md5(array_join(slice(col("__nt"), i, lit(n)), " ")).as("__h"))))
+        .as("__w"))
+      .select(col(idCol), col("__w.__p").as("__p"),
+        col("__w.__h").as("__h"))
+
+  /** Rebuild MAP-SIDE from a per-doc 1-based coverage array: the corpus
+    * joins `covered` at DOC granularity (one row per affected doc —
+    * AQE can broadcast it when the dup tail is small) and each doc
+    * excises its own covered positions with a codegen'd indexed filter
+    * HOF over the original token array, preserving order natively. No
+    * corpus-wide token posexplode, no token-level shuffle (the pre-r14
+    * form anti-joined every token of every document against the
+    * covered set). `filter`'s index is 0-based; coverage is 1-based
+    * (slice discipline). Shared tail of [[dropDupSpans]] and
+    * [[dropDupSubstrings]]. */
+  private def rebuildFromCoverage(base: DataFrame, covered: DataFrame,
+                                  idCol: String,
+                                  keepToksCol: Option[String]): DataFrame =
     base.join(covered, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__cov").isNull, col("__ot"))
@@ -1162,7 +1193,6 @@ object Dedup {
         concat_ws(" ", col("__kt")).as("text_kept"),
         size(col("__kt")).cast("long").as("n_kept")) ++
         keepToksCol.map(kc => col("__kt").as(kc)).toSeq: _*)
-  }
 
   /** VARIABLE-LENGTH exact-substring dedup (Lee et al. 2022 §3.1,
     * "Deduplicating Training Data Makes Language Models Better" —
@@ -1207,10 +1237,12 @@ object Dedup {
     * ≤ `maxOcc`) come from a map-combined groupBy(h) count semi-joined
     * back — the `maxOcc` cap bounds the pair join at
     * O(maxOcc²)/seed-hash and drops only viral boilerplate seeds
-    * (recall-only; counted via [[graft.util.Metrics.capReport]] and
-    * warn-logged). Diagonal merging is a groupBy on (docA, docB, diag)
-    * whose groups are bounded by DOCUMENT length (never corpus-keyed);
-    * runs emerge from one sort_array + linear fold. Excised-position
+    * (recall-only; this is a LAZY builder, so the loss is priced by the
+    * STANDALONE [[dupSubstringSeedCapReport]] — the d13 convention —
+    * not auto-warn-logged like the eager nearDupPairs family).
+    * Diagonal merging is a groupBy on (docA, docB, diag) whose groups
+    * are bounded by DOCUMENT length (never corpus-keyed); runs emerge
+    * from sort_array + two linear index-filters. Excised-position
     * coverage and the rebuild reuse the d16 machinery verbatim: one
     * coverage array per AFFECTED doc, map-side indexed-filter rebuild,
     * no corpus-wide token explode.
@@ -1227,24 +1259,9 @@ object Dedup {
       s"dropDupSubstrings: need 1 <= seedN <= minLen (got seedN=$seedN, " +
         s"minLen=$minLen) — seeds longer than the match length can " +
         "never witness it")
-    val base = tokensCol match {
-      case Some(tc) => df.select(col(idCol),
-        col(tc).as("__ot"),
-        transform(col(tc), t => lower(nfcKey(t, nfc))).as("__nt"))
-      case None => df.select(col(idCol),
-        CaptionStats.tokens(col(textCol)).as("__ot"),
-        CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
-    }
-    // (id, start-pos, seed-hash) occurrences — the d16 window frame at
-    // seed granularity (1-based starts)
-    val seeds = base.filter(size(col("__nt")) >= seedN)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("__nt")) - (seedN - 1)),
-        i => struct(i.as("__p"),
-          md5(array_join(slice(col("__nt"), i, lit(seedN)), " "))
-            .as("__h"))))
-        .as("__w"))
-      .select(col(idCol), col("__w.__p").as("__p"), col("__w.__h").as("__h"))
+    val base = origAndNormToks(df, idCol, textCol, nfc, tokensCol)
+    // the d16 window frame at seed granularity (shared definition)
+    val seeds = windowOccurrences(base, idCol, seedN)
     // eligible seed hashes: shared (≥2 occurrences) and under the viral
     // cap — map-combined count, the d3/d13 aggregate-not-Window rule
     val occCounts = seeds.groupBy(col("__h"))
@@ -1269,22 +1286,22 @@ object Dedup {
     // group size ≤ min(len A, len B), document-bounded, never viral
     val byDiag = pairs.groupBy(col("__ida"), col("__idb"), col("__diag"))
       .agg(sort_array(collect_list(col("__pa"))).as("__ps"))
-    // linear fold → maximal consecutive runs [s, e] of seed starts;
-    // the (-2, -2) sentinel head keeps the fold off empty-array access
-    // (run starts are ≥ 1, so the sentinel never extends); a run
-    // witnesses a matched substring of (e − s) + seedN tokens
-    // the r.s >= 1 conjunct drops the sentinel (real starts are 1-based)
+    // maximal consecutive runs [s, e] of seed starts, LINEAR in the
+    // group: a start is an element whose predecessor is not p−1, an end
+    // one whose successor is not p+1 (0-based `get` returns null out of
+    // bounds in every SQL mode; the coalesce defaults can never equal
+    // the neighbor test value) — each run contributes exactly one of
+    // each in order, so zip_with pairs them positionally. An aggregate
+    // fold was rejected here: every append rebuilds the accumulator
+    // array, O(runs²) copies on a fragmented doc pair. A run witnesses
+    // a matched substring of (e − s) + seedN tokens.
     val runs = expr(
       s"""filter(
-        aggregate(__ps,
-          array(named_struct('s', -2, 'e', -2)),
-          (acc, p) ->
-            case when element_at(acc, -1).e = p - 1
-              then concat(slice(acc, 1, size(acc) - 1),
-                array(named_struct('s', element_at(acc, -1).s, 'e', p)))
-              else concat(acc, array(named_struct('s', p, 'e', p)))
-            end),
-        r -> r.s >= 1 and r.e - r.s + $seedN >= $minLen)""")
+        zip_with(
+          filter(__ps, (p, i) -> p - coalesce(get(__ps, i - 1), p - 2) != 1),
+          filter(__ps, (p, i) -> coalesce(get(__ps, i + 1), p + 2) - p != 1),
+          (s, e) -> named_struct('s', s, 'e', e)),
+        r -> r.e - r.s + $seedN >= $minLen)""")
     // excised coverage: the LATER side's positions of every qualifying
     // run — B-side start = run start + diagonal
     val exc = byDiag.select(col("__idb").as(idCol), col("__diag"),
@@ -1295,41 +1312,25 @@ object Dedup {
     val covered = exc.groupBy(col(idCol))
       .agg(array_distinct(flatten(collect_list(col("__seq"))))
         .as("__cov"))
-    // rebuild — the d16 map-side indexed-filter machinery verbatim
-    base.join(covered, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__cov").isNull, col("__ot"))
-          .otherwise(filter(col("__ot"),
-            (t, i) => !array_contains(col("__cov"), i + 1)))
-          .as("__kt"))
-      .filter(size(col("__kt")) >= 1)
-      .select(Seq(col(idCol),
-        concat_ws(" ", col("__kt")).as("text_kept"),
-        size(col("__kt")).cast("long").as("n_kept")) ++
-        keepToksCol.map(kc => col("__kt").as(kc)).toSeq: _*)
+    rebuildFromCoverage(base, covered, idCol, keepToksCol)
   }
 
   /** Recall-loss report for [[dropDupSubstrings]]'s `maxOcc` seed cap
     * (this is a LAZY builder, so the report is standalone — the d13
-    * convention, not the eager nearDupPairs one): ONE row
+    * convention, not the eager nearDupPairs one; run it alongside the
+    * dedup and warn on nonzero drops): ONE row
     * (dropped_groups, dropped_members) counting the viral seed hashes
     * the pair join skips at these parameters. A dropped seed can only
-    * LOSE matches (recall), never excise a non-duplicate. */
+    * LOSE matches (recall), never excise a non-duplicate. Shares
+    * [[windowOccurrences]] with the operator, so the counted seed
+    * population is definitionally the one the dedup uses. */
   def dupSubstringSeedCapReport(df: DataFrame, idCol: String,
                                 textCol: String, seedN: Int = 8,
                                 maxOcc: Int = 1000, nfc: Boolean = true,
                                 tokensCol: Option[String] = None)
       : DataFrame = {
-    val toks = tokensCol match {
-      case Some(tc) => transform(col(tc), t => lower(nfcKey(t, nfc)))
-      case None => CaptionStats.tokens(lower(nfcKey(col(textCol), nfc)))
-    }
-    val sizes = df.select(toks.as("__nt"))
-      .filter(size(col("__nt")) >= seedN)
-      .select(explode(transform(
-        sequence(lit(1), size(col("__nt")) - (seedN - 1)),
-        i => md5(array_join(slice(col("__nt"), i, lit(seedN)), " "))))
-        .as("__h"))
+    val sizes = windowOccurrences(
+        origAndNormToks(df, idCol, textCol, nfc, tokensCol), idCol, seedN)
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
     Metrics.capReport(sizes, "__c", maxOcc.toLong)
   }

@@ -346,8 +346,9 @@ class StreamsSpec extends SparkSpec {
       .bucketScores(raw, target, "doc_id", "text", buckets = 256)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the "new crawl" arrives as parquet files in a watched directory
-    val crawlDir = java.nio.file.Files
-      .createTempDirectory("graft_dsir_crawl").toString
+    val crawlPath = java.nio.file.Files
+      .createTempDirectory("graft_dsir_crawl")
+    val crawlDir = crawlPath.toString
     raw.select("doc_id", "text").write.mode("overwrite").parquet(crawlDir)
     val streamIn = spark.readStream
       .schema("doc_id LONG, text STRING")
@@ -370,7 +371,14 @@ class StreamsSpec extends SparkSpec {
         .collect().map(r => r.getAs[Long]("doc_id") ->
           r.getAs[Long]("weight_bits")).toMap
       streamed shouldBe batch
-    } finally gracefulStop(q)
+    } finally {
+      gracefulStop(q)
+      // the watched crawl dir holds a parquet copy of the fixture —
+      // delete it so repeated suite runs don't accumulate under /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(crawlPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("KMV store absorbs a micro-batched stream: after three batches " +

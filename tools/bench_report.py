@@ -83,7 +83,7 @@ def main():
         for k, v in rows:
             sp = spread.get(k) if spread else None
             f.write(f"| {k} | {v} | {sp if sp else ''} |\n")
-        comparison = r1_comparison(queries)
+        comparison = r1_comparison(queries, meta.get("sf"))
         if comparison:
             f.write(comparison)
         notes = os.path.join(repo_root(), "tools", "bench_notes.md")
@@ -97,31 +97,38 @@ def repo_root():
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def r1_queries():
-    """Per-query map of the round-1 baseline bench, recovered from
+def r1_baseline():
+    """(queries, sf) of the round-1 baseline bench, recovered from
     BENCH_r01.json's captured stdout tail (the 46-query suite)."""
     path = os.path.join(repo_root(), "BENCH_r01.json")
     if not os.path.exists(path):
-        return None
+        return None, None
     tail = json.load(open(path)).get("tail", "")
     m = re.search(r'\{"metric":"total".*?"sf":[^}]*\}', tail, re.S)
     if not m:
-        return None
+        return None, None
     try:
         j = json.loads(m.group(0))
-        return j.get("queries")
+        return j.get("queries"), j.get("sf")
     except ValueError:
-        return None
+        return None, None
 
 
-def r1_comparison(queries):
+def r1_comparison(queries, sf):
     """The honest companion to the 2x total-vs-total bar: the suite has
     tripled since round 1, so the total ratio mixes coverage growth
     with per-query speed. This compares ONLY the queries that existed
-    in round 1, name-matched."""
-    q1 = r1_queries()
+    in round 1, name-matched — and only when this log ran at the SAME
+    scale factor as the baseline (comparing an sf0.01 smoke run against
+    the sf0.1 baseline would print a fabricated speedup)."""
+    q1, sf1 = r1_baseline()
     if not q1:
         return None
+    if sf and sf1 and sf != sf1:
+        return ("\n## Normalized round-1 comparison (matched queries)"
+                f"\n\nSkipped: this log ran at `{sf}` but the r1 "
+                f"baseline is `{sf1}` — a cross-scale ratio would be "
+                "meaningless.\n")
     common = sorted(set(q1) & set(queries))
     if not common:
         return None
@@ -135,15 +142,18 @@ def r1_comparison(queries):
         f"the {len(common)} name-matched round-1 queries: r1 "
         f"**{s1:.1f} s** vs this run **{s_now:.1f} s** = "
         f"**{s_now / s1:.2f}x** (computed by bench_report.py from "
-        "BENCH_r01.json each regeneration).\n\n"
+        "BENCH_r01.json each regeneration; r1 predates the min-of-runs "
+        "stat, so read the ratio with the ~1.5x cross-run dispersion "
+        "band above).\n\n"
         "Largest per-query movements vs r1 (s):\n\n"
         "| query | r1 | now | delta |\n|---|---|---|---|\n",
     ]
     deltas = sorted(((queries[k] - q1[k], k) for k in common),
                     reverse=True)
-    shown = deltas[:5] + deltas[-3:]
+    shown = list(dict.fromkeys(deltas[:5] + deltas[-3:]))
     for d, k in shown:
-        lines.append(f"| {k} | {q1[k]:.2f} | {queries[k]} | {d:+.2f} |\n")
+        lines.append(f"| {k} | {q1[k]:.2f} | {queries[k]:.2f} | "
+                     f"{d:+.2f} |\n")
     return "".join(lines)
 
 
