@@ -4754,6 +4754,72 @@ object Queries {
           WHERE c.doc_id = t.doc_id AND c.cp = t.p)
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // ---- D25: INCREMENTAL exact-substring dedup vs a persisted store ---
+    // The d15 store discipline applied to the d24 family
+    // (Dedup.writeSubstringStore + dedupSubstringShardAgainst): the
+    // accumulated corpus persists as a bucketed seed table (one row per
+    // token window — suffix-array-sized state, the honest cost of
+    // exact-substring dedup); a new shard equi-joins it IN PLACE (no
+    // store-side Exchange or recompute), diagonal runs >= 12 tokens
+    // excise the shard side, and the result is EXACTLY the batch d24
+    // over (store ∪ shard) restricted to shard ids. The oracle
+    // re-derives the whole batch from parquet and restricts — the hash
+    // proves the store roundtrip, the combined 2..1000 occurrence gate,
+    // and the later-side-only excision rule in one check.
+    QueryDef("d25_substring_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = docs.filter(col("doc_id") < 250)
+        val shard = docs.filter(col("doc_id") >= 250)
+        val base = s"/tmp/graft_sinks/${new java.io.File(dir).getName}"
+        Dedup.writeSubstringStore(store, "doc_id", "text",
+          "graft_d25seed", s"$base/d25seed", seedN = 5)
+        Dedup.dedupSubstringShardAgainst(shard, "doc_id", "text",
+          "graft_d25seed", minLen = 12, seedN = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS ot,
+            ${toksSql("lower(nfc_normalize(text))")} AS nt
+          FROM documents),
+        w AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE len(nt) >= 5)),
+        elig AS (SELECT h FROM (
+            SELECT h, count(*) AS c FROM w GROUP BY h)
+          WHERE c BETWEEN 2 AND 1000),
+        we AS (SELECT w.doc_id, w.p, w.h FROM w JOIN elig USING (h)),
+        pairs AS (
+          SELECT a.doc_id AS ida, a.p AS pa, b.doc_id AS idb,
+            b.p - a.p AS diag
+          FROM we a JOIN we b ON a.h = b.h
+          WHERE a.doc_id < b.doc_id
+            OR (a.doc_id = b.doc_id AND a.p < b.p)),
+        runs AS (
+          SELECT ida, idb, diag, pa,
+            pa - row_number() OVER (PARTITION BY ida, idb, diag
+              ORDER BY pa) AS g
+          FROM pairs),
+        spans AS (
+          SELECT idb, diag, min(pa) AS s0, max(pa) AS e0
+          FROM runs GROUP BY ida, idb, diag, g
+          HAVING max(pa) - min(pa) + 5 >= 12),
+        cov AS (SELECT DISTINCT doc_id, cp FROM (
+          SELECT idb AS doc_id,
+            unnest(range(s0 + diag, e0 + diag + 5)) AS cp
+          FROM spans)),
+        toks AS (SELECT doc_id, u['i'] AS p, u['t'] AS tok FROM (
+          SELECT doc_id, unnest(list_transform(ot,
+            (t, i) -> {'i': i, 't': t})) AS u
+          FROM tk WHERE doc_id >= 250))
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text_kept,
+          count(*) AS n_kept
+        FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+          WHERE c.doc_id = t.doc_id AND c.cp = t.p)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // ---- D14: perceptual-hash image near-dup (Hamming-band LSH) --------
     // The payload-side dedup the text family (d1–d13) never covers:
     // Dedup.imageNearDupPairs — 4×16-bit band LSH over a 64-bit

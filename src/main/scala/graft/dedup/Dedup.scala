@@ -1282,19 +1282,33 @@ object Dedup {
         (col("__ida") === col("__idb") && col("__pa") < col("__pb")))
       .select(col("__ida"), col("__idb"),
         (col("__pb") - col("__pa")).as("__diag"), col("__pa"))
-    // one row per (doc pair, diagonal): the sorted seed-start list —
-    // group size ≤ min(len A, len B), document-bounded, never viral
+    rebuildFromCoverage(base,
+      substringCoverage(pairs, idCol, minLen, seedN), idCol, keepToksCol)
+  }
+
+  /** Diagonal-run merging + excised-position coverage — the shared core
+    * of [[dropDupSubstrings]] and [[dedupSubstringShardAgainst]].
+    * Input: ordered seed-match pairs (`__ida`, `__idb`, `__diag` =
+    * pb − pa, `__pa`) where (ida, pa) < (idb, pb) lexicographically.
+    * Output: one (idCol, `__cov`) coverage array per affected LATER-side
+    * doc.
+    *
+    * One row per (doc pair, diagonal): the sorted seed-start list —
+    * group size ≤ min(len A, len B), document-bounded, never viral.
+    * Maximal consecutive runs [s, e] of seed starts are found LINEARLY:
+    * a start is an element whose predecessor is not p−1, an end one
+    * whose successor is not p+1 (0-based `get` returns null out of
+    * bounds in every SQL mode; the coalesce defaults can never equal
+    * the neighbor test value) — each run contributes exactly one of
+    * each in order, so zip_with pairs them positionally. An aggregate
+    * fold was rejected here: every append rebuilds the accumulator
+    * array, O(runs²) copies on a fragmented doc pair. A run witnesses
+    * a matched substring of (e − s) + seedN tokens; qualifying runs
+    * excise the LATER side (B start = run start + diagonal). */
+  private def substringCoverage(pairs: DataFrame, idCol: String,
+                                minLen: Int, seedN: Int): DataFrame = {
     val byDiag = pairs.groupBy(col("__ida"), col("__idb"), col("__diag"))
       .agg(sort_array(collect_list(col("__pa"))).as("__ps"))
-    // maximal consecutive runs [s, e] of seed starts, LINEAR in the
-    // group: a start is an element whose predecessor is not p−1, an end
-    // one whose successor is not p+1 (0-based `get` returns null out of
-    // bounds in every SQL mode; the coalesce defaults can never equal
-    // the neighbor test value) — each run contributes exactly one of
-    // each in order, so zip_with pairs them positionally. An aggregate
-    // fold was rejected here: every append rebuilds the accumulator
-    // array, O(runs²) copies on a fragmented doc pair. A run witnesses
-    // a matched substring of (e − s) + seedN tokens.
     val runs = expr(
       s"""filter(
         zip_with(
@@ -1302,17 +1316,14 @@ object Dedup {
           filter(__ps, (p, i) -> coalesce(get(__ps, i + 1), p + 2) - p != 1),
           (s, e) -> named_struct('s', s, 'e', e)),
         r -> r.e - r.s + $seedN >= $minLen)""")
-    // excised coverage: the LATER side's positions of every qualifying
-    // run — B-side start = run start + diagonal
     val exc = byDiag.select(col("__idb").as(idCol), col("__diag"),
         explode(runs).as("__r"))
       .select(col(idCol),
         sequence(col("__r.s") + col("__diag"),
           col("__r.e") + col("__diag") + (seedN - 1)).as("__seq"))
-    val covered = exc.groupBy(col(idCol))
+    exc.groupBy(col(idCol))
       .agg(array_distinct(flatten(collect_list(col("__seq"))))
         .as("__cov"))
-    rebuildFromCoverage(base, covered, idCol, keepToksCol)
   }
 
   /** Recall-loss report for [[dropDupSubstrings]]'s `maxOcc` seed cap
@@ -1333,6 +1344,175 @@ object Dedup {
         origAndNormToks(df, idCol, textCol, nfc, tokensCol), idCol, seedN)
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
     Metrics.capReport(sizes, "__c", maxOcc.toLong)
+  }
+
+  /** Persist a corpus's seed-occurrence frame as a bucketed SUBSTRING
+    * STORE — the [[writeSignatureStore]] discipline applied to
+    * exact-substring state: one table `{tablePrefix}_seeds`
+    * (`__h`, idCol, `__p`), bucketed AND sorted by the seed hash, so an
+    * incremental shard run equi-joins it with NO store-side Exchange
+    * and the per-hash store counts aggregate shuffle-free.
+    *
+    * Honest sizing: the store is O(corpus TOKENS) — one row per seed
+    * window — because exact-substring dedup's state is inherently
+    * suffix-array-sized (Lee et al. hold the whole suffix array on one
+    * machine; this is the same state, sharded). `suggestedStoreBuckets`
+    * runs with an 8× expansion accordingly (hex digest + id + pos ≈
+    * 7–8× the raw text bytes; swapping `__h` to a BINARY(8) slice
+    * halves it at a documented one-in-2⁶⁴-per-seed false-match risk —
+    * further gated by the run-length threshold — if storage ever
+    * dominates). */
+  def writeSubstringStore(df: DataFrame, idCol: String, textCol: String,
+                          tablePrefix: String, path: String,
+                          seedN: Int = 8, nfc: Boolean = true,
+                          nBuckets: Int = 0,
+                          tokensCol: Option[String] = None): Unit = {
+    val nb = if (nBuckets > 0) nBuckets
+             else suggestedStoreBuckets(df, expansion = 8.0)
+    windowOccurrences(
+        origAndNormToks(df, idCol, textCol, nfc, tokensCol), idCol, seedN)
+      .write.mode("overwrite").option("path", s"$path/seeds")
+      .bucketBy(nb, "__h").sortBy("__h")
+      .format("parquet").saveAsTable(s"${tablePrefix}_seeds")
+    // persist the hash family: every later absorb/shard-run validates
+    // against these instead of trusting its own defaults — a mismatched
+    // seedN would silently join incompatible hashes (zero matches, no
+    // error), the worst failure mode for a dedup store
+    df.sparkSession.sql(
+      s"ALTER TABLE ${tablePrefix}_seeds SET TBLPROPERTIES(" +
+        s"'graft.seedn' = '$seedN', 'graft.nfc' = '$nfc')")
+  }
+
+  /** Validate a caller's (seedN, nfc) against what the store was built
+    * with — loud failure over silent zero-match joins. Stores written
+    * before the property existed validate trivially (None). */
+  private def requireSeedFamily(spark: org.apache.spark.sql.SparkSession,
+                                tablePrefix: String, seedN: Int,
+                                nfc: Boolean): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.tableProperty(spark, s"${tablePrefix}_seeds", "graft.seedn")
+      .foreach { stored =>
+        require(stored == seedN.toString,
+          s"${tablePrefix}_seeds was built with seedN=$stored but this " +
+            s"call uses seedN=$seedN — seed hashes would never match " +
+            "(silent zero-recall). Pass the store's seedN.")
+      }
+    Bridge.tableProperty(spark, s"${tablePrefix}_seeds", "graft.nfc")
+      .foreach { stored =>
+        require(stored == nfc.toString,
+          s"${tablePrefix}_seeds was built with nfc=$stored but this " +
+            s"call uses nfc=$nfc — normalized token streams would " +
+            "diverge on non-NFC text. Pass the store's nfc.")
+      }
+  }
+
+  /** Append a shard's seed rows into an existing [[writeSubstringStore]]
+    * store (bucket count read from the catalog — an append can never
+    * mismatch the layout). Absorb the shard's ORIGINAL text (not the
+    * excised rebuild): the whole-corpus run pairs originals, so
+    * remembering the full seed stream is what keeps sequential shard
+    * runs ≡ batch [[dropDupSubstrings]] over everything seen — the
+    * same "losers must be remembered" argument as
+    * [[absorbIntoSignatureStore]]. */
+  def absorbIntoSubstringStore(docs: DataFrame, idCol: String,
+                               textCol: String, tablePrefix: String,
+                               seedN: Int = 8, nfc: Boolean = true,
+                               tokensCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = docs.sparkSession
+    requireSeedFamily(spark, tablePrefix, seedN, nfc)
+    val nb = Bridge.bucketCount(spark, s"${tablePrefix}_seeds")
+      .getOrElse(throw new IllegalStateException(
+        s"${tablePrefix}_seeds is not a bucketed table — was the store " +
+          "written by writeSubstringStore?"))
+    windowOccurrences(
+        origAndNormToks(docs, idCol, textCol, nfc, tokensCol), idCol, seedN)
+      .write.mode("append").bucketBy(nb, "__h").sortBy("__h")
+      .format("parquet").saveAsTable(s"${tablePrefix}_seeds")
+  }
+
+  /** Per-hash occurrence counts over the store's seed table — groupBy
+    * on the bucketing key, scan→aggregate with NO Exchange (the
+    * [[storeBandCounts]] shape). Exposed for the plan proof. */
+  private[graft] def storeSeedCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): DataFrame =
+    spark.table(s"${tablePrefix}_seeds")
+      .groupBy("__h").agg(count(lit(1)).as("__sn"))
+
+  /** Incremental exact-substring dedup of a NEW SHARD against a
+    * persisted [[writeSubstringStore]] store: returns (idCol,
+    * text_kept, n_kept) for the shard — EXACTLY the rows whole-corpus
+    * [[dropDupSubstrings]](store ∪ shard) would produce, restricted to
+    * shard ids (spec-proven; oracle d25). The accumulated corpus is
+    * never re-read beyond the store's bucketed seed table: candidate
+    * pairs come from the shard's seed hashes equi-joining it in place
+    * (shard side shuffles to the store's buckets, store side has no
+    * Exchange), and the store-side occurrence counts aggregate
+    * shuffle-free on the bucketing key.
+    *
+    * Exactness mirrors [[dedupShardAgainst]]'s cap contract: the
+    * whole-corpus gate is 2 ≤ total occurrences ≤ maxOcc per seed
+    * hash, so the filter here is on `store_n + shard_n` — and only
+    * hashes the SHARD touches matter (store-internal duplication
+    * excises store docs, which are immutable history here; the same
+    * one-way caveat as d15's larger-id store pairs). A shard position
+    * is excised iff some qualifying run ranks it LATER
+    * ((doc, pos)-lexicographic) than a partner occurrence — cross
+    * pairs contribute only when the store doc is earlier
+    * (store id < shard id; ids disjoint by caller contract), and
+    * shard-internal pairs follow the batch rule verbatim. Shard-row
+    * equivalence needs NO id-ordering contract between store and
+    * shard: a cross pair whose shard side is earlier excises the
+    * STORE doc in the batch run, never the shard row.
+    *
+    * LAZY like [[dropDupSubstrings]] (the result is a rebuild frame,
+    * not a loser id set — there is nothing small to collect); the
+    * production loop checkpoints stage outputs anyway (R3). */
+  def dedupSubstringShardAgainst(shard: DataFrame, idCol: String,
+                                 textCol: String, tablePrefix: String,
+                                 minLen: Int = 20, seedN: Int = 8,
+                                 maxOcc: Int = 1000, nfc: Boolean = true,
+                                 tokensCol: Option[String] = None,
+                                 keepToksCol: Option[String] = None)
+      : DataFrame = {
+    require(seedN >= 1 && minLen >= seedN,
+      s"dedupSubstringShardAgainst: need 1 <= seedN <= minLen (got " +
+        s"seedN=$seedN, minLen=$minLen)")
+    val spark = shard.sparkSession
+    requireSeedFamily(spark, tablePrefix, seedN, nfc)
+    val base = origAndNormToks(shard, idCol, textCol, nfc, tokensCol)
+    val shardSeeds = windowOccurrences(base, idCol, seedN)
+    // combined eligibility (2 ≤ store_n + shard_n ≤ maxOcc): store
+    // counts are the Exchange-free bucketed aggregate; shard counts one
+    // small shuffle. Hashes absent from the shard cannot excise shard
+    // rows, so a LEFT join from the shard counts is exact.
+    val eligible = shardSeeds.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nn"))
+      .join(storeSeedCounts(spark, tablePrefix), Seq("__h"), "left")
+      .withColumn("__tot", col("__nn") + coalesce(col("__sn"), lit(0L)))
+      .filter(col("__tot") >= 2 && col("__tot") <= maxOcc)
+      .select(col("__h"))
+    val occS = shardSeeds.join(eligible, Seq("__h"), "left_semi")
+    // cross pairs: the store occurrence is the EARLIER side (A) iff its
+    // id is smaller; the equi-join probes the bucketed store in place
+    val cross = spark.table(s"${tablePrefix}_seeds")
+      .select(col("__h"), col(idCol).as("__ida"), col("__p").as("__pa"))
+      .join(occS.select(col("__h"), col(idCol).as("__idb"),
+        col("__p").as("__pb")), Seq("__h"))
+      .filter(col("__ida") < col("__idb"))
+    // shard-internal ordered pairs — the batch rule verbatim
+    val internal = occS.select(col("__h"), col(idCol).as("__ida"),
+        col("__p").as("__pa"))
+      .join(occS.select(col("__h"), col(idCol).as("__idb"),
+        col("__p").as("__pb")), Seq("__h"))
+      .filter(col("__ida") < col("__idb") ||
+        (col("__ida") === col("__idb") && col("__pa") < col("__pb")))
+    val pairs = cross.unionByName(internal)
+      .select(col("__ida"), col("__idb"),
+        (col("__pb") - col("__pa")).as("__diag"), col("__pa"))
+    rebuildFromCoverage(base,
+      substringCoverage(pairs, idCol, minLen, seedN), idCol, keepToksCol)
   }
 
   /** Word n-gram Jaccard similarity between two text columns (distinct

@@ -41,6 +41,18 @@ object Bridge {
       .bucketSpec.map(_.numBuckets)
   }
 
+  /** A table property of a catalog table, if present — stores persist
+    * their derivation parameters (e.g. the substring store's seedN) so
+    * later absorbs/reads can REFUSE a mismatched family instead of
+    * silently joining incompatible hashes. Same shim rationale. */
+  def tableProperty(spark: org.apache.spark.sql.SparkSession,
+                    table: String, key: String): Option[String] = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+    ss.catalog.getTableMetadata(ss.sqlParser.parseTableIdentifier(table))
+      .properties.get(key)
+  }
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]` in Spark 4 — same shim rationale as above; used by
     * the native whole-operator plans in `graft.plans`). */

@@ -414,6 +414,65 @@ class StreamsSpec extends SparkSpec {
     } finally gracefulStop(q)
   }
 
+  test("substring store absorbs a micro-batched crawl: each batch is " +
+    "deduped against the store then absorbed (d25's ingest loop via " +
+    "foreachBatch) — kept rows over all batches equal the batch " +
+    "dropDupSubstrings over everything seen") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val pfx = "graft_stream_substore"
+    val path = "/tmp/graft_test_sinks/stream_substore"
+    // batch 1: a fresh doc; batch 2: a dup of batch 1's span + a clean
+    // doc; batch 3: a dup of the ORIGINAL store span (store memory)
+    val storeDocs = Seq(1L -> "alpha beta gamma delta epsilon zeta")
+    val batches = Seq(
+      Seq(10L -> "xx1 xx2 rr1 rr2 rr3 rr4 rr5 rr6"),
+      Seq(20L -> "rr1 rr2 rr3 rr4 rr5 rr6 yy1",
+          21L -> "a completely unrelated document with fresh words"),
+      Seq(30L -> "pre alpha beta gamma delta epsilon zeta post"))
+    spark.sql(s"DROP TABLE IF EXISTS ${pfx}_seeds")
+    graft.dedup.Dedup.writeSubstringStore(storeDocs.toDF("doc_id", "text"),
+      "doc_id", "text", pfx, path, seedN = 3)
+    val kept = scala.collection.mutable.Map.empty[Long, String]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.Dedup.dedupSubstringShardAgainst(batch, "doc_id",
+              "text", pfx, minLen = 6, seedN = 3)
+            .collect().foreach(r =>
+              kept(r.getAs[Long]("doc_id")) = r.getAs[String]("text_kept"))
+          // absorb the ORIGINAL batch (the d25 scaladoc contract)
+          graft.dedup.Dedup.absorbIntoSubstringStore(batch, "doc_id",
+            "text", pfx, seedN = 3)
+        }
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val all = (storeDocs ++ batches.flatten).toDF("doc_id", "text")
+      val whole = graft.dedup.Dedup.dropDupSubstrings(all, "doc_id",
+          "text", minLen = 6, seedN = 3)
+        .filter(col("doc_id") >= 10L)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_kept"))
+        .toMap
+      kept.toMap shouldBe whole
+      // and the loop genuinely excised: 20 lost its rr-run to 10, 30
+      // its middle to the original store doc
+      kept(20L) shouldBe "yy1"
+      kept(30L) shouldBe "pre post"
+    } finally {
+      gracefulStop(q)
+      spark.sql(s"DROP TABLE IF EXISTS ${pfx}_seeds")
+    }
+  }
+
   test("stream-stream interval join pairs within the lookback, across " +
     "batches (j5's streaming twin)") {
     import spark.implicits._
