@@ -4436,6 +4436,52 @@ object Queries {
           ORDER BY cos_sim DESC, vec_id LIMIT 20"""
       }),
 
+    // ---- N10: Johnson–Lindenstrauss coarse-to-fine top-k ---------------
+    // Achlioptas 2003 ±1 sign projection (Ann.jlProject / jlTopK): the
+    // dimensionality-reduction complement of n6's quantized rerank and
+    // n3's IVF — project 64→16 dims with a DETERMINISTIC md5-parity
+    // sign matrix (folds into the plan as literals; no RNG, no stored
+    // artifact), rank everything by projected cosine (4× cheaper per
+    // row), exact-rerank the 200-wide candidate set. outDim is a power
+    // of four so the 1/√outDim scale is an exact binary double — the
+    // oracle recomputes the identical matrix from md5 and matches the
+    // projection BIT-FOR-BIT (no rounding until the cosine ranking,
+    // which uses the n2/n6 4-decimal discipline).
+    QueryDef("n10_jl_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.jlTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding",
+          inDim = 64, outDim = 16, candidates = 200, k = 10)
+          .orderBy(desc("cos_sim"), col("vec_id"))
+      },
+      Some {
+        s"""WITH sgn AS (
+          SELECT k, list_transform(range(0, 64), j ->
+            CASE WHEN strpos('13579bdf',
+                substr(md5('jl:' || j || ':' || k), 32, 1)) > 0
+              THEN 1.0 ELSE -1.0 END) AS s
+          FROM (SELECT unnest(range(0, 16)) AS k)),
+        pc AS (
+          SELECT e.vec_id,
+            list(0.25 * ${dotSql("e.embedding", "g.s")}
+              ORDER BY g.k) AS proj
+          FROM embeddings e CROSS JOIN sgn g
+          GROUP BY e.vec_id),
+        pq AS (SELECT proj FROM pc WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id FROM (
+            SELECT c.vec_id,
+              round(${cosineSql("c.proj", "q.proj")}, 4) AS pcs
+            FROM pc c, pq q)
+          ORDER BY pcs DESC, vec_id LIMIT 200),
+        q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+          round(${cosineSql("e.embedding", "q.qe")}, 4) AS cos_sim
+        FROM embeddings e JOIN cand USING (vec_id), q2 q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+      }),
+
     // ---- J9: full outer join -------------------------------------------
     // The last join type: user-days with clicks vs user-days with
     // purchases, either side possibly absent, absences surfaced as

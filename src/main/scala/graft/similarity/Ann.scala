@@ -510,6 +510,94 @@ object Ann {
       .limit(k)
   }
 
+  /** Deterministic ±1 for the JL sign matrix: the low bit of
+    * md5("seed:j:k") — a pure function of the coordinates, so both
+    * engines (and every executor, every retry) derive the SAME matrix
+    * with no RNG state, broadcast, or stored artifact. */
+  private def jlSign(seed: String, j: Int, k: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$k".getBytes("UTF-8"))
+    if ((d(15) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random-SIGN projection (Achlioptas 2003,
+    * "Database-friendly random projections": a ±1 sign matrix satisfies
+    * the JL lemma with the same distortion bounds as Gaussian — and
+    * sign entries need no float RNG): out[k] = (1/√outDim) · Σⱼ
+    * sign(j,k)·v[j]. Distances and angles are preserved within
+    * ε ≈ √(ln n / outDim) w.h.p., which is what makes a 64→16
+    * projection a sound COARSE stage for similarity search.
+    *
+    * Engine-portability is designed in: the sign matrix derives from
+    * md5 parity (same hex on every engine), the fold order is the
+    * fixed left-to-right [[dot]] (native codegen'd DotProduct against
+    * a LITERAL sign row — the matrix folds into the plan, nothing
+    * ships), and `outDim` must be a POWER OF FOUR so the 1/√outDim
+    * scale is an exact binary double (1/√4^m = 2^-m) — the oracle
+    * twin is then bit-identical, no rounding step needed at the
+    * projection itself.
+    *
+    * Scale shape: map-only, fuses into the scan; output rows are
+    * outDim/inDim the size of the input — every downstream ANN stage
+    * (IVF assignment, bucketed LSH, brute force) gets a 4× cheaper
+    * vector at a bounded recall cost that [[jlTopK]]'s exact rerank
+    * then repairs. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                inDim: Int, outDim: Int,
+                seed: String = "jl"): DataFrame = {
+    require(outDim > 0 && Integer.bitCount(outDim) == 1 &&
+      Integer.numberOfTrailingZeros(outDim) % 2 == 0,
+      s"jlProject: outDim must be a power of FOUR (got $outDim) so " +
+        "1/sqrt(outDim) is an exact binary double — the oracle " +
+        "bit-parity contract")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    val comps = (0 until outDim).map { k =>
+      val signs = (0 until inDim).map(j => jlSign(seed, j, k))
+      dot(v, typedLit(signs)) * lit(scale)
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
+  /** Coarse-to-fine top-k: rank ALL vectors by cosine in the
+    * JL-projected space (cheap — outDim multiplies per row instead of
+    * inDim), keep the `candidates` best, then EXACT-rerank those by
+    * full-dimension cosine and return the top `k`. The classic
+    * dimensionality-reduction complement to the quantized rerank (n6)
+    * and IVF (n3): projection preserves angles globally (JL), so the
+    * coarse stage has no cell-boundary blind spots — its recall loss
+    * is purely the ε-distortion, repaired by widening `candidates`.
+    *
+    * Both stages are map + TakeOrderedAndProject (the n1 shape); the
+    * rerank joins the candidate ids back to the corpus — `candidates`
+    * rows, AQE broadcasts. Cosines round to 4 decimals BEFORE ranking
+    * on both engines (the n2/n5 float-ulp discipline); ties break on
+    * id. */
+  def jlTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             query: DataFrame, queryVecCol: String,
+             inDim: Int, outDim: Int, candidates: Int, k: Int,
+             seed: String = "jl"): DataFrame = {
+    val pc = jlProject(graft.util.Partitioning.spread(corpus),
+      idCol, vecCol, inDim, outDim, seed)
+    val pq = jlProject(query.select(col(queryVecCol).as("__qv"))
+        .withColumn("__one", lit(1)),
+      "__one", "__qv", inDim, outDim, seed)
+      .select(col("proj").as("__qproj"))
+    val coarse = pc.crossJoin(broadcast(pq))
+      .select(col(idCol),
+        round(cosine(col("proj"), col("__qproj")), 4).as("__pcos"))
+      .orderBy(desc("__pcos"), col(idCol))
+      .limit(candidates)
+      .select(col(idCol))
+    val q = broadcast(query.select(col(queryVecCol).as("__q")))
+    corpus.join(coarse, Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Train PQ codebooks: an independent Lloyd k-means PER SUB-SPACE
     * over the sliced vectors (Jégou et al. §II.C — the sub-quantizers
     * are independent by construction), re-assembled into the full-dim
