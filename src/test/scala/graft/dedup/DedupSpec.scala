@@ -666,6 +666,74 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropDupSubstrings equals an O(n²·len²) brute-force reference " +
+    "on random corpora: maximal diagonal token-match runs >= minLen " +
+    "excise the later side — seeded generators, 5 corpora") {
+    val minLen = 5; val seedN = 3
+    // reference: maximal token-match runs per (docA, docB, diagonal);
+    // a seed-run a..b tiles exactly the token run a..b+seedN-1, so the
+    // operator's excision set is precisely the union of later-side
+    // positions of maximal token runs of length >= minLen
+    def reference(docs: Seq[(Long, Vector[String])])
+        : Map[Long, Vector[String]] = {
+      val cov = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.Set[Int]]
+      for ((ia, ta) <- docs; (ib, tb) <- docs
+           if ia < ib || ia == ib) {
+        val diags =
+          if (ia == ib) 1 until tb.length
+          else (1 - ta.length) until tb.length
+        for (d <- diags) {
+          var i = 1
+          while (i <= ta.length) {
+            if (i + d >= 1 && i + d <= tb.length &&
+                ta(i - 1) == tb(i + d - 1)) {
+              var j = i
+              while (j <= ta.length && j + d <= tb.length &&
+                     ta(j - 1) == tb(j + d - 1)) j += 1
+              if (j - i >= minLen) {
+                val set = cov.getOrElseUpdate(ib,
+                  scala.collection.mutable.Set.empty[Int])
+                (i + d until j + d).foreach(set += _)
+              }
+              i = j + 1
+            } else i += 1
+          }
+        }
+      }
+      docs.flatMap { case (id, ts) =>
+        val kept = ts.zipWithIndex.collect {
+          case (t, i0) if !cov.get(id).exists(_.contains(i0 + 1)) => t
+        }
+        if (kept.nonEmpty) Some(id -> kept) else None
+      }.toMap
+    }
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(12)(i => s"w$i") // small → natural dups
+      val passages = Vector.tabulate(3)(p =>
+        Vector.tabulate(minLen + p)(i => s"p${p}_$i"))
+      val docs = (1L to 8L).map { id =>
+        val filler = Vector.fill(6 + rng.nextInt(14))(
+          vocab(rng.nextInt(vocab.size)))
+        val planted = if (rng.nextBoolean())
+          passages(rng.nextInt(3)) else Vector.empty
+        val cut = rng.nextInt(filler.size + 1)
+        id -> (filler.take(cut) ++ planted ++ filler.drop(cut))
+      }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.dropDupSubstrings(df, "doc_id", "text",
+          minLen = minLen, seedN = seedN, maxOcc = 100000)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("text_kept").split(" ").toVector).toMap
+      withClue(s"seed=$seed docs=${docs.map(_._2.mkString(" "))}: ") {
+        got shouldBe reference(docs)
+      }
+    }
+  }
+
   test("dropDupSubstrings: the maxOcc seed cap drops viral seeds " +
     "(recall-only — copies survive) and the standalone report counts " +
     "the loss") {
