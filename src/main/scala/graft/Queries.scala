@@ -4866,6 +4866,68 @@ object Queries {
           WHERE c.doc_id = t.doc_id AND c.cp = t.p)
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // ---- D26: SUBSTRING decontamination (precision-tunable) ------------
+    // Lee et al.'s ExactSubstr pointed at the benchmark
+    // (Dedup.decontaminateSubstrings): excise from each corpus doc the
+    // token spans matching src0 text for >= 12 consecutive tokens —
+    // every occurrence, no keep-first (the benchmark is reference
+    // text) — instead of d8's drop-on-one-5-gram. Same seed-and-extend
+    // machinery as d24/d25 (shared code); the oracle pairs src0 seeds
+    // with corpus seeds, extends on diagonals, and rebuilds only the
+    // corpus side. Bench-side seeds gate at <= 10000 occurrences
+    // (mirrored), the pair-join bound.
+    QueryDef("d26_substring_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.decontaminateSubstrings(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", minLen = 12, seedN = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, ${toksSql("text")} AS ot,
+            ${toksSql("lower(nfc_normalize(text))")} AS nt
+          FROM documents),
+        bw AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE source = 'src0' AND len(nt) >= 5)),
+        cw AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE source <> 'src0' AND len(nt) >= 5)),
+        elig AS (SELECT h FROM (
+            SELECT h, count(*) AS c FROM bw GROUP BY h)
+          WHERE c <= 10000),
+        pairs AS (
+          SELECT b.doc_id AS ida, b.p AS pa, c.doc_id AS idb,
+            c.p - b.p AS diag
+          FROM bw b JOIN elig USING (h) JOIN cw c ON b.h = c.h),
+        runs AS (
+          SELECT ida, idb, diag, pa,
+            pa - row_number() OVER (PARTITION BY ida, idb, diag
+              ORDER BY pa) AS g
+          FROM pairs),
+        spans AS (
+          SELECT idb, diag, min(pa) AS s0, max(pa) AS e0
+          FROM runs GROUP BY ida, idb, diag, g
+          HAVING max(pa) - min(pa) + 5 >= 12),
+        cov AS (SELECT DISTINCT doc_id, cp FROM (
+          SELECT idb AS doc_id,
+            unnest(range(s0 + diag, e0 + diag + 5)) AS cp
+          FROM spans)),
+        toks AS (SELECT doc_id, u['i'] AS p, u['t'] AS tok FROM (
+          SELECT doc_id, unnest(list_transform(ot,
+            (t, i) -> {'i': i, 't': t})) AS u
+          FROM tk WHERE source <> 'src0'))
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text_kept,
+          count(*) AS n_kept
+        FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+          WHERE c.doc_id = t.doc_id AND c.cp = t.p)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // ---- D14: perceptual-hash image near-dup (Hamming-band LSH) --------
     // The payload-side dedup the text family (d1–d13) never covers:
     // Dedup.imageNearDupPairs — 4×16-bit band LSH over a 64-bit

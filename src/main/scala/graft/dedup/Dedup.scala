@@ -1346,6 +1346,66 @@ object Dedup {
     Metrics.capReport(sizes, "__c", maxOcc.toLong)
   }
 
+  /** SUBSTRING decontamination — the precision-tunable complement of
+    * the shingle form ([[decontaminate]], d8): instead of DROPPING any
+    * doc that shares a single 5-gram with the benchmark (maximum
+    * recall, minimum precision — one idiomatic phrase costs the whole
+    * document), EXCISE from each corpus doc exactly the token spans
+    * that match benchmark text for ≥ `minLen` consecutive tokens.
+    * This is Lee et al. 2022's ExactSubstr pointed at an eval set —
+    * the modern decontamination recipe at L ≈ 13–50 tokens: a leaked
+    * benchmark question disappears from the training doc, the
+    * surrounding original prose survives. EVERY corpus occurrence is
+    * excised (the benchmark is reference text, not a corpus member —
+    * there is no keep-first exception here, unlike [[dropDupSubstrings]]);
+    * corpus docs emptied entirely drop out; the benchmark is never in
+    * the output.
+    *
+    * Same seed-and-extend machinery as d24 ([[windowOccurrences]] +
+    * [[substringCoverage]] + [[rebuildFromCoverage]] — shared code, so
+    * the two families cannot drift): benchmark seeds pair with corpus
+    * seeds of the same hash, diagonal runs witness true
+    * token-for-token matches, qualifying runs excise the CORPUS side.
+    * `maxOcc` caps the BENCHMARK-side occurrences per seed (the pair
+    * join is bench_n × corpus_n per hash): price the loss with
+    * [[dupSubstringSeedCapReport]] run over the BENCHMARK — and note
+    * the loss direction here is MISSED CONTAMINATION, so the default
+    * is generous and a capped run should be audited. A capped seed's
+    * long matches are still found via non-viral neighboring seeds on
+    * the same diagonal unless the whole stretch is viral.
+    *
+    * Scale shape: benchmark seeds are small by definition (d8's
+    * argument); corpus seeds ≈ corpus tokens (the inherent substring
+    * cost); the equi-join on seed hash is AQE-broadcastable on the
+    * bench side; diagonal groups are document-bounded; coverage and
+    * rebuild touch only AFFECTED corpus docs. */
+  def decontaminateSubstrings(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              minLen: Int = 20, seedN: Int = 8,
+                              maxOcc: Int = 10000, nfc: Boolean = true,
+                              tokensCol: Option[String] = None,
+                              keepToksCol: Option[String] = None)
+      : DataFrame = {
+    require(seedN >= 1 && minLen >= seedN,
+      s"decontaminateSubstrings: need 1 <= seedN <= minLen (got " +
+        s"seedN=$seedN, minLen=$minLen)")
+    val bbase = origAndNormToks(benchmark, idCol, textCol, nfc, None)
+    val cbase = origAndNormToks(corpus, idCol, textCol, nfc, tokensCol)
+    val bcnt = windowOccurrences(bbase, idCol, seedN)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
+    val eligible = bcnt.filter(col("__bc") <= maxOcc).select(col("__h"))
+    val pairs = windowOccurrences(bbase, idCol, seedN)
+      .join(eligible, Seq("__h"), "left_semi")
+      .select(col("__h"), col(idCol).as("__ida"), col("__p").as("__pa"))
+      .join(windowOccurrences(cbase, idCol, seedN)
+        .select(col("__h"), col(idCol).as("__idb"),
+          col("__p").as("__pb")), Seq("__h"))
+      .select(col("__ida"), col("__idb"),
+        (col("__pb") - col("__pa")).as("__diag"), col("__pa"))
+    rebuildFromCoverage(cbase,
+      substringCoverage(pairs, idCol, minLen, seedN), idCol, keepToksCol)
+  }
+
   /** Persist a corpus's seed-occurrence frame as a bucketed SUBSTRING
     * STORE — the [[writeSignatureStore]] discipline applied to
     * exact-substring state: one table `{tablePrefix}_seeds`

@@ -734,6 +734,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSubstrings: a benchmark span >= minLen is excised " +
+    "from EVERY corpus copy (no keep-first — the benchmark is " +
+    "reference text), shorter overlaps survive, and the d8 contrast " +
+    "holds: one shared 5-gram no longer costs the whole document") {
+    val bench = Seq(
+      (900L, "ignore the question what is the capital of france exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaks the 7-token benchmark question → span excised, prose kept
+      (1L, "intro text the question what is the capital of france ending"),
+      // SECOND copy of the leak — also excised (no keeper)
+      (2L, "other words the question what is the capital of france here"),
+      // shares only 'the question what' (3 < 6) → untouched by d26...
+      (3L, "but the question what remains is entirely different prose"),
+      (4L, "completely unrelated document with original content")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSubstrings(corpus, bench, "doc_id",
+        "text", minLen = 6, seedN = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept")
+      .as[(Long, String)].collect().toSeq
+    got shouldBe Seq(
+      (1L, "intro text ending"),
+      (2L, "other words here"),
+      (3L, "but the question what remains is entirely different prose"),
+      (4L, "completely unrelated document with original content"))
+    // ...while d8 at shingleN = 3 would DROP doc 3 outright for the
+    // single shared 3-gram — the precision difference d26 exists for
+    val d8ids = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        shingleN = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    d8ids shouldBe Set(4L)
+  }
+
+  test("decontaminateSubstrings: a corpus doc that IS benchmark text " +
+    "drops out entirely; within-corpus duplication alone is never " +
+    "excised (that axis is dropDupSubstrings)") {
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // = benchmark → drops
+      (2L, "own words one two three four five six seven"),
+      (3L, "own words one two three four five six seven") // corpus dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSubstrings(corpus, bench, "doc_id",
+        "text", minLen = 6, seedN = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((2L, 9L), (3L, 9L)) // both corpus dups SURVIVE
+  }
+
   test("dropDupSubstrings: the maxOcc seed cap drops viral seeds " +
     "(recall-only — copies survive) and the standalone report counts " +
     "the loss") {
