@@ -1384,12 +1384,20 @@ object Dedup {
                               minLen: Int = 20, seedN: Int = 8,
                               maxOcc: Int = 10000, nfc: Boolean = true,
                               tokensCol: Option[String] = None,
+                              benchTokensCol: Option[String] = None,
                               keepToksCol: Option[String] = None)
       : DataFrame = {
     require(seedN >= 1 && minLen >= seedN,
       s"decontaminateSubstrings: need 1 <= seedN <= minLen (got " +
         s"seedN=$seedN, minLen=$minLen)")
-    val bbase = origAndNormToks(benchmark, idCol, textCol, nfc, None)
+    // tokensCol names a column of the CORPUS frame; the benchmark is a
+    // different DataFrame, so its threading is the SEPARATE
+    // benchTokensCol — both default to the engine tokenizer, and a
+    // caller threading one side must make sure the other side's tokens
+    // derive identically (mismatched tokenizations silently share no
+    // seed hashes = missed contamination)
+    val bbase = origAndNormToks(benchmark, idCol, textCol, nfc,
+      benchTokensCol)
     val cbase = origAndNormToks(corpus, idCol, textCol, nfc, tokensCol)
     val bcnt = windowOccurrences(bbase, idCol, seedN)
       .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
@@ -1473,11 +1481,26 @@ object Dedup {
     * remembering the full seed stream is what keeps sequential shard
     * runs ≡ batch [[dropDupSubstrings]] over everything seen — the
     * same "losers must be remembered" argument as
-    * [[absorbIntoSignatureStore]]. */
+    * [[absorbIntoSignatureStore]].
+    *
+    * IDEMPOTENT by default: docs whose ids are already in the store are
+    * anti-joined away before the append, so a REPLAYED absorb (the
+    * at-least-once foreachBatch retry, an accidental double call) is a
+    * no-op instead of silently corrupting the occurrence counts — a
+    * duplicated seed row would double-count toward the maxOcc gate
+    * (silent recall loss) and plant duplicate positions in the
+    * diagonal-run detector, and the corruption is PERSISTENT state.
+    * The parquet append commits at job granularity (a failed job leaves
+    * no committed files), so retry-after-partial-failure re-absorbs the
+    * whole batch exactly once. The guard costs one projected scan of
+    * the store's id column per absorb; pass `idempotent = false` only
+    * where the orchestrator already guarantees exactly-once delivery of
+    * DISJOINT batches. */
   def absorbIntoSubstringStore(docs: DataFrame, idCol: String,
                                textCol: String, tablePrefix: String,
                                seedN: Int = 8, nfc: Boolean = true,
-                               tokensCol: Option[String] = None): Unit = {
+                               tokensCol: Option[String] = None,
+                               idempotent: Boolean = true): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = docs.sparkSession
     requireSeedFamily(spark, tablePrefix, seedN, nfc)
@@ -1485,8 +1508,13 @@ object Dedup {
       .getOrElse(throw new IllegalStateException(
         s"${tablePrefix}_seeds is not a bucketed table — was the store " +
           "written by writeSubstringStore?"))
+    val fresh =
+      if (idempotent)
+        docs.join(spark.table(s"${tablePrefix}_seeds")
+          .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      else docs
     windowOccurrences(
-        origAndNormToks(docs, idCol, textCol, nfc, tokensCol), idCol, seedN)
+        origAndNormToks(fresh, idCol, textCol, nfc, tokensCol), idCol, seedN)
       .write.mode("append").bucketBy(nb, "__h").sortBy("__h")
       .format("parquet").saveAsTable(s"${tablePrefix}_seeds")
   }
@@ -1815,22 +1843,39 @@ object Dedup {
   def absorbIntoSignatureStore(docs: DataFrame, idCol: String,
                                textCol: String, tablePrefix: String,
                                k: Int = 12, bands: Int = 4,
-                               shingleN: Int = 3): Unit = {
+                               shingleN: Int = 3,
+                               idempotent: Boolean = true): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = docs.sparkSession
     val nBuckets = Bridge.bucketCount(spark, s"${tablePrefix}_bands")
       .getOrElse(throw new IllegalStateException(
         s"${tablePrefix}_bands is not a bucketed table — was the store " +
           "written by writeSignatureStore?"))
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, rowsPer(k, bands))
+    // IDEMPOTENT by default, PER TABLE: a replayed absorb (at-least-once
+    // foreachBatch retry, accidental double call) would double every
+    // band and shingle row — double-counting bucket sizes toward the
+    // cap gate and multiplying verify-join rows, persistently. Each
+    // parquet append commits at job granularity, but there are TWO
+    // appends here, so a crash between them leaves one table ahead;
+    // guarding each table against ITS OWN ids makes a retry
+    // self-healing (it repairs exactly the missing table, duplicates
+    // neither). Guard cost: one projected id scan per table.
+    def freshFor(table: String): DataFrame =
+      if (idempotent)
+        docs.join(spark.table(table).select(col(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      else docs
+    val shB = shingleTable(freshFor(s"${tablePrefix}_bands"),
+      idCol, textCol, shingleN)
+    lshBands(signaturesFrom(shB, idCol, k), idCol, bands,
+      rowsPer(k, bands))
       .select(bandJoinKey.as("bk"), col(idCol))
       .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
       .format("parquet").saveAsTable(s"${tablePrefix}_bands")
-    sh.write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
+    shingleTable(freshFor(s"${tablePrefix}_shingles"),
+        idCol, textCol, shingleN)
+      .write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
-    sh.unpersist(blocking = false)
   }
 
   /** Per-bucket doc counts over the store's band table — groupBy on the
@@ -2128,19 +2173,31 @@ object Dedup {
     * text absorb's scaladoc. */
   def absorbIntoImageSignatureStore(docs: DataFrame, idCol: String,
                                     hashCol: String,
-                                    tablePrefix: String): Unit = {
+                                    tablePrefix: String,
+                                    idempotent: Boolean = true): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val nBuckets = Bridge.bucketCount(docs.sparkSession,
-      s"${tablePrefix}_ibands")
+    val spark = docs.sparkSession
+    val nBuckets = Bridge.bucketCount(spark, s"${tablePrefix}_ibands")
       .getOrElse(throw new IllegalStateException(
         s"${tablePrefix}_ibands is not a bucketed table — was the " +
           "store written by writeImageSignatureStore?"))
-    val h = docs.filter(col(hashCol).isNotNull)
+    // per-table replay guard — see absorbIntoSignatureStore's scaladoc
+    // comment: each append is job-atomic but there are two of them, so
+    // guarding each table against its own ids makes a retry
+    // self-healing (repairs the missing table, duplicates neither)
+    def freshFor(table: String): DataFrame =
+      if (idempotent)
+        docs.join(spark.table(table).select(col(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      else docs
+    def hashes(d: DataFrame): DataFrame = d
+      .filter(col(hashCol).isNotNull)
       .select(col(idCol), col(hashCol).cast("long").as("__ph"))
-    imageBandRows(h, idCol)
+    imageBandRows(hashes(freshFor(s"${tablePrefix}_ibands")), idCol)
       .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
       .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
-    h.write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
+    hashes(freshFor(s"${tablePrefix}_ihashes"))
+      .write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
   }
 

@@ -551,7 +551,16 @@ object Ann {
         "1/sqrt(outDim) is an exact binary double — the oracle " +
         "bit-parity contract")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val v = col(vecCol).cast("array<double>")
+    // fail LOUD on a vector whose length is not inDim: DotProduct
+    // returns null on length mismatch, which would propagate to
+    // all-null projections and an arbitrary id-ordered "top-k"
+    // downstream — the silent-zero-match failure mode this library
+    // refuses everywhere (one size check per row, before the k dots)
+    val v = when(size(col(vecCol)) === inDim,
+      col(vecCol).cast("array<double>"))
+      .otherwise(raise_error(concat(
+        lit(s"jlProject: expected $inDim-dim vectors but found length "),
+        size(col(vecCol)).cast("string"))))
     val comps = (0 until outDim).map { k =>
       val signs = (0 until inDim).map(j => jlSign(seed, j, k))
       dot(v, typedLit(signs)) * lit(scale)

@@ -130,6 +130,31 @@ class SubstringStoreSpec extends SparkSpec {
     }
   }
 
+  test("absorb is IDEMPOTENT: a replayed micro-batch (at-least-once " +
+    "foreachBatch) is a no-op — occurrence counts don't double, and " +
+    "the shard run still equals batch") {
+    val store = Seq(1L -> "alpha beta gamma delta epsilon zeta")
+      .toDF("doc_id", "text")
+    val shard1 = Seq(10L -> "xx1 xx2 rr1 rr2 rr3 rr4 rr5 rr6")
+      .toDF("doc_id", "text")
+    val shard2 = Seq(20L -> "rr1 rr2 rr3 rr4 rr5 rr6 yy1")
+      .toDF("doc_id", "text")
+    withStore(store) {
+      Dedup.absorbIntoSubstringStore(shard1, "doc_id", "text", pfx,
+        seedN = 3)
+      val n1 = spark.table(s"${pfx}_seeds").count()
+      // the REPLAY: same batch absorbed again
+      Dedup.absorbIntoSubstringStore(shard1, "doc_id", "text", pfx,
+        seedN = 3)
+      spark.table(s"${pfx}_seeds").count() shouldBe n1
+      // and the store still behaves exactly like the batch run
+      val s2 = Dedup.dedupSubstringShardAgainst(shard2, "doc_id",
+          "text", pfx, minLen = 6, seedN = 3)
+        .select("doc_id", "text_kept").as[(Long, String)].collect().toSeq
+      s2 shouldBe Seq((20L, "yy1"))
+    }
+  }
+
   test("a mismatched seed family FAILS LOUD: absorb or shard-run with " +
     "a different seedN/nfc than the store was built with is refused " +
     "(the silent alternative is zero-recall hash joins)") {

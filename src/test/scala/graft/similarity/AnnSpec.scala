@@ -320,6 +320,13 @@ class AnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ann.jlProject(df, "vec_id", "embedding", inDim = 64, outDim = 8)
     }
+    // a vector whose length does not match inDim fails LOUD at runtime
+    // (DotProduct would otherwise null out silently → arbitrary top-k)
+    val err = intercept[Exception] {
+      Ann.jlProject(df, "vec_id", "embedding", inDim = 32, outDim = 16)
+        .collect()
+    }
+    err.getMessage should include("expected 32-dim")
   }
 
   test("JL lemma holds empirically: 64->16 sign projection preserves " +
