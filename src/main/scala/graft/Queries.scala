@@ -4928,6 +4928,65 @@ object Queries {
           WHERE c.doc_id = t.doc_id AND c.cp = t.p)
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // ---- D27: substring-contamination report ---------------------------
+    // The measurement half of d26, as d18 is to d8
+    // (Dedup.substringContaminationReport): per corpus doc, how many
+    // token positions sit inside >= 12-token matches against src0 text
+    // — the overlap DISTRIBUTION a corpus owner reads before excising.
+    // Counts stay BIGINT both sides; the frac is exact int/int double.
+    QueryDef("d27_substring_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.substringContaminationReport(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", minLen = 12, seedN = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, ${toksSql("text")} AS ot,
+            ${toksSql("lower(nfc_normalize(text))")} AS nt
+          FROM documents),
+        bw AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE source = 'src0' AND len(nt) >= 5)),
+        cw AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE source <> 'src0' AND len(nt) >= 5)),
+        elig AS (SELECT h FROM (
+            SELECT h, count(*) AS c FROM bw GROUP BY h)
+          WHERE c <= 10000),
+        pairs AS (
+          SELECT b.doc_id AS ida, b.p AS pa, c.doc_id AS idb,
+            c.p - b.p AS diag
+          FROM bw b JOIN elig USING (h) JOIN cw c ON b.h = c.h),
+        runs AS (
+          SELECT ida, idb, diag, pa,
+            pa - row_number() OVER (PARTITION BY ida, idb, diag
+              ORDER BY pa) AS g
+          FROM pairs),
+        spans AS (
+          SELECT idb, diag, min(pa) AS s0, max(pa) AS e0
+          FROM runs GROUP BY ida, idb, diag, g
+          HAVING max(pa) - min(pa) + 5 >= 12),
+        cov AS (SELECT DISTINCT doc_id, cp FROM (
+          SELECT idb AS doc_id,
+            unnest(range(s0 + diag, e0 + diag + 5)) AS cp
+          FROM spans)),
+        cnt AS (SELECT doc_id, count(*) AS n_cont FROM cov
+          GROUP BY doc_id),
+        sel AS (SELECT doc_id, coalesce(len(ot), 0) AS n_toks
+          FROM tk WHERE source <> 'src0')
+        SELECT s.doc_id, CAST(s.n_toks AS BIGINT) AS n_toks,
+          CAST(coalesce(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+          CASE WHEN s.n_toks = 0 THEN 0.0
+            ELSE CAST(coalesce(c.n_cont, 0) AS DOUBLE) /
+              CAST(s.n_toks AS DOUBLE) END AS contamination_frac
+        FROM sel s LEFT JOIN cnt c USING (doc_id)
+        ORDER BY s.doc_id""")),
+
     // ---- D14: perceptual-hash image near-dup (Hamming-band LSH) --------
     // The payload-side dedup the text family (d1–d13) never covers:
     // Dedup.imageNearDupPairs — 4×16-bit band LSH over a 64-bit

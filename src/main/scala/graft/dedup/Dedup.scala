@@ -1414,6 +1414,61 @@ object Dedup {
       substringCoverage(pairs, idCol, minLen, seedN), idCol, keepToksCol)
   }
 
+  /** Per-document substring-contamination REPORT — the measurement half
+    * of [[decontaminateSubstrings]], exactly as
+    * [[decontaminationReport]] (d18) is to [[decontaminate]] (d8):
+    * before excising anything, a corpus owner wants the DISTRIBUTION —
+    * is the benchmark leaking wholesale into a few docs, or is this
+    * scattered phrase-level overlap? One row per corpus doc:
+    * (idCol, n_toks, n_contaminated, contamination_frac) where
+    * `n_contaminated` counts the token positions inside ≥ `minLen`
+    * matches against benchmark text (the union [[substringCoverage]]
+    * would excise) and the frac is their exact int/int ratio
+    * (IEEE-identical across engines). Docs with no tokens report
+    * (0, 0, 0.0). Thresholding the frac and anti-joining reproduces a
+    * tunable drop pass; [[decontaminateSubstrings]] is the excision.
+    * Same machinery and scale shape as d26 plus two map-combined
+    * per-doc aggregates. */
+  def substringContaminationReport(corpus: DataFrame,
+                                   benchmark: DataFrame,
+                                   idCol: String, textCol: String,
+                                   minLen: Int = 20, seedN: Int = 8,
+                                   maxOcc: Int = 10000,
+                                   nfc: Boolean = true,
+                                   tokensCol: Option[String] = None,
+                                   benchTokensCol: Option[String] = None)
+      : DataFrame = {
+    require(seedN >= 1 && minLen >= seedN,
+      s"substringContaminationReport: need 1 <= seedN <= minLen (got " +
+        s"seedN=$seedN, minLen=$minLen)")
+    val bbase = origAndNormToks(benchmark, idCol, textCol, nfc,
+      benchTokensCol)
+    val cbase = origAndNormToks(corpus, idCol, textCol, nfc, tokensCol)
+    val eligible = windowOccurrences(bbase, idCol, seedN)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxOcc).select(col("__h"))
+    val pairs = windowOccurrences(bbase, idCol, seedN)
+      .join(eligible, Seq("__h"), "left_semi")
+      .select(col("__h"), col(idCol).as("__ida"), col("__p").as("__pa"))
+      .join(windowOccurrences(cbase, idCol, seedN)
+        .select(col("__h"), col(idCol).as("__idb"),
+          col("__p").as("__pb")), Seq("__h"))
+      .select(col("__ida"), col("__idb"),
+        (col("__pb") - col("__pa")).as("__diag"), col("__pa"))
+    val covered = substringCoverage(pairs, idCol, minLen, seedN)
+    cbase.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ot").isNull, lit(0))
+          .otherwise(size(col("__ot"))).cast("long").as("n_toks"),
+        when(col("__cov").isNull, lit(0))
+          .otherwise(size(col("__cov"))).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contamination_frac",
+        when(col("n_toks") === 0L, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_toks").cast("double")))
+  }
+
   /** Persist a corpus's seed-occurrence frame as a bucketed SUBSTRING
     * STORE — the [[writeSignatureStore]] discipline applied to
     * exact-substring state: one table `{tablePrefix}_seeds`

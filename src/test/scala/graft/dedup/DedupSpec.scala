@@ -785,6 +785,36 @@ class DedupSpec extends SparkSpec {
     got shouldBe Seq((2L, 9L), (3L, 9L)) // both corpus dups SURVIVE
   }
 
+  test("substringContaminationReport: per-doc coverage counts match " +
+    "what decontaminateSubstrings would excise, clean docs report " +
+    "(n, 0, 0.0), and thresholding reproduces a tunable drop pass") {
+    val bench = Seq(
+      (900L, "ignore the question what is the capital of france exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text the question what is the capital of france ending"),
+      (2L, "but the question what remains is entirely different prose"),
+      (3L, "completely unrelated document with original content")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.substringContaminationReport(corpus, bench,
+        "doc_id", "text", minLen = 6, seedN = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "n_contaminated", "contamination_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: the 8-token leaked stretch out of 11; 2 and 3 clean
+    rep shouldBe Seq(
+      (1L, 11L, 8L, 8.0 / 11.0),
+      (2L, 9L, 0L, 0.0),
+      (3L, 6L, 0L, 0.0))
+    // report counts == what the excision actually removes
+    val excised = Dedup.decontaminateSubstrings(corpus, bench,
+        "doc_id", "text", minLen = 6, seedN = 3)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    rep.foreach { case (id, n, c, _) =>
+      excised.getOrElse(id, 0L) shouldBe n - c
+    }
+  }
+
   test("dropDupSubstrings: the maxOcc seed cap drops viral seeds " +
     "(recall-only — copies survive) and the standalone report counts " +
     "the loss") {
