@@ -1390,18 +1390,52 @@ object Dedup {
     require(seedN >= 1 && minLen >= seedN,
       s"decontaminateSubstrings: need 1 <= seedN <= minLen (got " +
         s"seedN=$seedN, minLen=$minLen)")
-    // tokensCol names a column of the CORPUS frame; the benchmark is a
-    // different DataFrame, so its threading is the SEPARATE
-    // benchTokensCol — both default to the engine tokenizer, and a
-    // caller threading one side must make sure the other side's tokens
-    // derive identically (mismatched tokenizations silently share no
-    // seed hashes = missed contamination)
+    val (cbase, pairs) = benchCorpusSeedPairs(corpus, benchmark, idCol,
+      textCol, seedN, maxOcc, nfc, tokensCol, benchTokensCol,
+      "decontaminateSubstrings")
+    rebuildFromCoverage(cbase,
+      substringCoverage(pairs, idCol, minLen, seedN), idCol, keepToksCol)
+  }
+
+  /** Shared benchmark×corpus seed-pair construction for the substring
+    * decontamination family — ONE definition feeding both the excision
+    * ([[decontaminateSubstrings]], d26) and the report
+    * ([[substringContaminationReport]], d27), so the report's pair
+    * frame is by construction the operator's (the
+    * [[windowOccurrences]]/[[substringCoverage]] discipline). Builds
+    * both token bases, gates BENCHMARK-side seeds at `maxOcc`
+    * occurrences, and returns (corpus token base, diagonal pair frame
+    * keyed `__ida`/`__idb`/`__diag`/`__pa`).
+    *
+    * Fails LOUD on the cross-tokenizer footgun: `tokensCol` names a
+    * column of the CORPUS frame and `benchTokensCol` one of the
+    * BENCHMARK frame; threading precomputed tokens on one side while
+    * the other falls back to the engine tokenizer makes the two sides
+    * share zero seed hashes whenever the tokenizations differ — i.e.
+    * SILENTLY missed contamination, the worst failure mode this
+    * operator has. Both must be threaded or both default; a caller
+    * threading both still owns deriving them identically. */
+  private def benchCorpusSeedPairs(corpus: DataFrame,
+                                   benchmark: DataFrame,
+                                   idCol: String, textCol: String,
+                                   seedN: Int, maxOcc: Int,
+                                   nfc: Boolean,
+                                   tokensCol: Option[String],
+                                   benchTokensCol: Option[String],
+                                   caller: String)
+      : (DataFrame, DataFrame) = {
+    require(tokensCol.isDefined == benchTokensCol.isDefined,
+      s"$caller: tokensCol and benchTokensCol must be BOTH threaded " +
+        "or BOTH default — a precomputed tokenization on one side " +
+        "with the engine tokenizer on the other shares zero seed " +
+        "hashes whenever they differ, silently missing contamination " +
+        s"(got tokensCol=$tokensCol, benchTokensCol=$benchTokensCol)")
     val bbase = origAndNormToks(benchmark, idCol, textCol, nfc,
       benchTokensCol)
     val cbase = origAndNormToks(corpus, idCol, textCol, nfc, tokensCol)
-    val bcnt = windowOccurrences(bbase, idCol, seedN)
+    val eligible = windowOccurrences(bbase, idCol, seedN)
       .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
-    val eligible = bcnt.filter(col("__bc") <= maxOcc).select(col("__h"))
+      .filter(col("__bc") <= maxOcc).select(col("__h"))
     val pairs = windowOccurrences(bbase, idCol, seedN)
       .join(eligible, Seq("__h"), "left_semi")
       .select(col("__h"), col(idCol).as("__ida"), col("__p").as("__pa"))
@@ -1410,8 +1444,7 @@ object Dedup {
           col("__p").as("__pb")), Seq("__h"))
       .select(col("__ida"), col("__idb"),
         (col("__pb") - col("__pa")).as("__diag"), col("__pa"))
-    rebuildFromCoverage(cbase,
-      substringCoverage(pairs, idCol, minLen, seedN), idCol, keepToksCol)
+    (cbase, pairs)
   }
 
   /** Per-document substring-contamination REPORT — the measurement half
@@ -1441,20 +1474,9 @@ object Dedup {
     require(seedN >= 1 && minLen >= seedN,
       s"substringContaminationReport: need 1 <= seedN <= minLen (got " +
         s"seedN=$seedN, minLen=$minLen)")
-    val bbase = origAndNormToks(benchmark, idCol, textCol, nfc,
-      benchTokensCol)
-    val cbase = origAndNormToks(corpus, idCol, textCol, nfc, tokensCol)
-    val eligible = windowOccurrences(bbase, idCol, seedN)
-      .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") <= maxOcc).select(col("__h"))
-    val pairs = windowOccurrences(bbase, idCol, seedN)
-      .join(eligible, Seq("__h"), "left_semi")
-      .select(col("__h"), col(idCol).as("__ida"), col("__p").as("__pa"))
-      .join(windowOccurrences(cbase, idCol, seedN)
-        .select(col("__h"), col(idCol).as("__idb"),
-          col("__p").as("__pb")), Seq("__h"))
-      .select(col("__ida"), col("__idb"),
-        (col("__pb") - col("__pa")).as("__diag"), col("__pa"))
+    val (cbase, pairs) = benchCorpusSeedPairs(corpus, benchmark, idCol,
+      textCol, seedN, maxOcc, nfc, tokensCol, benchTokensCol,
+      "substringContaminationReport")
     val covered = substringCoverage(pairs, idCol, minLen, seedN)
     cbase.join(covered, Seq(idCol), "left")
       .select(col(idCol),
@@ -1550,7 +1572,11 @@ object Dedup {
     * whole batch exactly once. The guard costs one projected scan of
     * the store's id column per absorb; pass `idempotent = false` only
     * where the orchestrator already guarantees exactly-once delivery of
-    * DISJOINT batches. */
+    * DISJOINT batches. SINGLE WRITER assumed: the guard is
+    * check-then-append, so two CONCURRENT absorbs of overlapping
+    * batches can both pass the anti-join and double-insert — replay
+    * safety covers sequential retries, not concurrent writers;
+    * serialize absorbs in the orchestrator. */
   def absorbIntoSubstringStore(docs: DataFrame, idCol: String,
                                textCol: String, tablePrefix: String,
                                seedN: Int = 8, nfc: Boolean = true,
@@ -1894,11 +1920,15 @@ object Dedup {
     *    loose enough that keeper-transitivity is acceptable.
     *
     * Ids must be disjoint from everything already in the store
-    * (caller contract, as elsewhere in this family). */
+    * (caller contract, as elsewhere in this family). `tokensCol`
+    * threads a precomputed original-case token array exactly as in
+    * [[absorbIntoSubstringStore]] (the tokenize-once contract in
+    * [[shingleTable]]'s scaladoc). */
   def absorbIntoSignatureStore(docs: DataFrame, idCol: String,
                                textCol: String, tablePrefix: String,
                                k: Int = 12, bands: Int = 4,
                                shingleN: Int = 3,
+                               tokensCol: Option[String] = None,
                                idempotent: Boolean = true): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = docs.sparkSession
@@ -1914,23 +1944,37 @@ object Dedup {
     // appends here, so a crash between them leaves one table ahead;
     // guarding each table against ITS OWN ids makes a retry
     // self-healing (it repairs exactly the missing table, duplicates
-    // neither). Guard cost: one projected id scan per table.
-    def freshFor(table: String): DataFrame =
+    // neither). Guard cost: one projected id scan per table. Single
+    // writer assumed (see absorbIntoSubstringStore — check-then-append
+    // does not serialize concurrent absorbs).
+    def storedIds(table: String): DataFrame =
+      spark.table(table).select(col(idCol)).distinct()
+    // tokenize+shingle ONCE over the union of both tables' fresh docs
+    // (= docs absent from at least one table; in the no-crash common
+    // case that is simply the new batch), then restrict per table —
+    // shingling per table would double the expensive half of the job
+    val freshUnion =
       if (idempotent)
-        docs.join(spark.table(table).select(col(idCol)).distinct(),
+        docs.join(storedIds(s"${tablePrefix}_bands")
+            .intersect(storedIds(s"${tablePrefix}_shingles")),
           Seq(idCol), "left_anti")
       else docs
-    val shB = shingleTable(freshFor(s"${tablePrefix}_bands"),
-      idCol, textCol, shingleN)
-    lshBands(signaturesFrom(shB, idCol, k), idCol, bands,
-      rowsPer(k, bands))
+    val sh = shingleTable(freshUnion, idCol, textCol, shingleN,
+        tokensCol = tokensCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def freshFor(frame: DataFrame, table: String): DataFrame =
+      if (idempotent)
+        frame.join(storedIds(table), Seq(idCol), "left_anti")
+      else frame
+    lshBands(signaturesFrom(freshFor(sh, s"${tablePrefix}_bands"),
+        idCol, k), idCol, bands, rowsPer(k, bands))
       .select(bandJoinKey.as("bk"), col(idCol))
       .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
       .format("parquet").saveAsTable(s"${tablePrefix}_bands")
-    shingleTable(freshFor(s"${tablePrefix}_shingles"),
-        idCol, textCol, shingleN)
+    freshFor(sh, s"${tablePrefix}_shingles")
       .write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+    sh.unpersist(blocking = false)
   }
 
   /** Per-bucket doc counts over the store's band table — groupBy on the

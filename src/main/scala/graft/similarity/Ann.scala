@@ -586,6 +586,16 @@ object Ann {
              query: DataFrame, queryVecCol: String,
              inDim: Int, outDim: Int, candidates: Int, k: Int,
              seed: String = "jl"): DataFrame = {
+    // fail LOUD on a multi-row query frame: both crossJoins below mix
+    // every query row's cosines into ONE global top-k — meaningless
+    // results — so the single-vector contract gets the same
+    // raise-don't-garble discipline as jlProject's inDim guard. The
+    // check is one bounded job on a frame that is one row by contract
+    // (limit(2) caps the scan); call once per query vector.
+    require(query.limit(2).count() == 1L,
+      "jlTopK: query must be exactly ONE row (a single query vector) " +
+        "— with several rows the coarse and rerank top-k would mix " +
+        "all queries' cosines; invoke per query row instead")
     val pc = jlProject(graft.util.Partitioning.spread(corpus),
       idCol, vecCol, inDim, outDim, seed)
     val pq = jlProject(query.select(col(queryVecCol).as("__qv"))

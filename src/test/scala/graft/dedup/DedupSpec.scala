@@ -815,6 +815,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontamination family: threading tokensCol on ONE side fails " +
+    "LOUD — a mismatched tokenization would silently share zero seed " +
+    "hashes (missed contamination); both-threaded still ≡ default") {
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "own words entirely unrelated to the benchmark text"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.enrich.CaptionStats.tokens(col("text")))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateSubstrings(corpus, bench, "doc_id", "text",
+        minLen = 6, seedN = 3, tokensCol = Some("toks"))
+    }
+    e1.getMessage should include("BOTH threaded or BOTH default")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.substringContaminationReport(corpus, bench, "doc_id",
+        "text", minLen = 6, seedN = 3, benchTokensCol = Some("toks"))
+    }
+    e2.getMessage should include("BOTH threaded or BOTH default")
+    // both-threaded passes the guard and matches the default path
+    val benchT = bench.withColumn("toks",
+      graft.enrich.CaptionStats.tokens(col("text")))
+    val threaded = Dedup.decontaminateSubstrings(corpus, benchT,
+        "doc_id", "text", minLen = 6, seedN = 3,
+        tokensCol = Some("toks"), benchTokensCol = Some("toks"))
+      .select("doc_id", "text_kept").as[(Long, String)].collect().toSeq
+    val default = Dedup.decontaminateSubstrings(corpus, bench,
+        "doc_id", "text", minLen = 6, seedN = 3)
+      .select("doc_id", "text_kept").as[(Long, String)].collect().toSeq
+    threaded should contain theSameElementsAs default
+    threaded.map(_._1) shouldBe Seq(2L) // doc 1 IS benchmark → dropped
+  }
+
   test("dropDupSubstrings: the maxOcc seed cap drops viral seeds " +
     "(recall-only — copies survive) and the standalone report counts " +
     "the loss") {

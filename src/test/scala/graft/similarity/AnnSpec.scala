@@ -376,6 +376,14 @@ class AnnSpec extends SparkSpec {
     val plan = Ann.jlTopK(emb, "vec_id", "embedding", q, "embedding",
         64, 16, 200, 10).queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
+    // a multi-row query frame is refused LOUD: the crossJoin would mix
+    // all queries' cosines into one global (meaningless) top-k
+    val twoQ = emb.filter(col("vec_id") < 2)
+    val e = intercept[IllegalArgumentException] {
+      Ann.jlTopK(emb, "vec_id", "embedding", twoQ, "embedding",
+        64, 16, 200, 10)
+    }
+    e.getMessage should include("exactly ONE row")
   }
 
   test("PQ codes are query-independent: two different queries produce " +
