@@ -1380,6 +1380,56 @@ object Queries {
       },
       Some(kmvOverlapSql)),
 
+    // ---- M20: mergeable QUANTILE sketch (bottom-k row sample) ----------
+    // The sketch family's rank-query member: CMS (m1) answers
+    // frequencies, HLL (m5) / KMV (m18) distinct counts — this answers
+    // "what is the p-quantile of n_chars per source" from O(k) state
+    // that absorbs per crawl. KLL/t-digest compaction is order-
+    // SENSITIVE (not reproducible across task orders or engines), so
+    // the deterministic compaction rule is KMV's applied to rows: keep
+    // the k rows with the smallest 60-bit md5(doc_id) — a uniform row
+    // sample whose empirical quantiles carry a DKW rank-error bound
+    // (SketchesSpec pins it). Built here as two half-corpus sketches
+    // MERGED (the m19 discipline) while the oracle sketches from
+    // scratch — the hash-match is the end-to-end proof that merge ≡
+    // sketch-of-union loses nothing. Answers are quantile_disc-style
+    // (elements of the data), so no interpolation arithmetic crosses
+    // engines; position math is the one identical IEEE multiply.
+    QueryDef("m20_quantile_sketch",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def sk(df: DataFrame) = Sketches.quantileSketch(
+          df, "source", "doc_id", "n_chars", k = 64)
+        val merged = Sketches.quantileSketchMerge(
+          sk(docs.filter(col("doc_id") < 250)),
+          sk(docs.filter(col("doc_id") >= 250)), k = 64)
+          .localCheckpoint() // sketch-sized artifact; the m18 discipline
+        Sketches.sketchQuantiles(merged,
+            Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+          .orderBy("source", "p")
+      },
+      Some("""WITH dh AS (
+          SELECT source,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+            CAST(n_chars AS DOUBLE) AS v
+          FROM documents WHERE n_chars IS NOT NULL),
+        sk AS (
+          SELECT source, h, v FROM (
+            SELECT source, h, v,
+              row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+            FROM dh) WHERE rn <= 64),
+        r AS (
+          SELECT source, v,
+            row_number() OVER (PARTITION BY source ORDER BY v, h) AS rn,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM sk)
+        SELECT source, p, v AS q_est
+        FROM r CROSS JOIN (SELECT unnest(
+          CAST([0.1, 0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS p) ps
+        WHERE rn = CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+        ORDER BY source, p""")),
+
     // ---- M16: incremental surprisal vs a persisted LM store ------------
     // The d15 store discipline applied to scoring: token counts
     // materialize ONCE as a bucketed (tok, cnt) table (docs < 250 —
@@ -4986,6 +5036,73 @@ object Queries {
               CAST(s.n_toks AS DOUBLE) END AS contamination_frac
         FROM sel s LEFT JOIN cnt c USING (doc_id)
         ORDER BY s.doc_id""")),
+
+    // ---- D28: contamination-threshold drop ------------------------------
+    // The composition d27's scaladoc promises (Dedup.dropContaminatedDocs):
+    // threshold the per-doc contamination_frac and DROP docs above it,
+    // keeping everything else byte-identical — the third precision
+    // point between d8 (drop on one shared 5-gram) and d26 (excise the
+    // spans). Same report machinery (shared seed-pair helper), one
+    // extra anti-join whose right side is the rare over-threshold ids.
+    // The frac is exact int/int, so frac > 0.5 is engine-portable.
+    QueryDef("d28_contamination_drop",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.dropContaminatedDocs(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", maxFrac = 0.5, minLen = 12, seedN = 5)
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, ${toksSql("lower(nfc_normalize(text))")} AS nt
+          FROM documents),
+        bw AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE source = 'src0' AND len(nt) >= 5)),
+        cw AS (SELECT doc_id, i AS p,
+            md5(array_to_string(nt[i : i + 4], ' ')) AS h
+          FROM (SELECT doc_id, nt, unnest(range(1, len(nt) - 3)) AS i
+            FROM tk WHERE source <> 'src0' AND len(nt) >= 5)),
+        elig AS (SELECT h FROM (
+            SELECT h, count(*) AS c FROM bw GROUP BY h)
+          WHERE c <= 10000),
+        pairs AS (
+          SELECT b.doc_id AS ida, b.p AS pa, c.doc_id AS idb,
+            c.p - b.p AS diag
+          FROM bw b JOIN elig USING (h) JOIN cw c ON b.h = c.h),
+        runs AS (
+          SELECT ida, idb, diag, pa,
+            pa - row_number() OVER (PARTITION BY ida, idb, diag
+              ORDER BY pa) AS g
+          FROM pairs),
+        spans AS (
+          SELECT idb, diag, min(pa) AS s0, max(pa) AS e0
+          FROM runs GROUP BY ida, idb, diag, g
+          HAVING max(pa) - min(pa) + 5 >= 12),
+        cov AS (SELECT DISTINCT doc_id, cp FROM (
+          SELECT idb AS doc_id,
+            unnest(range(s0 + diag, e0 + diag + 5)) AS cp
+          FROM spans)),
+        cnt AS (SELECT doc_id, count(*) AS n_cont FROM cov
+          GROUP BY doc_id),
+        bad AS (
+          SELECT s.doc_id FROM (
+            SELECT doc_id, coalesce(len(nt), 0) AS n_toks
+            FROM tk WHERE source <> 'src0') s
+          LEFT JOIN cnt c USING (doc_id)
+          WHERE s.n_toks > 0 AND
+            CAST(coalesce(c.n_cont, 0) AS DOUBLE) /
+              CAST(s.n_toks AS DOUBLE) > 0.5)
+        SELECT d.doc_id, d.source, d.lang,
+          CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d
+        WHERE d.source <> 'src0'
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY d.doc_id""")),
 
     // ---- D14: perceptual-hash image near-dup (Hamming-band LSH) --------
     // The payload-side dedup the text family (d1–d13) never covers:

@@ -354,6 +354,106 @@ object Sketches {
             col("n_union").cast("double")).as("jaccard"))
   }
 
+  // ---- Mergeable QUANTILE sketch (bottom-k row sample) ---------------
+  //
+  // The missing member of the sketch family: CMS answers frequencies,
+  // HLL/KMV answer distinct counts and set overlap — this answers RANK
+  // queries (quantiles) from O(k) state that merges across shards and
+  // absorbs per crawl like the KMV store.
+  //
+  // Adjudication vs KLL / t-digest (the literature's default mergeable
+  // quantile sketches): both are order-SENSITIVE — KLL's compactor
+  // coin-flips and t-digest's centroid merging depend on arrival and
+  // merge order, and Spark merges partial aggregates in whatever order
+  // tasks finish, so their output is not reproducible across runs,
+  // partitionings, or engines. That breaks this engine's determinism
+  // discipline (every sketch here has order-independent state: CMS
+  // counters sum, HLL registers max, KMV keeps the k hash-smallest).
+  // The deterministic-compaction alternative used instead: state = the
+  // k rows whose 60-bit md5 hash of the row KEY is smallest, value
+  // carried alongside — the KMV bottom-k rule applied to ROWS instead
+  // of distinct members. "Keep the k hash-smallest" is associative,
+  // commutative and idempotent, so the sketch of a union is exactly
+  // the merge of the shard sketches (property-pinned in SketchesSpec,
+  // the kmvMerge discipline) and the whole structure is expressible
+  // verbatim in any SQL engine (oracle m20 hash-matches it).
+  //
+  // Accuracy, honestly stated: the retained rows are a uniform size-k
+  // sample of the dataset (md5 of a unique key is an independent
+  // uniform draw per row), so by Dvoretzky–Kiefer–Wolfowitz the
+  // sample's empirical CDF tracks the true CDF UNIFORMLY:
+  // sup_x |F_k(x) − F(x)| ≤ sqrt(ln(2/δ)/(2k)) w.p. ≥ 1−δ — every
+  // quantile simultaneously within that rank error (k = 4096 → ±2.1%
+  // at 99.9%). KLL reaches the same ε in O((1/ε)·log²) space — a √
+  // factor less — but at k ≤ 64Ki this sketch is kilobytes per source
+  // either way, which is irrelevant beside the 100 TB scan it
+  // summarizes; determinism is worth the √.
+  //
+  // Scale shape: identical to kmvSketch — one map-only hash projection,
+  // then the rank-k filter Spark rewrites to WindowGroupLimit (each map
+  // task pre-prunes to its local k per source before the exchange, so
+  // the shuffle carries ≤ k rows per source × partition). Merge and
+  // quantile extraction are sketch-space work (≤ sources × k rows).
+
+  /** Per-source quantile sketch: the k rows with the smallest
+    * [[kmvHash]] of `keyCol` per `srcCol` value, as (source, h, v).
+    * `keyCol` must be row-unique within each source (the uniform-
+    * sampling contract — a duplicated key under-weights its rows);
+    * null values are excluded (quantiles ignore nulls, matching
+    * [[Quantiles.globalQuantiles]]). Hash ties (2⁻⁶⁰-rare cross-key
+    * collisions) break on the value so the retained SET is
+    * deterministic. */
+  def quantileSketch(df: DataFrame, srcCol: String, keyCol: String,
+                     valueCol: String, k: Int): DataFrame =
+    rankKV(df.filter(col(valueCol).isNotNull)
+      .select(col(srcCol).as("source"), kmvHash(col(keyCol)).as("h"),
+        col(valueCol).cast("double").as("v")), k)
+
+  /** k smallest (source, h, v) rows per source by (h, v) — the shared
+    * tail of quantile-sketch build and merge. Same WindowGroupLimit
+    * map-side prune as [[rankK]]; the extra `v` in the sort order only
+    * breaks 60-bit hash-collision ties deterministically. */
+  private def rankKV(dh: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("v"))
+    dh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Merge two quantile-sketch frames: the k hash-smallest of the
+    * distinct union — EXACTLY the sketch of the concatenated inputs
+    * (any row among the k hash-smallest of A∪B is among the k
+    * hash-smallest of its own side; SketchesSpec pins merge ≡
+    * sketch-of-union, associativity, and idempotence). Pure
+    * sketch-space work. */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    rankKV(a.select(col("source"), col("h"), col("v"))
+      .union(b.select(col("source"), col("h"), col("v"))).distinct(), k)
+
+  /** Rank queries against a quantile sketch: for each source and each
+    * p in `ps`, the sample's empirical p-quantile — the retained value
+    * at sorted position floor(p·(n−1)) (0-based; n = retained rows, so
+    * the estimate is always an ELEMENT of the dataset, `quantile_disc`
+    * semantics — no interpolation, no float arithmetic beyond the
+    * position itself, bit-identical in any engine). Ties in v sort on
+    * h, keeping the selection total. Output (source, p, q_est),
+    * sketch-sized input so every stage is trivial. */
+  def sketchQuantiles(sk: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"sketchQuantiles: fractions must be in [0,1], got $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("v"), col("h"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    sk.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .select(col("source"), col("v"),
+        explode(array(ps.map(lit): _*)).as("p"), col("__rn"), col("__n"))
+      .filter(col("__rn") ===
+        floor(col("p") * (col("__n") - lit(1)).cast("double")) + lit(1))
+      .select(col("source"), col("p"), col("v").as("q_est"))
+  }
+
   /** Shared estimate + top-k tail: join each candidate against the
     * `depth` broadcast counter tables, estimate = min over rows. Keeps
     * every candidate column (true_n for the oracle form). */

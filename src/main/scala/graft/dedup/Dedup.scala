@@ -1491,6 +1491,41 @@ object Dedup {
             col("n_toks").cast("double")))
   }
 
+  /** Threshold-DROP composition of the contamination report (the pass
+    * d27's scaladoc describes): remove corpus docs whose
+    * [[substringContaminationReport]] `contamination_frac` exceeds
+    * `maxFrac`, keep every other doc UNMODIFIED. The third point on
+    * the decontamination precision axis: d8 drops a doc for ONE shared
+    * 5-gram (max recall), d26 excises exactly the matched spans (max
+    * precision), this drops only docs that are SUBSTANTIALLY benchmark
+    * text — the right call when a mostly-leaked doc's remaining prose
+    * is not worth keeping but phrase-level overlap is not worth
+    * dropping. Built ON the report (shared [[benchCorpusSeedPairs]]
+    * machinery), so the fracs thresholded here are definitionally
+    * d27's; the frac is an exact int/int double, so the `>` compare is
+    * engine-portable with no rounding step.
+    *
+    * Scale shape: the report's (benchmark-side seeds are small, corpus
+    * touched map-only plus one coverage aggregate) plus one anti-join
+    * whose right side is the over-threshold ids — contaminated docs
+    * are RARE by construction, so that side is broadcast-sized. */
+  def dropContaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String,
+                           maxFrac: Double, minLen: Int = 20,
+                           seedN: Int = 8, maxOcc: Int = 10000,
+                           nfc: Boolean = true,
+                           tokensCol: Option[String] = None,
+                           benchTokensCol: Option[String] = None)
+      : DataFrame = {
+    require(maxFrac >= 0.0 && maxFrac <= 1.0,
+      s"dropContaminatedDocs: maxFrac must be in [0,1], got $maxFrac")
+    val bad = substringContaminationReport(corpus, benchmark, idCol,
+        textCol, minLen, seedN, maxOcc, nfc, tokensCol, benchTokensCol)
+      .filter(col("contamination_frac") > maxFrac)
+      .select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Persist a corpus's seed-occurrence frame as a bucketed SUBSTRING
     * STORE — the [[writeSignatureStore]] discipline applied to
     * exact-substring state: one table `{tablePrefix}_seeds`

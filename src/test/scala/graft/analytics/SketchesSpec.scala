@@ -209,4 +209,124 @@ class SketchesSpec extends SparkSpec {
     tr.getAs[Long]("n_inter") shouldBe 5L
     tr.getAs[Double]("jaccard") shouldBe (5.0 / 15.0)
   }
+  test("quantile sketch: at most k rows per source, the k hash-SMALLEST " +
+    "rows with values riding along, nulls excluded, and the sketch " +
+    "plan pre-prunes map-side (WindowGroupLimit)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sk = Sketches.quantileSketch(docs, "source", "doc_id",
+      "n_chars", k = 32)
+    val got = sk.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.length should be <= 32
+    }
+    // per source, the retained hashes are exactly the 32 smallest
+    val all = docs.select(col("source"),
+        Sketches.kmvHash(col("doc_id")).as("h"),
+        col("n_chars").cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    all.groupBy(_._1).foreach { case (src, rows) =>
+      val expect = rows.sortBy(r => (r._2, r._3)).take(32).toSet
+      got.filter(_._1 == src).toSet shouldBe expect
+    }
+    sk.queryExecution.executedPlan.toString should
+      include("WindowGroupLimit")
+  }
+
+  test("quantile sketch merge ≡ sketch-of-union, is ASSOCIATIVE, and " +
+    "is idempotent — the deterministic-compaction contract that makes " +
+    "the sketch order-independent (the KLL/t-digest adjudication)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val k = 32
+    def sk(lo: Long, hi: Long) = Sketches.quantileSketch(
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+      "source", "doc_id", "n_chars", k)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val whole = rows(Sketches.quantileSketch(docs, "source", "doc_id",
+      "n_chars", k))
+    val (s1, s2, s3) = (sk(0, 150), sk(150, 300), sk(300, 100000))
+    // merge ≡ sketch-of-union (three shards, any grouping)
+    rows(Sketches.quantileSketchMerge(
+      Sketches.quantileSketchMerge(s1, s2, k), s3, k)) shouldBe whole
+    // associativity: right-grouped equals left-grouped
+    rows(Sketches.quantileSketchMerge(s1,
+      Sketches.quantileSketchMerge(s2, s3, k), k)) shouldBe whole
+    // idempotence: merging a sketch with itself is a no-op
+    val w = Sketches.quantileSketch(docs, "source", "doc_id",
+      "n_chars", k)
+    rows(Sketches.quantileSketchMerge(w, w, k)) shouldBe whole
+  }
+
+  test("sketch quantiles carry the DKW rank-error bound: every " +
+    "estimated quantile's TRUE rank is within sqrt(ln(2/δ)/(2k)) of p " +
+    "on the fixture, and estimates are elements of the data") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val k = 256
+    // single-source view: sketch the whole table as one population
+    val one = docs.withColumn("source", lit("all"))
+    val sk = Sketches.quantileSketch(one, "source", "doc_id",
+      "n_chars", k)
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val est = Sketches.sketchQuantiles(sk, ps).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val vals = docs.select(col("n_chars").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vals.length.toDouble
+    // δ = 0.001 → ε ≈ 0.122 at k = 256; the fixture draw is fixed
+    // (deterministic md5 sample), so this is a regression pin, not a
+    // flaky probabilistic assertion
+    val eps = math.sqrt(math.log(2.0 / 0.001) / (2.0 * k))
+    ps.foreach { p =>
+      val v = est(p)
+      vals should contain(v) // quantile_disc: an element of the data
+      // true rank of v as a CDF interval [lo, hi] (ties make it a band)
+      val lo = vals.count(_ < v) / n
+      val hi = vals.count(_ <= v) / n
+      withClue(s"p=$p est=$v rank=[$lo,$hi] eps=$eps: ") {
+        (p >= lo - eps && p <= hi + eps) shouldBe true
+      }
+    }
+  }
+
+  test("Quantiles dispatch: approx=sketch routes through the mergeable " +
+    "sketch (keyed by the conf's sketchKey), lands within the DKW band " +
+    "of the exact answer, and an absent sketchKey fails loud") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = Quantiles.quantiles(docs, Seq("n_chars"), Seq(0.5))
+    spark.conf.set("spark.graft.quantiles.approx", "sketch")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Quantiles.quantiles(docs, Seq("n_chars"), Seq(0.5))
+      }
+      e.getMessage should include("sketchKey")
+      spark.conf.set("spark.graft.quantiles.sketchKey", "doc_id")
+      spark.conf.set("spark.graft.quantiles.sketchK", "256")
+      val skq = Quantiles.quantiles(docs, Seq("n_chars"), Seq(0.5))
+      // rank-space check: the sketch's median sits within the DKW band
+      // of the true median's rank
+      val vals = docs.select(col("n_chars").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      val n = vals.length.toDouble
+      val v = skq(("n_chars", 0.5))
+      val eps = math.sqrt(math.log(2.0 / 0.001) / (2.0 * 256))
+      val lo = vals.count(_ < v) / n
+      val hi = vals.count(_ <= v) / n
+      (0.5 >= lo - eps && 0.5 <= hi + eps) shouldBe true
+      // and the exact path still answers exactly (dispatch untouched):
+      // quantile_cont interpolation at position 0.5·(n−1)
+      val pos = (n - 1) * 0.5
+      val flo = pos.toInt
+      val frac = pos - flo
+      val expected =
+        if (frac == 0.0) vals(flo)
+        else (1.0 - frac) * vals(flo) + frac * vals(flo + 1)
+      exact(("n_chars", 0.5)) shouldBe expected +- 1e-9
+    } finally {
+      spark.conf.unset("spark.graft.quantiles.approx")
+      spark.conf.unset("spark.graft.quantiles.sketchKey")
+      spark.conf.unset("spark.graft.quantiles.sketchK")
+    }
+  }
+
 }

@@ -849,6 +849,48 @@ class DedupSpec extends SparkSpec {
     threaded.map(_._1) shouldBe Seq(2L) // doc 1 IS benchmark → dropped
   }
 
+  test("dropContaminatedDocs: the threshold grades wholesale leaks vs " +
+    "partial overlap (strict >, so frac == maxFrac survives), kept " +
+    "docs are byte-identical, and the drop agrees with the report") {
+    val bench = Seq((900L,
+      "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12")).toDF("doc_id", "text")
+    val own = (1 to 12).map(i => s"o$i").mkString(" ")
+    val corpus = Seq(
+      // frac 1.0: the doc IS the benchmark
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),
+      // frac 0.5: 12 leaked tokens + 12 own
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 $own"),
+      // frac 0.25: 12 leaked + 36 own
+      (3L, s"b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 $own " +
+        (13 to 36).map(i => s"o$i").mkString(" ")),
+      // clean
+      (4L, "entirely original words with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    def keptIds(maxFrac: Double) = Dedup.dropContaminatedDocs(
+        corpus, bench, "doc_id", "text", maxFrac = maxFrac,
+        minLen = 12, seedN = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    keptIds(0.6) shouldBe Seq(2L, 3L, 4L)
+    keptIds(0.5) shouldBe Seq(2L, 3L, 4L) // strict >: 0.5 survives 0.5
+    keptIds(0.49) shouldBe Seq(3L, 4L)
+    keptIds(0.2) shouldBe Seq(4L)
+    // kept docs are UNMODIFIED (the d26 contrast: no excision here)
+    val kept2 = Dedup.dropContaminatedDocs(corpus, bench, "doc_id",
+        "text", maxFrac = 0.5, minLen = 12, seedN = 5)
+      .filter(col("doc_id") === 2L).select("text").head().getString(0)
+    kept2 shouldBe s"b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 $own"
+    // definitional agreement with the report's fracs
+    val fracs = Dedup.substringContaminationReport(corpus, bench,
+        "doc_id", "text", minLen = 12, seedN = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("contamination_frac")).toMap
+    fracs(1L) shouldBe 1.0
+    fracs(2L) shouldBe 0.5
+    fracs(3L) shouldBe 0.25
+    fracs(4L) shouldBe 0.0
+    keptIds(0.3) shouldBe fracs.filter(_._2 <= 0.3).keys.toSeq.sorted
+  }
+
   test("dropDupSubstrings: the maxOcc seed cap drops viral seeds " +
     "(recall-only — copies survive) and the standalone report counts " +
     "the loss") {

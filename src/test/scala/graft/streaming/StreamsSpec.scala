@@ -473,6 +473,85 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("substring store ingest runs END-TO-END ON A FILE STREAM: " +
+    "parquet shards land in a watched directory one at a time, each " +
+    "micro-batch dedups against the store then absorbs (d25's " +
+    "production loop via the real file source) — kept rows equal the " +
+    "batch dropDupSubstrings over everything seen") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val pfx = "graft_fstream_substore"
+    val sinkPath = "/tmp/graft_test_sinks/fstream_substore"
+    val watchedPath = java.nio.file.Files
+      .createTempDirectory("graft_substore_crawl")
+    val watched = watchedPath.toString
+    val storeDocs = Seq(1L -> "alpha beta gamma delta epsilon zeta")
+    // same shard shapes as the MemoryStream twin above: a fresh doc, a
+    // dup of its span, a clean doc, a dup of the ORIGINAL store span
+    val shards = Seq(
+      Seq(10L -> "xx1 xx2 rr1 rr2 rr3 rr4 rr5 rr6"),
+      Seq(20L -> "rr1 rr2 rr3 rr4 rr5 rr6 yy1",
+          21L -> "a completely unrelated document with fresh words"),
+      Seq(30L -> "pre alpha beta gamma delta epsilon zeta post"))
+    spark.sql(s"DROP TABLE IF EXISTS ${pfx}_seeds")
+    graft.dedup.Dedup.writeSubstringStore(storeDocs.toDF("doc_id", "text"),
+      "doc_id", "text", pfx, sinkPath, seedN = 3)
+    // land each shard as ONE parquet file in the watched dir (write to
+    // a scratch dir, move the part file in atomically — the file
+    // source's own discovery contract)
+    def landShard(i: Int, docs: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_shard_stage$i").toString
+      docs.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watched, s"shard$i.parquet"))
+    }
+    val kept = scala.collection.mutable.Map.empty[Long, String]
+    val streamIn = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1) // one shard per micro-batch
+      .parquet(watched)
+    val q = streamIn.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.Dedup.dedupSubstringShardAgainst(batch, "doc_id",
+              "text", pfx, minLen = 6, seedN = 3)
+            .collect().foreach(r =>
+              kept(r.getAs[Long]("doc_id")) = r.getAs[String]("text_kept"))
+          graft.dedup.Dedup.absorbIntoSubstringStore(batch, "doc_id",
+            "text", pfx, seedN = 3)
+        }
+      }
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      shards.zipWithIndex.foreach { case (docs, i) =>
+        landShard(i, docs)
+        q.processAllAvailable()
+      }
+      q.exception.foreach(e => fail(s"file stream failed: $e"))
+      val all = (storeDocs ++ shards.flatten).toDF("doc_id", "text")
+      val whole = graft.dedup.Dedup.dropDupSubstrings(all, "doc_id",
+          "text", minLen = 6, seedN = 3)
+        .filter(col("doc_id") >= 10L)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_kept"))
+        .toMap
+      kept.toMap shouldBe whole
+      kept(20L) shouldBe "yy1"       // lost its rr-run to shard 1's doc
+      kept(30L) shouldBe "pre post"  // lost its middle to the store doc
+    } finally {
+      gracefulStop(q)
+      spark.sql(s"DROP TABLE IF EXISTS ${pfx}_seeds")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(watchedPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("stream-stream interval join pairs within the lookback, across " +
     "batches (j5's streaming twin)") {
     import spark.implicits._
