@@ -162,9 +162,11 @@ object Quantiles {
     * once (what a profiling pass actually wants).
     *
     * `keyCols` must identify rows uniquely (the uniform-sampling
-    * contract); they are concatenated and hashed. Columns with zero
-    * non-null rows are absent from the map, matching the other
-    * backends. */
+    * contract); they are JSON-encoded as a struct (collision-free:
+    * values containing any separator are escaped, and nulls are kept
+    * as explicit JSON nulls, so ('a', null) ≠ ('a,null') ≠ (null,
+    * 'a')) and hashed. Columns with zero non-null rows are absent
+    * from the map, matching the other backends. */
   def globalQuantilesSketch(df: DataFrame, keyCols: Seq[String],
                             cols: Seq[String], ps: Seq[Double],
                             k: Int = 8192)
@@ -176,7 +178,8 @@ object Quantiles {
       ") AS (__name, __v)"
     val melted = df
       .withColumn("__key",
-        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+        to_json(struct(keyCols.map(col): _*),
+          Map("ignoreNullFields" -> "false")))
       .selectExpr("__key", stackExpr)
       .where(col("__v").isNotNull)
     val sk = Sketches.quantileSketch(melted, "__name", "__key", "__v", k)
@@ -209,10 +212,15 @@ object Quantiles {
           keyConf.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           cols, ps,
           conf.get("spark.graft.quantiles.sketchK", "8192").toInt)
-      case b if b.toBoolean =>
+      case "true" =>
         globalQuantilesApprox(df, cols, ps,
           conf.get("spark.graft.quantiles.accuracy", "10000").toInt)
-      case _ => globalQuantiles(df, cols, ps)
+      case "false" => globalQuantiles(df, cols, ps)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.quantiles.approx=$other is not recognized — " +
+          "accepted values: false (exact, default), true " +
+          "(Greenwald-Khanna in-job), sketch (mergeable bottom-k " +
+          "sketch; needs spark.graft.quantiles.sketchKey)")
     }
   }
 

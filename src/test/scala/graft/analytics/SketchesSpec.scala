@@ -329,4 +329,17 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("Quantiles dispatch: a typo'd approx value fails loud, naming " +
+    "the conf key and the accepted values") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    spark.conf.set("spark.graft.quantiles.approx", "gk")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Quantiles.quantiles(docs, Seq("n_chars"), Seq(0.5))
+      }
+      e.getMessage should include("spark.graft.quantiles.approx")
+      e.getMessage should include("sketch")
+    } finally spark.conf.unset("spark.graft.quantiles.approx")
+  }
+
 }

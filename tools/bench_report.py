@@ -120,9 +120,10 @@ def latest_driver_total():
         if best[0] is not None and rn <= best[0]:
             continue
         try:
-            j = json.load(open(os.path.join(repo_root(), name)))
+            with open(os.path.join(repo_root(), name)) as fh:
+                j = json.load(fh)
             total = (j.get("parsed") or {}).get("value")
-        except ValueError:
+        except (OSError, ValueError):
             total = None
         if total is not None:
             best = (rn, total)
