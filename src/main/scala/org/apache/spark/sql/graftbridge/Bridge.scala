@@ -53,6 +53,20 @@ object Bridge {
       .properties.get(key)
   }
 
+  /** The storage location of a catalog table, if set — an absorb that
+    * rewrites an EXTERNAL store table in place must recreate it at the
+    * SAME path (a silently relocated store would orphan the original
+    * files and split the state across two directories). Same shim
+    * rationale. */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Option[java.net.URI] = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+    Option(ss.catalog
+      .getTableMetadata(ss.sqlParser.parseTableIdentifier(table))
+      .storage.locationUri).flatten
+  }
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]` in Spark 4 — same shim rationale as above; used by
     * the native whole-operator plans in `graft.plans`). */

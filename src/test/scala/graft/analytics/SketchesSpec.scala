@@ -258,6 +258,46 @@ class SketchesSpec extends SparkSpec {
     rows(Sketches.quantileSketchMerge(w, w, k)) shouldBe whole
   }
 
+  test("quantile store: write + absorb ≡ from-scratch sketch, a " +
+    "replayed absorb is a no-op, and a mismatched family fails loud") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val k = 32
+    val tbl = "graft_qskstore_spec"
+    val path = s"/tmp/graft_test_sinks/qskstore_spec"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      Sketches.writeQuantileStore(docs.filter(col("doc_id") < 200),
+        "source", "doc_id", "n_chars", k, tbl, path)
+      val delta = docs.filter(col("doc_id") >= 200)
+      Sketches.absorbIntoQuantileStore(delta, "source", "doc_id",
+        "n_chars", k, tbl)
+      val whole = rows(Sketches.quantileSketch(docs, "source", "doc_id",
+        "n_chars", k))
+      rows(spark.table(tbl)) shouldBe whole // store+absorb lossless
+      // replayed absorb (at-least-once retry): identical state
+      Sketches.absorbIntoQuantileStore(delta, "source", "doc_id",
+        "n_chars", k, tbl)
+      rows(spark.table(tbl)) shouldBe whole
+      // family validation: wrong k / keyCol / valueCol each refuse
+      val ek = intercept[IllegalArgumentException] {
+        Sketches.absorbIntoQuantileStore(delta, "source", "doc_id",
+          "n_chars", k + 1, tbl)
+      }
+      ek.getMessage should include("graft.qsk.k")
+      val ekey = intercept[IllegalArgumentException] {
+        Sketches.absorbIntoQuantileStore(delta, "source", "text",
+          "n_chars", k, tbl)
+      }
+      ekey.getMessage should include("graft.qsk.keycol")
+      val ev = intercept[IllegalArgumentException] {
+        Sketches.absorbIntoQuantileStore(delta, "source", "doc_id",
+          "n_tokens", k, tbl)
+      }
+      ev.getMessage should include("graft.qsk.valuecol")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("sketch quantiles carry the DKW rank-error bound: every " +
     "estimated quantile's TRUE rank is within sqrt(ln(2/δ)/(2k)) of p " +
     "on the fixture, and estimates are elements of the data") {

@@ -414,6 +414,92 @@ class StreamsSpec extends SparkSpec {
     } finally gracefulStop(q)
   }
 
+  test("contamination-threshold drop composes onto a stream: per-batch " +
+    "dropContaminatedDocs against a static benchmark keeps exactly the " +
+    "batch pass's rows (d28's crawl-ingest form — the gate is " +
+    "benchmark-side only, so the op is per-doc stateless)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val bench = Seq((900L,
+      "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12")).toDF("doc_id", "text")
+    val own = (1 to 12).map(i => s"o$i").mkString(" ")
+    val batches = Seq(
+      Seq( // frac 1.0 (dropped) alongside a clean doc
+        (1L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),
+        (4L, "entirely original words with no benchmark overlap at all")),
+      Seq( // frac 0.5 (dropped at 0.49) and frac 0.25 (kept)
+        (2L, s"b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 $own"),
+        (3L, s"b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 $own " +
+          (13 to 36).map(i => s"o$i").mkString(" "))))
+    var kept = Seq.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept = kept ++ graft.dedup.Dedup.dropContaminatedDocs(
+            batch, bench, "doc_id", "text", maxFrac = 0.49,
+            minLen = 12, seedN = 5)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val whole = graft.dedup.Dedup.dropContaminatedDocs(
+          batches.flatten.toDF("doc_id", "text"), bench, "doc_id",
+          "text", maxFrac = 0.49, minLen = 12, seedN = 5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      kept.sorted shouldBe whole
+      kept.map(_._1).sorted shouldBe Seq(3L, 4L) // 1 and 2 dropped
+    } finally gracefulStop(q)
+  }
+
+  test("quantile store absorbs a micro-batched stream: after three " +
+    "batches the persisted table equals the batch sketch of everything " +
+    "seen (m21's ingest loop, streamed via foreachBatch against the " +
+    "catalog table)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val k = 16
+    val tbl = "graft_qskstore_stream"
+    val base = (1L to 50L).map(i => ("a", i, i * 3.0)) ++
+      (1L to 30L).map(i => ("b", i, i * 7.0))
+    val chunks = Seq(
+      (51L to 120L).map(i => ("a", i, i * 3.0)),
+      (31L to 90L).map(i => ("b", i, i * 7.0)),
+      (121L to 200L).map(i => ("a", i, i * 3.0)))
+    try {
+      graft.analytics.Sketches.writeQuantileStore(
+        base.toDF("source", "id", "v"), "source", "id", "v", k, tbl,
+        "/tmp/graft_test_sinks/qskstore_stream")
+      val input = MemoryStream[(String, Long, Double)]
+      val q = input.toDF().toDF("source", "id", "v")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.analytics.Sketches.absorbIntoQuantileStore(
+            batch, "source", "id", "v", k, tbl)
+        }
+        .start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c: _*)
+          q.processAllAvailable()
+        }
+        val whole = graft.analytics.Sketches.quantileSketch(
+          (base ++ chunks.flatten).toDF("source", "id", "v"),
+          "source", "id", "v", k)
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getDouble(2))).sorted.toSeq
+        spark.table(tbl).collect().map(r => (r.getString(0),
+          r.getLong(1), r.getDouble(2))).sorted.toSeq shouldBe whole
+      } finally gracefulStop(q)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("substring store absorbs a micro-batched crawl: each batch is " +
     "deduped against the store then absorbed (d25's ingest loop via " +
     "foreachBatch) — kept rows over all batches equal the batch " +
