@@ -298,6 +298,20 @@ class SketchesSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("quantile store plan contract: rank queries over the " +
+    "source-bucketed table run with NO Exchange (the bucketing " +
+    "satisfies both windows' source distribution)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tbl = "graft_qskstore_plan"
+    try {
+      Sketches.writeQuantileStore(docs, "source", "doc_id", "n_chars",
+        32, tbl, "/tmp/graft_test_sinks/qskstore_plan")
+      val plan = Sketches.sketchQuantiles(spark.table(tbl), Seq(0.5))
+        .queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("sketch quantiles carry the DKW rank-error bound: every " +
     "estimated quantile's TRUE rank is within sqrt(ln(2/δ)/(2k)) of p " +
     "on the fixture, and estimates are elements of the data") {

@@ -5,7 +5,11 @@ The driver keeps only a 2000-char stdout tail; at 85 queries the
 per-query map no longer fits next to the headline total, so the full
 per-query table is committed here each round instead.
 
-Usage: python3 tools/bench_report.py <bench_log> [out_md]
+Usage: python3 tools/bench_report.py <bench_log> [out_md] [sf_dir]
+
+sf_dir: explicit scale-factor dir the log ran at — needed only for
+logs written before r17 (whose zero-error headline omitted sf); the
+r1 matched-query ratio refuses to compute without a scale on record.
 """
 import json
 import os
@@ -16,6 +20,7 @@ import sys
 def main():
     log = sys.argv[1]
     out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_LOCAL.md"
+    sf_override = sys.argv[3] if len(sys.argv) > 3 else None
     total = spread = queries = None
     meta = {}
     for line in open(log, encoding="utf-8", errors="replace"):
@@ -34,6 +39,12 @@ def main():
             meta["runs"] = d.get("runs")
             meta["passes"] = d.get("passes")
             meta["stat"] = d.get("stat")
+            # zero-error headlines omit the envelope (line-budget
+            # defense), so the spread line carries sf as of r17
+            if d.get("sf") and not meta.get("sf"):
+                meta["sf"] = d["sf"]
+    if sf_override and not meta.get("sf"):
+        meta["sf"] = sf_override
     if total is None or queries is None:
         sys.exit(f"[bench_report] {log}: missing "
                  f"{'total' if total is None else 'queries'} line — "
