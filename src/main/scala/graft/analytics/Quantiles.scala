@@ -196,10 +196,31 @@ object Quantiles {
     * `spark.graft.quantiles.sketchKey=<row-unique col[,col...]>`,
     * optionally `spark.graft.quantiles.sketchK=N`) runs the mergeable
     * bottom-k sketch whose state can persist across jobs. */
+  /** The ONE parser of `spark.graft.quantiles.approx`, shared by every
+    * consumer of the key (this dispatcher and
+    * [[graft.text.TextAnalysis.surprisalBuckets]]): "exact" | "gk" |
+    * "sketch". Booleans are case-insensitive (Spark's own boolean
+    * confs accept `True`); anything else fails loud naming the key
+    * and the accepted values — a typo'd backend must never silently
+    * fall back to a different accuracy contract, and a second call
+    * site doing its own `.toBoolean` is how one consumer crashes on
+    * the value another accepts. */
+  def approxMode(conf: org.apache.spark.sql.RuntimeConfig): String =
+    conf.get("spark.graft.quantiles.approx", "false") match {
+      case s if s.equalsIgnoreCase("sketch") => "sketch"
+      case s if s.equalsIgnoreCase("true") => "gk"
+      case s if s.equalsIgnoreCase("false") => "exact"
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.quantiles.approx=$other is not recognized — " +
+          "accepted values: false (exact, default), true " +
+          "(Greenwald-Khanna in-job), sketch (mergeable bottom-k " +
+          "sketch; needs spark.graft.quantiles.sketchKey)")
+    }
+
   def quantiles(df: DataFrame, cols: Seq[String],
                 ps: Seq[Double]): Map[(String, Double), Double] = {
     val conf = df.sparkSession.conf
-    conf.get("spark.graft.quantiles.approx", "false") match {
+    approxMode(conf) match {
       case "sketch" =>
         val keyConf = conf.get("spark.graft.quantiles.sketchKey", "")
         require(keyConf.trim.nonEmpty,
@@ -212,15 +233,10 @@ object Quantiles {
           keyConf.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           cols, ps,
           conf.get("spark.graft.quantiles.sketchK", "8192").toInt)
-      case "true" =>
+      case "gk" =>
         globalQuantilesApprox(df, cols, ps,
           conf.get("spark.graft.quantiles.accuracy", "10000").toInt)
-      case "false" => globalQuantiles(df, cols, ps)
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.quantiles.approx=$other is not recognized — " +
-          "accepted values: false (exact, default), true " +
-          "(Greenwald-Khanna in-job), sketch (mergeable bottom-k " +
-          "sketch; needs spark.graft.quantiles.sketchKey)")
+      case _ => globalQuantiles(df, cols, ps)
     }
   }
 

@@ -494,16 +494,30 @@ object Sketches {
   }
 
   /** Validate a caller's (k, keyCol, valueCol) against the family the
-    * store was built with — loud failure over silently biased merges. */
+    * store was built with — loud failure over silently biased merges.
+    * ABSENT properties are also a hard error (unlike the legacy Dedup
+    * stores, no pre-versioning qsk table exists to grandfather): a
+    * crash between saveAsTable and the ALTER leaves exactly that
+    * state, and validating vacuously against it would let the next
+    * absorb merge a mismatched family — rebuild the store via
+    * [[writeQuantileStore]] instead. */
   private def requireQuantileFamily(
       spark: org.apache.spark.sql.SparkSession, tableName: String,
       k: Int, keyCol: String, valueCol: String): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge
     def check(prop: String, caller: String, why: String): Unit =
-      Bridge.tableProperty(spark, tableName, prop).foreach { stored =>
-        require(stored == caller,
-          s"$tableName was built with $prop=$stored but this call " +
-            s"uses $caller — $why. Pass the store's value.")
+      Bridge.tableProperty(spark, tableName, prop) match {
+        case Some(stored) =>
+          require(stored == caller,
+            s"$tableName was built with $prop=$stored but this call " +
+              s"uses $caller — $why. Pass the store's value.")
+        case None => throw new IllegalStateException(
+          s"$tableName has no $prop table property — the store write " +
+            "was interrupted between table creation and the family " +
+            "ALTER, or the table was not written by " +
+            "writeQuantileStore. Rebuild it with writeQuantileStore; " +
+            "absorbing into a family-less store could silently merge " +
+            "mismatched sketches.")
       }
     check("graft.qsk.k", k.toString,
       "merged state would mix retention thresholds and stop equaling " +

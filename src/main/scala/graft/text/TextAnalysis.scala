@@ -365,7 +365,12 @@ object TextAnalysis {
     val scored = unigramSurprisal(df, idCol, textCol)
       .join(df.select(col(idCol), col(srcCol)), Seq(idCol))
     val conf = df.sparkSession.conf
-    if (conf.get("spark.graft.quantiles.approx", "false").toBoolean) {
+    // shared parser (Quantiles.approxMode) so a value one consumer
+    // accepts can never crash the other; this path has no per-source
+    // keyed-sample backend, so "sketch" also takes the approximate
+    // percentile_approx thresholds (the user asked for approximate
+    // quantiles globally; GK per source is this operator's form)
+    if (graft.analytics.Quantiles.approxMode(conf) != "exact") {
       val acc = conf.get("spark.graft.quantiles.accuracy", "10000").toInt
       val b = scored.groupBy(col(srcCol))
         .agg(percentile_approx(col("mean_bits"),

@@ -295,6 +295,17 @@ class SketchesSpec extends SparkSpec {
           "n_tokens", k, tbl)
       }
       ev.getMessage should include("graft.qsk.valuecol")
+      // ABSENT family properties (the state a crash between
+      // saveAsTable and the ALTER leaves) are a hard error, not a
+      // vacuous pass — absorbing into a family-less store could
+      // silently merge mismatched sketches
+      spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES('graft.qsk.k')")
+      val ea = intercept[IllegalStateException] {
+        Sketches.absorbIntoQuantileStore(delta, "source", "doc_id",
+          "n_chars", k, tbl)
+      }
+      ea.getMessage should include("graft.qsk.k")
+      ea.getMessage should include("writeQuantileStore")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
@@ -393,7 +404,23 @@ class SketchesSpec extends SparkSpec {
       }
       e.getMessage should include("spark.graft.quantiles.approx")
       e.getMessage should include("sketch")
-    } finally spark.conf.unset("spark.graft.quantiles.approx")
+      // case-variant booleans stay accepted (Spark's own boolean confs
+      // accept 'True'): routes to GK, no throw
+      spark.conf.set("spark.graft.quantiles.approx", "True")
+      Quantiles.quantiles(docs, Seq("n_chars"), Seq(0.5))
+        .contains(("n_chars", 0.5)) shouldBe true
+      // and the second consumer of the key shares the parser: with the
+      // sketch backend on globally, surprisalBuckets takes its
+      // approximate-thresholds path instead of crashing on .toBoolean
+      spark.conf.set("spark.graft.quantiles.approx", "sketch")
+      spark.conf.set("spark.graft.quantiles.sketchKey", "doc_id")
+      graft.text.TextAnalysis.surprisalBuckets(
+        docs.limit(50), "doc_id", "text", "source")
+        .collect().length should be > 0
+    } finally {
+      spark.conf.unset("spark.graft.quantiles.approx")
+      spark.conf.unset("spark.graft.quantiles.sketchKey")
+    }
   }
 
 }

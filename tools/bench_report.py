@@ -27,7 +27,10 @@ def main():
         line = line.strip()
         if not line.startswith('{"metric"'):
             continue
-        d = json.loads(line)
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue  # truncated/garbled line in a mixed log
         if d["metric"] == "total":
             total = d["value"]
             meta.update({k: d[k] for k in ("errors", "sf") if k in d})
