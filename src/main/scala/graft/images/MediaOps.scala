@@ -124,6 +124,97 @@ object MediaOps {
     }(enc)
   }
 
+  /** Output schema of [[audioFeatures]]: one row per analysis window. */
+  def audioSchema(idField: StructField): StructType = StructType(Seq(
+    idField,
+    StructField("win_idx", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("zero_crossings", IntegerType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false)))
+
+  /** Audio FEATURE EXTRACTION over the opaque-binary column — the
+    * fourth multimodal verb (decode / frame-sample / resize /
+    * feature-extract), same container model: an audio payload is the
+    * [[Container]] with frameBytes = 2 (PCM16 big-endian samples) and
+    * the rational "fps" as the sample rate. One output row per
+    * `windowMs` analysis window: (id, win_idx, ts_ms, n_samples,
+    * sum_sq, zero_crossings, peak_abs). Features are deliberately
+    * INTEGER-EXACT evidence (Σs² as a LONG, crossing count, peak |s|)
+    * rather than float RMS/dB — the engine's md5-hashable oracle
+    * discipline; callers derive rms = sqrt(sum_sq/n) display-side.
+    * sum_sq is overflow-safe: each s² ≤ 2³⁰, so a window needs > 2³³
+    * samples (> 24 h at 48 kHz) to overflow a Long — and a window that
+    * large is rejected by the everyMs/fps bounds the container
+    * enforces.
+    *
+    * Window k covers samples [frameAt(k·windowMs), frameAt((k+1)·
+    * windowMs)) — the same exact rational arithmetic as [[frameSample]]
+    * (no float time base, backfills re-window identically). A zero
+    * crossing is counted at i when sign(s[i−1]) ≠ sign(s[i])
+    * (sign = `< 0`, so 0 is non-negative), counted WITHIN the window
+    * only (window-local, so windows recompute independently under any
+    * partitioning). Rows that are not PCM16 containers (wrong
+    * frameBytes, malformed header) contribute NO rows — pair with
+    * [[mediaMeta]] to audit drops (F4 mask pattern).
+    *
+    * Scale shape: identical to [[frameSample]] — mapPartitions decode
+    * (per-task state), explode-to-rows output, downstream aggregation
+    * of window rows is ordinary map-combined groupBy work. */
+  def audioFeatures(df: DataFrame, idCol: String, dataCol: String,
+                    windowMs: Long): DataFrame = {
+    require(windowMs > 0, "analysis window must be positive")
+    val schema = audioSchema(df.schema(idCol))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val dataIdx = df.schema.fieldIndex(dataCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.get(idIdx)
+        val bytes =
+          if (row.isNullAt(dataIdx)) null else row.getAs[Array[Byte]](dataIdx)
+        decodeContainer(bytes).iterator
+          .filter(_.frameBytes == 2) // PCM16 contract; else not audio
+          .flatMap { c =>
+            def sampleAt(t: Long): Long =
+              if (c.fpsNum == 0 || t <= Long.MaxValue / c.fpsNum)
+                t * c.fpsNum / (1000L * c.fpsDen)
+              else (BigInt(t) * c.fpsNum / (1000L * c.fpsDen))
+                .min(BigInt(Long.MaxValue)).toLong
+            def s(i: Long): Int = { // PCM16 BE sample i, sign-extended
+              val o = (i * 2).toInt
+              (bytesToShort(c.payload(o), c.payload(o + 1))).toInt
+            }
+            Iterator.iterate(0L)(_ + windowMs)
+              .map(t => (t, sampleAt(t)))
+              .takeWhile { case (_, start) => start < c.nFrames }
+              .zipWithIndex
+              .map { case ((t, start), k) =>
+                val end = math.min(sampleAt(t + windowMs), c.nFrames.toLong)
+                var i = start
+                var sumSq = 0L; var zc = 0; var peak = 0
+                var prevNeg = false; var first = true
+                while (i < end) {
+                  val v = s(i)
+                  sumSq += v.toLong * v
+                  val a = math.abs(v); if (a > peak) peak = a
+                  val neg = v < 0
+                  if (!first && neg != prevNeg) zc += 1
+                  prevNeg = neg; first = false
+                  i += 1
+                }
+                Row(id, k, t, (end - start).toInt, sumSq, zc, peak)
+              }
+          }
+      }
+    }(enc)
+  }
+
+  private def bytesToShort(hi: Byte, lo: Byte): Short =
+    (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+
   /** Typed metadata struct for a media column (the F4 success-mask
     * pattern: `ok=false` rows are auditable, never exceptions). A plain
     * column expression — fuses into the scan. */

@@ -86,6 +86,33 @@ class MediaOpsSpec extends SparkSpec {
     out(1).getBoolean(4) shouldBe false
   }
 
+  test("audioFeatures: windowed integer-exact PCM16 features, hand-" +
+    "computed; boundary crossings are window-local; non-audio and " +
+    "malformed rows contribute no rows") {
+    // 8 PCM16 samples at 4 Hz (250 ms/sample), 500 ms windows -> 2
+    // samples per window
+    val samples = Seq[Short](1000, -1000, 1000, -1000, 0, 2000, -3000, 500)
+    val payload = samples.flatMap(s =>
+      Seq(((s >> 8) & 0xff).toByte, (s & 0xff).toByte)).toArray
+    val aud = MediaOps.encodeContainer(MediaOps.Container(
+      4, 1, 8, 2, payload))
+    val df = Seq(
+      (1L, aud),
+      (2L, vid()),                       // frameBytes=4: not PCM16
+      (3L, Array[Byte](9, 9)),           // malformed
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "data")
+    val rows = MediaOps.audioFeatures(df, "id", "data", 500L)
+      .orderBy("id", "win_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5), r.getInt(6)))
+    rows shouldBe Array(
+      (1L, 0, 0L, 2, 2000000L, 1, 1000),    // 1000,-1000
+      (1L, 1, 500L, 2, 2000000L, 1, 1000),  // 1000,-1000
+      // -1000 -> 0 boundary sign change is NOT counted in either window
+      (1L, 2, 1000L, 2, 4000000L, 0, 2000), // 0,2000 (0 is non-negative)
+      (1L, 3, 1500L, 2, 9250000L, 1, 3000)) // -3000,500
+  }
+
   test("sampled frames feed the image pipeline shape (binary column ops)") {
     // the explode-to-rows output is directly consumable by ImageOps-style
     // map-only binary transforms — here a simple length/meta projection
