@@ -113,6 +113,50 @@ class MediaOpsSpec extends SparkSpec {
       (1L, 3, 1500L, 2, 9250000L, 1, 3000)) // -3000,500
   }
 
+  test("audioFeatures property: random PCM/rates/windows match an " +
+    "independent brute-force reference (windowing arithmetic guard)") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 8).map { i =>
+      val n = 1 + rnd.nextInt(200)
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val (num, den) = (1 + rnd.nextInt(50), 1 + rnd.nextInt(4))
+      (i.toLong, samples, num, den)
+    }
+    val winMs = 170L
+    // independent reference: sample index of time t = floor(t*num /
+    // (1000*den)) computed with BigInt, features by direct iteration
+    def ref(samples: Array[Short], num: Int, den: Int)
+    : Seq[(Int, Long, Int, Long, Int, Int)] = {
+      def at(t: Long): Long =
+        (BigInt(t) * num / (1000 * den)).toLong
+      Iterator.iterate(0L)(_ + winMs).map(t => (t, at(t)))
+        .takeWhile(_._2 < samples.length).zipWithIndex
+        .map { case ((t, st), k) =>
+          val en = math.min(at(t + winMs), samples.length.toLong).toInt
+          val w = samples.slice(st.toInt, en)
+          val zc = w.toSeq.sliding(2).count {
+            case Seq(a, b) => (a < 0) != (b < 0); case _ => false }
+          (k, t, w.length, w.map(v => v.toLong * v).sum, zc,
+            if (w.isEmpty) 0 else w.map(v => math.abs(v.toInt)).max)
+        }.toSeq
+    }
+    val df = cases.map { case (id, samples, num, den) =>
+      val payload = samples.flatMap(s =>
+        Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))
+      (id, MediaOps.encodeContainer(MediaOps.Container(
+        num, den, samples.length, 2, payload)))
+    }.toDF("id", "data")
+    val got = MediaOps.audioFeatures(df, "id", "data", winMs)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getInt(5), r.getInt(6))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    cases.foreach { case (id, samples, num, den) =>
+      withClue(s"id=$id rate=$num/$den: ") {
+        got.getOrElse(id, Seq.empty) shouldBe ref(samples, num, den)
+      }
+    }
+  }
+
   test("sampled frames feed the image pipeline shape (binary column ops)") {
     // the explode-to-rows output is directly consumable by ImageOps-style
     // map-only binary transforms — here a simple length/meta projection
