@@ -124,10 +124,14 @@ object MediaOps {
     }(enc)
   }
 
-  /** Output schema of [[audioFeatures]]: one row per analysis window. */
+  /** Output schema of [[audioFeatures]]: one row per NON-EMPTY analysis
+    * window. `win_idx` is the absolute window ordinal (time / windowMs)
+    * and is a LONG: a decodable low-rate container (fps down to 1/1000
+    * Hz) with a small `windowMs` has duration/windowMs ≫ 2³¹ window
+    * slots, and an Int ordinal would wrap negative. */
   def audioSchema(idField: StructField): StructType = StructType(Seq(
     idField,
-    StructField("win_idx", IntegerType, nullable = false),
+    StructField("win_idx", LongType, nullable = false),
     StructField("ts_ms", LongType, nullable = false),
     StructField("n_samples", IntegerType, nullable = false),
     StructField("sum_sq", LongType, nullable = false),
@@ -139,7 +143,7 @@ object MediaOps {
     * feature-extract), same container model: an audio payload is the
     * [[Container]] with frameBytes = 2 (PCM16 big-endian samples) and
     * the rational "fps" as the sample rate. One output row per
-    * `windowMs` analysis window: (id, win_idx, ts_ms, n_samples,
+    * NON-EMPTY `windowMs` analysis window: (id, win_idx, ts_ms, n_samples,
     * sum_sq, zero_crossings, peak_abs). Features are deliberately
     * INTEGER-EXACT evidence (Σs² as a LONG, crossing count, peak |s|)
     * rather than float RMS/dB — the engine's md5-hashable oracle
@@ -158,6 +162,19 @@ object MediaOps {
     * partitioning). Rows that are not PCM16 containers (wrong
     * frameBytes, malformed header) contribute NO rows — pair with
     * [[mediaMeta]] to audit drops (F4 mask pattern).
+    *
+    * EMPTY WINDOWS ARE NOT EMITTED: when `windowMs` is shorter than one
+    * sample period (low-rate container, small window), window slots with
+    * zero samples are skipped — `win_idx` stays the absolute slot
+    * ordinal, so an absent ordinal MEANS "no samples in that slot", and
+    * the rms = sqrt(sum_sq/n_samples) derivation the scaladoc above
+    * prescribes never divides by zero. This also bounds the output and
+    * the per-row work: emitted rows ≤ total samples (each carries ≥ 1),
+    * and the slot iterator JUMPS over empty runs in exact integer
+    * arithmetic rather than stepping per slot, so a 1/1000 Hz container
+    * with windowMs=1 costs O(samples), not O(duration/windowMs) —
+    * the same unbounded-emitter hazard `decodeContainer`'s fps bound
+    * caps for [[frameSample]], re-scaled here by 1000·den/num/windowMs.
     *
     * Scale shape: identical to [[frameSample]] — mapPartitions decode
     * (per-task state), explode-to-rows output, downstream aggregation
@@ -187,26 +204,55 @@ object MediaOps {
               val o = (i * 2).toInt
               (bytesToShort(c.payload(o), c.payload(o + 1))).toInt
             }
-            Iterator.iterate(0L)(_ + windowMs)
-              .map(t => (t, sampleAt(t)))
-              .takeWhile { case (_, start) => start < c.nFrames }
-              .zipWithIndex
-              .map { case ((t, start), k) =>
-                val end = math.min(sampleAt(t + windowMs), c.nFrames.toLong)
-                var i = start
-                var sumSq = 0L; var zc = 0; var peak = 0
-                var prevNeg = false; var first = true
-                while (i < end) {
-                  val v = s(i)
-                  sumSq += v.toLong * v
-                  val a = math.abs(v); if (a > peak) peak = a
-                  val neg = v < 0
-                  if (!first && neg != prevNeg) zc += 1
-                  prevNeg = neg; first = false
-                  i += 1
+            val n = c.nFrames.toLong
+            // ceil(a·b / d) with BigInt fallback (a ≤ n ≤ 2³¹ but
+            // b = 1000·den can reach ~2⁴¹, so a·b can pass Long range).
+            def ceilMulDiv(a: Long, b: Long, d: Long): Long =
+              if (a <= (Long.MaxValue - d) / b) (a * b + d - 1) / d
+              else ((BigInt(a) * b + d - 1) / d)
+                .min(BigInt(Long.MaxValue)).toLong
+            // Walk window slots k = 0, 1, …; emit slots with ≥ 1 sample,
+            // JUMP over empty runs (next slot whose start time reaches
+            // the next sample) — O(samples) total, never O(slots).
+            Iterator.unfold((0L, sampleAt(0L))) { case (k, start) =>
+              if (start >= n) None
+              else {
+                val end = math.min(sampleAt((k + 1) * windowMs), n)
+                if (end > start) {
+                  var i = start
+                  var sumSq = 0L; var zc = 0; var peak = 0
+                  var prevNeg = false; var first = true
+                  while (i < end) {
+                    val v = s(i)
+                    sumSq += v.toLong * v
+                    val a = math.abs(v); if (a > peak) peak = a
+                    val neg = v < 0
+                    if (!first && neg != prevNeg) zc += 1
+                    prevNeg = neg; first = false
+                    i += 1
+                  }
+                  val row = Row(id, k, k * windowMs,
+                    (end - start).toInt, sumSq, zc, peak)
+                  Some((Some(row), (k + 1, sampleAt((k + 1) * windowMs))))
+                } else {
+                  // empty slot: the next possibly-non-empty slot is the
+                  // first k' whose END time reaches sample start+1 —
+                  // tMin = ceil((start+1)·1000·den / num) is the first t
+                  // with sampleAt(t) > start, so (k'+1)·windowMs ≥ tMin,
+                  // k' = ceil(tMin/windowMs) − 1. Every slot strictly
+                  // between ends before tMin and is provably empty; slot
+                  // k' itself is re-checked (it may start past `start`
+                  // and still be empty — the loop then jumps again).
+                  // Each step either emits or advances `start` by ≥ 1
+                  // sample, so total steps ≤ 2·n.
+                  val tMin = ceilMulDiv(start + 1, 1000L * c.fpsDen,
+                    c.fpsNum)
+                  val kN = math.max(k + 1,
+                    (tMin + windowMs - 1) / windowMs - 1)
+                  Some((None, (kN, sampleAt(kN * windowMs))))
                 }
-                Row(id, k, t, (end - start).toInt, sumSq, zc, peak)
               }
+            }.flatten
           }
       }
     }(enc)
@@ -216,8 +262,13 @@ object MediaOps {
     (((hi & 0xff) << 8) | (lo & 0xff)).toShort
 
   /** Typed metadata struct for a media column (the F4 success-mask
-    * pattern: `ok=false` rows are auditable, never exceptions). A plain
-    * column expression — fuses into the scan. */
+    * pattern: `ok=false` rows are auditable, never exceptions — a null
+    * payload is `ok=false` like any other undecodable row). A SCALAR
+    * UDF: it stays in the scan-side projection (no shuffle, no extra
+    * stage) but DOES close the whole-stage-codegen span at that
+    * projection — the codec is imperative JVM code, so a codegen'd
+    * native `Expression` would wrap the identical black-box call and
+    * buy nothing. */
   def mediaMeta(df: DataFrame, dataCol: String): DataFrame = {
     val meta = udf((bytes: Array[Byte]) =>
       decodeContainer(bytes) match {
