@@ -13,6 +13,7 @@ import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Ann
 import graft.analytics.Sketches
+import graft.images.MediaOps
 import graft.ml.Clustering
 import graft.operators.Joins
 
@@ -65,6 +66,19 @@ object Queries {
       "graft_q6sig", s"$base/q6sig")
     TextAnalysis.writeLmStore(store, "text", "graft_q6lm",
       s"$base/q6lm")
+  }
+
+  /** GVID media containers derived from `documents` for the v1/v2
+    * media-family oracles: payload = the doc's UTF-8 text bytes, header
+    * from `mk`'s doc_id arithmetic (mirrored in the DuckDB twins).
+    * Scalar UDF by design — imperative byte packing for fixture
+    * construction (see the v1/v2 block comment). */
+  private def gvidMedia(s: SparkSession, dir: String)
+                       (mk: (Long, Array[Byte]) => Array[Byte]): DataFrame = {
+    val build = udf((docId: Long, text: String) =>
+      if (text == null) null else mk(docId, text.getBytes("UTF-8")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), build(col("doc_id"), col("text")).as("media"))
   }
 
   /** events.parquet's `ts` has shipped as TIMESTAMP(NANOS) (arrives as a
@@ -5916,7 +5930,131 @@ object Queries {
             CAST(min($c) AS VARCHAR) AS min_v,
             CAST(max($c) AS VARCHAR) AS max_v FROM documents""")
         per.mkString("", " UNION ALL ", " ORDER BY column_name")
-      })
+      }),
+
+    // ---- V1/V2: the multimodal media family under the oracle gate ----
+    // The GVID containers are DERIVED deterministically from `documents`
+    // (payload = UTF-8 text bytes; header params from doc_id arithmetic)
+    // because the oracle contract is "DuckDB over the same parquet
+    // tables" — the twin rebuilds the identical payload with
+    // hex(encode(text)) arithmetic, so the REAL binary-column decode +
+    // exact rational-time sampling path (MediaOps, the engine's
+    // video/audio plumbing beyond the reference's images-only scope,
+    // utils.py:31-36) runs end-to-end and every emitted byte is
+    // hash-checked. Container construction uses a scalar UDF on
+    // purpose: encodeContainer is imperative byte packing — fixture
+    // construction, not a hot-path expression (production ingests
+    // containers from binaryFile scans; see SCALE.md "Binary ingest").
+    // Frames leave as HEX STRINGS: raw binary output cannot hash-match
+    // across the gate (pyarrow renders Spark binary as `bytes`, DuckDB
+    // .df() renders BLOB as `bytearray` — different str() forms);
+    // both engines' hex() is uppercase.
+    QueryDef("v1_frame_sample",
+      (s, dir) => {
+        val media = gvidMedia(s, dir) { (id, pl) =>
+          val fb = (3 + id % 4).toInt      // frame bytes 3..6
+          val num = (10 + id % 21).toInt   // fps 10..30 over den 1..2
+          val den = (1 + id % 2).toInt
+          val n = math.min(pl.length / fb, 40)
+          MediaOps.encodeContainer(MediaOps.Container(num, den, n, fb,
+            java.util.Arrays.copyOf(pl, n * fb)))
+        }
+        MediaOps.frameSample(media, "doc_id", "media", everyMs = 75L)
+          .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+            hex(col("frame")).as("frame_hex"))
+          .orderBy("doc_id", "ts_ms")
+      },
+      // sampled frame at t = k·75 ms is floor(t·num/(1000·den)); the
+      // range bound (n·1000·den)//(75·num)+1 covers the last k with
+      // frame < n (k·75·num < n·1000·den ⟺ k < n·1000·den/(75·num))
+      Some("""WITH base AS (
+          SELECT doc_id, encode(text) AS pl,
+            3 + doc_id % 4 AS fb,
+            10 + doc_id % 21 AS num,
+            1 + doc_id % 2 AS den
+          FROM documents WHERE text IS NOT NULL),
+        dims AS (
+          SELECT doc_id, hex(pl) AS hx, fb, num, den,
+            least(octet_length(pl) // fb, 40) AS n
+          FROM base),
+        ks AS (
+          SELECT doc_id, hx, fb, num, den, n,
+            unnest(range(0, (n * 1000 * den) // (75 * num) + 1)) AS k
+          FROM dims)
+        SELECT doc_id,
+          CAST((k * 75 * num) // (1000 * den) AS INT) AS frame_idx,
+          CAST(k * 75 AS BIGINT) AS ts_ms,
+          substr(hx,
+            CAST(((k * 75 * num) // (1000 * den)) * fb * 2 + 1 AS BIGINT),
+            fb * 2) AS frame_hex
+        FROM ks
+        WHERE (k * 75 * num) // (1000 * den) < n
+        ORDER BY doc_id, ts_ms""")),
+
+    // PCM16 BE samples from the same text bytes; every 5th doc is a
+    // 1 Hz container whose 1000 ms sample period dwarfs the 50 ms
+    // window — the empty-slot jump path runs under the oracle, with the
+    // twin stepping EVERY slot and dropping empty groups (the group-by
+    // over unnested samples does that naturally). Features are the
+    // integer-exact evidence triple; zero crossings via lag() within
+    // (doc, window) — window-local, like the engine.
+    QueryDef("v2_audio_features",
+      (s, dir) => {
+        val media = gvidMedia(s, dir) { (id, pl) =>
+          // sample rate 40..120 Hz; every 5th doc 1 Hz (skip path)
+          val num = if (id % 5 == 0) 1 else (40 + (id % 11) * 8).toInt
+          val n = math.min(pl.length / 2, 64)
+          MediaOps.encodeContainer(MediaOps.Container(num, 1, n, 2,
+            java.util.Arrays.copyOf(pl, n * 2)))
+        }
+        MediaOps.audioFeatures(media, "doc_id", "media", windowMs = 50L)
+          .orderBy("doc_id", "win_idx")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, encode(text) AS pl,
+            CASE WHEN doc_id % 5 = 0 THEN 1
+                 ELSE 40 + (doc_id % 11) * 8 END AS num
+          FROM documents WHERE text IS NOT NULL),
+        dims AS (
+          SELECT doc_id, hex(pl) AS hx, num,
+            least(octet_length(pl) // 2, 64) AS n
+          FROM base),
+        ks AS (
+          SELECT doc_id, hx, num, n,
+            unnest(range(0, (n * 1000) // (num * 50) + 1)) AS k
+          FROM dims),
+        win AS (
+          SELECT doc_id, hx, num, n, k, k * 50 AS ts_ms,
+            (k * 50 * num) // 1000 AS s0,
+            least(((k + 1) * 50 * num) // 1000, n) AS s1
+          FROM ks
+          WHERE (k * 50 * num) // 1000 < n),
+        smp AS (
+          SELECT doc_id, k, ts_ms, hx,
+            unnest(range(s0, s1)) AS i
+          FROM win),
+        vals AS (
+          SELECT doc_id, k, ts_ms, i,
+            CASE WHEN r >= 32768 THEN r - 65536 ELSE r END AS v
+          FROM (SELECT doc_id, k, ts_ms, i,
+              CAST(('0x' || substr(hx, CAST(i * 4 + 1 AS BIGINT), 4))
+                AS INT) AS r
+            FROM smp) q),
+        lagd AS (
+          SELECT doc_id, k, ts_ms, v,
+            lag(v) OVER (PARTITION BY doc_id, k ORDER BY i) AS pv
+          FROM vals)
+        SELECT doc_id,
+          CAST(k AS BIGINT) AS win_idx,
+          CAST(ts_ms AS BIGINT) AS ts_ms,
+          CAST(count(*) AS INT) AS n_samples,
+          CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+          CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+            THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+          CAST(max(abs(v)) AS INT) AS peak_abs
+        FROM lagd
+        GROUP BY doc_id, k, ts_ms
+        ORDER BY doc_id, win_idx"""))
   )
 
   /** The reference's core ETL query (extract → enrich → filter → limit,
