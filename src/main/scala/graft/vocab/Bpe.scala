@@ -67,10 +67,42 @@ object Bpe {
     * merge order — fewer than `nMerges` when the histogram runs out of
     * adjacent pairs. The histogram is persisted for the loop and every
     * intermediate is released before returning (the per-call cache
-    * ownership contract of the dedup family). */
+    * ownership contract of the dedup family).
+    *
+    * BATCHED SELECTION (identical output to one-at-a-time greedy):
+    * each round collects the top-`batchPrefetch` candidate pairs in
+    * the global order (count desc, left asc, right asc) and selects
+    * the maximal PREFIX (stop at the first violation — skipping would
+    * change the greedy sequence) in which
+    *  1. pairs are pairwise SYMBOL-DISJOINT — a merge only rewrites
+    *     adjacencies touching its own symbols, so a disjoint pair's
+    *     count is invariant under the earlier merges of the batch, and
+    *     the batch's replaces commute (applied as one fused job);
+    *  2. each count strictly exceeds a running bound B on the largest
+    *     pair count any earlier batch merge could CREATE: merging
+    *     (a,b) only creates pairs (x,ab)/(ab,y), whose counts are
+    *     ≤ occ("x a b") ≤ count(x,a) resp. ≤ count(b,y) — so B
+    *     accumulates the max count over candidate pairs ADJACENT to
+    *     each selected pair (right symbol = a, or left symbol = b —
+    *     a self-pair a=b matches its own filter, so the (aa,aa) run
+    *     cascade is bounded by its own count with no special case),
+    *     falling back to the truncation floor (the last collected
+    *     count) for adjacent pairs below the cut.
+    * Old pairs never increase (old-symbol adjacencies are destroyed,
+    * never created), pairs outside the prefix are strictly behind in
+    * the total order with only-decreasing counts, and new pairs stay
+    * ≤ B < the selected count — so each batch member is exactly the
+    * pair the sequential recount would have picked, and ties with an
+    * unknowable new-pair name can't arise (strict >). A 10k-merge run
+    * costs ~10²–10³ Spark jobs instead of 10⁴; `batchPrefetch = 1`
+    * degenerates to the pre-batching one-pair-per-job loop (floor =
+    * the single count forces a batch of one) — the spec's reference
+    * path. */
   def learnMerges(words: DataFrame, wordCol: String, countCol: String,
-                  nMerges: Int): Seq[(String, String, Long)] = {
+                  nMerges: Int, batchPrefetch: Int = 512)
+  : Seq[(String, String, Long)] = {
     require(nMerges >= 0, "nMerges must be non-negative")
+    require(batchPrefetch >= 1, "batchPrefetch must be >= 1")
     var cur = words
       .select(spaced(col(wordCol)).as("s"),
         col(countCol).cast("long").as("n"))
@@ -80,17 +112,39 @@ object Bpe {
       .empty[(String, String, Long)]
     var exhausted = false
     while (out.length < nMerges && !exhausted) {
-      val top = pairCounts(cur)
+      val cand = pairCounts(cur)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(batchPrefetch).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) exhausted = true
       else {
-        val (a, b, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((a, b, c))
+        // below-cut pairs are ≤ floor in count; 0 when the table fit
+        val floor = if (cand.length == batchPrefetch) cand.last._3 else 0L
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var bound = 0L
+        val batch = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var stop = false
+        val it = cand.iterator
+        while (!stop && it.hasNext && out.length + batch.length < nMerges) {
+          val (a, b, c) = it.next()
+          if (used(a) || used(b) || c <= bound) stop = true
+          else {
+            batch += ((a, b, c)); used += a; used += b
+            // the filter matches (a,b) itself when a = b, so the
+            // self-pair (aa,aa)-cascade bound (its own count) is
+            // covered without a special case
+            val adjMax = cand.iterator
+              .filter { case (x, y, _) => y == a || x == b }
+              .map(_._3).foldLeft(floor)(math.max)
+            bound = math.max(bound, adjMax)
+          }
+        }
+        out ++= batch
         val next = cur
-          .select(replace(col("s"), lit(s" $a $b "), lit(s" $a$b "))
-            .as("s"), col("n"))
+          .select(batch.foldLeft(col("s")) { case (acc, (a, b, _)) =>
+            replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+          }.as("s"), col("n"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before releasing the parent
         cur.unpersist(blocking = false)

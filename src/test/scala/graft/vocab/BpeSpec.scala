@@ -77,6 +77,27 @@ class BpeSpec extends SparkSpec {
     cmp.filter(col("a") =!= col("b")).count() shouldBe 0L
   }
 
+  test("batched merge selection (default) is merge-for-merge identical " +
+    "to the one-pair-per-job loop (batchPrefetch = 1) — fixture and " +
+    "generated vocabularies, several prefetch sizes") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val w = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val vocab = (0 until 40).flatMap(i => w.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(500 + i.toLong)))
+      .groupBy(identity).map { case (s, xs) => (s, xs.size.toLong + 1L) }
+      .toSeq.toDF("w", "n")
+    for (df <- Seq(fixture, vocab)) {
+      val seq1 = Bpe.learnMerges(df, "w", "n", 25, batchPrefetch = 1)
+      for (prefetch <- Seq(2, 8, 512)) {
+        withClue(s"prefetch=$prefetch: ") {
+          Bpe.learnMerges(df, "w", "n", 25, prefetch) shouldBe seq1
+        }
+      }
+    }
+  }
+
   test("single-char and empty-ish words never pair; merge exhaustion " +
     "stops early; caches are released") {
     import spark.implicits._
