@@ -13,16 +13,18 @@ import org.apache.spark.storage.StorageLevel
   * Training never touches corpus rows after the first count: the
   * corpus collapses to a (word, count) histogram in one token-keyed
   * shuffle (bounded by vocabulary size × partitions — the [[Vocab]]
-  * scale argument), and every merge iteration runs on that histogram:
-  * one map-combined pair-count aggregate, one `TakeOrderedAndProject`
-  * top-1, one driver collect of a SINGLE row (the Lloyd/PageRank
-  * driver-round discipline — the loop state is one merge rule, not
-  * data). At web scale the histogram is ~10⁷ rows regardless of corpus
-  * size, so a 30k-merge training run is 30k tiny jobs over megabytes;
-  * the classic optimization (incremental pair-count deltas instead of
-  * recounts) trades that recount for driver state and is deliberately
-  * NOT taken — recounting keeps every iteration a stateless, re-runnable
-  * aggregate.
+  * scale argument), and every merge ROUND runs on that histogram: one
+  * map-combined pair-count aggregate, one `TakeOrderedAndProject`
+  * top-`batchPrefetch` (default 512), one driver collect of that
+  * bounded candidate table, from which a provably-safe PREFIX of
+  * merges applies as one fused job (see [[learnMerges]] — the
+  * Lloyd/PageRank driver-round discipline: the loop state is a short
+  * merge-rule batch, not data). At web scale the histogram is ~10⁷
+  * rows regardless of corpus size, so a 30k-merge training run is
+  * ~10²–10³ small jobs over megabytes; the classic optimization
+  * (incremental pair-count deltas instead of recounts) trades the
+  * recount for driver state and is deliberately NOT taken — recounting
+  * keeps every round a stateless, re-runnable aggregate.
   *
   * Symbol representation: a word is its symbols joined and WRAPPED by
   * single spaces (`" l o w "`), so a merge is one literal
@@ -128,7 +130,12 @@ object Bpe {
         val it = cand.iterator
         while (!stop && it.hasNext && out.length + batch.length < nMerges) {
           val (a, b, c) = it.next()
-          if (used(a) || used(b) || c <= bound) stop = true
+          // the round's FIRST pick is greedy's own top pair — correct
+          // unconditionally (and guarantees progress: a non-positive
+          // top count, e.g. zero-weight histogram rows, must not spin
+          // the loop on an empty batch)
+          if (batch.nonEmpty && (used(a) || used(b) || c <= bound))
+            stop = true
           else {
             batch += ((a, b, c)); used += a; used += b
             // the filter matches (a,b) itself when a = b, so the

@@ -98,6 +98,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("non-positive top pair counts still make progress (the round's " +
+    "first pick is unconditional — no empty-batch spin)") {
+    import spark.implicits._
+    // zero-weight rows: every pair count is 0, which the batched
+    // bound (starting at 0) would reject without the first-pick rule,
+    // spinning forever on an empty batch
+    val zero = Seq(("ab", 0L)).toDF("w", "n")
+    Bpe.learnMerges(zero, "w", "n", 1) shouldBe Seq(("a", "b", 0L))
+    // negative weights (count-delta histograms): same guarantee
+    val neg = Seq(("ab", -2L), ("cd", -5L)).toDF("w", "n")
+    Bpe.learnMerges(neg, "w", "n", 2) shouldBe Seq(
+      ("a", "b", -2L), ("c", "d", -5L))
+  }
+
   test("single-char and empty-ish words never pair; merge exhaustion " +
     "stops early; caches are released") {
     import spark.implicits._
