@@ -2455,6 +2455,99 @@ object Queries {
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
       }),
 
+    // ---- N11: INCREMENTAL IVF index (absorb batches, centroids pinned) --
+    // The ANN member of the incremental-store family (text d15/d25,
+    // image d17, LM m16, KMV m19, quantile m21): the index is built
+    // from an INITIAL corpus slice, later batches absorb against the
+    // PINNED centroid table (Ann.absorbIvfIndex — re-deriving centroids
+    // would move cell boundaries and orphan indexed vectors), and the
+    // absorb is REPLAYED in-query so the oracle also proves the
+    // at-least-once idempotence contract (the m21 discipline: a
+    // replayed batch must be a no-op, here by an id anti-join pruned to
+    // the touched cid directories). The oracle re-derives everything
+    // from scratch in SQL with centroids from the initial slice ONLY —
+    // any drift in pinning, assignment, replay handling, or probe
+    // selection flips the hash. Note the query vector (vec_id 0)
+    // arrives in the ABSORBED batch, so the result can only match if
+    // absorbed rows are genuinely probed alongside initial ones.
+    QueryDef("n11_ivf_incremental",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/ivfinc"
+        Ann.writeIvfIndex(e.filter(col("vec_id") >= 100),
+          "vec_id", "embedding", nCentroids = 8, out)
+        val batch = e.filter(col("vec_id") < 100)
+        Ann.absorbIvfIndex(s, out, batch, "vec_id", "embedding")
+        Ann.absorbIvfIndex(s, out, batch, "vec_id", "embedding") // replay
+        Ann.ivfTopKFromIndex(s, out, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
+          .orderBy(desc("cos_sim"), col("vec_id"))
+      },
+      Some {
+        val assignCos = cosineSql("e.embedding", "c.ce")
+        val probeCos = cosineSql("q.qe", "c.ce")
+        val finalCos = cosineSql("a.embedding", "q.qe")
+        s"""WITH cent AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id >= 100 ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $assignCos DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid, $probeCos AS cs FROM cent c, q
+            ORDER BY cs DESC, c.cid LIMIT 2)),
+        res AS (
+          SELECT a.vec_id, round($finalCos, 4) AS cos_sim
+          FROM assign a JOIN probes USING (cid), q)
+        SELECT vec_id, cos_sim FROM res
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+      }),
+
+    // ---- N12: IVF cell occupancy (the index-drift instrument) ----------
+    // The monitoring half of the n8/n11 serving loop: per-cell counts
+    // over the PERSISTED index after a build + absorb, every centroid
+    // present (empty cells included — drift shows up as skew and dead
+    // cells before it costs recall). Unlike n11's top-k (which probes
+    // 2 cells), this checks the FULL cell distribution, so the hash
+    // catches a mis-assigned vector anywhere in the index. The oracle
+    // re-derives assignment from scratch with centroids from the
+    // initial slice only — same CTEs as n11, aggregated instead of
+    // probed.
+    QueryDef("n12_ivf_cell_stats",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/ivfstats"
+        Ann.writeIvfIndex(e.filter(col("vec_id") >= 100),
+          "vec_id", "embedding", nCentroids = 8, out)
+        Ann.absorbIvfIndex(s, out, e.filter(col("vec_id") < 100),
+          "vec_id", "embedding")
+        Ann.ivfCellStats(s, out).orderBy("cid")
+      },
+      Some {
+        val assignCos = cosineSql("e.embedding", "c.ce")
+        s"""WITH cent AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id >= 100 ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $assignCos DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1)
+        SELECT c.cid, count(a.vec_id) AS n_vectors
+        FROM cent c LEFT JOIN assign a USING (cid)
+        GROUP BY c.cid ORDER BY c.cid"""
+      }),
+
     // ---- N9: product-quantization ADC top-k ----------------------------
     // The dimension-compression member of the ANN family (Jégou et al.
     // 2011; n4/n6 compress precision, n3/n8 prune candidates): vectors
@@ -5399,11 +5492,13 @@ object Queries {
 
     // ---- M12: BPE tokenizer training (Sennrich et al. 2016) ------------
     // Vocabulary learning, distributed over the WORD HISTOGRAM: the
-    // corpus collapses to (word, count) in one token shuffle, then each
-    // of 8 merge rounds is one map-combined pair-count aggregate + a
-    // 1-row top-1 collect (Bpe.learnMerges — the Lloyd/PageRank driver-
-    // round discipline; at web scale the histogram is vocabulary-sized
-    // regardless of corpus). Both engines share the " a b "→" ab "
+    // corpus collapses to (word, count) in one token shuffle, then the
+    // 8 merges learn in batched rounds — each round one map-combined
+    // pair-count aggregate + a bounded top-batchPrefetch collect from
+    // which a provably-safe greedy PREFIX applies as one fused job
+    // (Bpe.learnMerges — the Lloyd/PageRank driver-round discipline;
+    // at web scale the histogram is vocabulary-sized regardless of
+    // corpus). Both engines share the " a b "→" ab "
     // literal-replace merge (left-to-right non-overlapping = BPE's
     // leftmost-first greedy) and the (count desc, left, right) tie
     // rule, so they learn IDENTICAL merge tables; the oracle re-derives

@@ -299,6 +299,151 @@ object Ann {
       .limit(k)
   }
 
+  /** ABSORB a batch of vectors into an existing [[writeIvfIndex]] index
+    * — the incremental member of the ANN family (the d15/m19/m21 ingest
+    * loop applied to vector serving: embed shard → absorb → next shard).
+    * Centroids are PINNED from the initial build (they are the store's
+    * family state, never re-derived — re-deriving would silently move
+    * cell boundaries and orphan already-indexed vectors), so absorbing
+    * batches b₁…bₙ yields exactly the index a from-scratch
+    * [[writeIvfIndex]]-with-these-centroids over b₀ ∪ … ∪ bₙ would
+    * build: assignment is a pure per-row function of (vector,
+    * centroids). That algebra is what the n11 oracle checks from
+    * scratch in SQL after a REPLAYED absorb.
+    *
+    * Scale shape: one broadcast of the (tiny) centroid table, one
+    * map-only assignment pass over the batch (persisted for the call —
+    * the touched-cell collect and the append both consume it), one
+    * cid-partitioned append. IDEMPOTENT by default: a replayed batch
+    * (at-least-once foreachBatch retry, accidental double call) is
+    * dropped by an id anti-join against ONLY the touched cells — with
+    * pinned centroids an id's cell is a pure function of its vector, so
+    * a replay can only collide inside the cells the new assignment
+    * targets, and the guard read is planning-time partition-pruned to
+    * those `cid=…` directories (the n8 probe property). The touched-cid
+    * collect is bounded by the centroid count (kilobytes). Ids must be
+    * disjoint across DISTINCT batches (caller contract, as in the dedup
+    * stores); single writer assumed (check-then-append does not
+    * serialize concurrent absorbs). Dimension is the family parameter:
+    * a batch whose vectors don't match the centroid dimension is
+    * refused loudly, never half-absorbed. */
+  def absorbIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, batch: DataFrame,
+                     idCol: String, vecCol: String,
+                     idempotent: Boolean = true): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val dims = centroids.select(size(col("__ce")).as("d"))
+      .distinct().collect().map(_.getInt(0))
+    require(dims.length == 1, s"$path/centroids is not a writeIvfIndex " +
+      s"centroid table (vector dims ${dims.mkString(",")})")
+    val first = batch.select(size(col(vecCol)).as("d")).limit(1).collect()
+    if (first.isEmpty) return // empty batch: a no-op, not an error
+    require(first.head.getInt(0) == dims.head,
+      s"dimension mismatch: batch $vecCol has ${first.head.getInt(0)} " +
+        s"dims, index at $path has ${dims.head} — refusing to absorb " +
+        "into a store of a different embedding family")
+    val assigned = ivfAssignTo(batch, idCol, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fresh =
+        if (idempotent) {
+          // bounded by the centroid count — cells form the cid domain
+          val touched = assigned.select("cid").distinct().collect()
+            .map(_.get(0))
+          val existing = spark.read.parquet(s"$path/cells")
+            .filter(col("cid").isin(touched: _*)).select(col(idCol))
+          assigned.join(existing, Seq(idCol), "left_anti")
+        } else assigned
+      fresh.write.mode("append").partitionBy("cid")
+        .parquet(s"$path/cells")
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Per-cell occupancy of a [[writeIvfIndex]] index — the monitoring
+    * instrument the incremental loop ([[absorbIvfIndex]]) relies on:
+    * pinned centroids drift from the TRUE distribution as the corpus
+    * grows, and the drift shows up HERE first, as cell-size skew
+    * (one cell absorbing most of each batch) and dead cells
+    * (`n_vectors = 0`) — the signal to schedule a [[writeIvfIndex]]
+    * rebuild, and the direct driver of query cost (a probed cell's
+    * size IS the work its probe pays). Every centroid appears exactly
+    * once, empty cells included (a LEFT join from the centroid table —
+    * a groupBy of the cells alone would silently omit them).
+    *
+    * Scale shape: one map-combined count per cell (the reduce side is
+    * nCentroids rows, never corpus rows) joined to the kilobyte
+    * centroid table — the recall-counter discipline's cost: an
+    * aggregate over already-partitioned data, zero plan change to the
+    * index itself. */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    // cid rides back as a hive partition directory, so its parquet
+    // type is whatever partition inference picks — pin to LONG on
+    // both sides before the join
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long").as("cid"))
+    val counts = spark.read.parquet(s"$path/cells")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+    cents.join(counts, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+  }
+
+  /** Rewrite a [[writeIvfIndex]] cells table to `filesPerCell` files
+    * per cell directory — the maintenance verb the append-based store
+    * needs: every [[absorbIvfIndex]] adds files to each touched cell,
+    * and after thousands of micro-batches the probe read pays file-open
+    * and listing cost ("small files") instead of scan cost. Compaction
+    * changes LAYOUT only: rows, cell assignment, and query results are
+    * untouched (spec-pinned), so it can run on any cadence.
+    *
+    * Shape: one cid-clustered shuffle per salt slice (`filesPerCell`
+    * passes — each writes exactly ONE file per non-empty (cell, salt),
+    * so the per-cell file count is deterministic; a single salted
+    * shuffle would let hash placement collapse a cell's salts into one
+    * task and silently merge the files the salt was meant to split),
+    * then an
+    * FS-agnostic three-step swap (write beside → rename old to backup →
+    * rename new into place — the R3 checkpoint machinery; object-store
+    * renames are copies, so prefer a quiet window there). The swap is
+    * NOT atomic: a crash between the two renames leaves the backup but
+    * no live table, and the NEXT call self-heals by renaming the backup
+    * back before proceeding (same at-least-once posture as absorb's
+    * anti-join). Single writer assumed, like every store: don't compact
+    * under a live absorb. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1: $filesPerCell")
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/cells")
+    val bak = new Path(s"$path/cells__precompact")
+    val tmp = new Path(s"$path/cells__compacting")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(bak)) {
+      // a previous compaction crashed between its two renames: the
+      // backup IS the last complete table — restore it and carry on
+      require(fs.rename(bak, live), s"crash recovery: rename $bak -> " +
+        s"$live failed — restore the cells table manually")
+    }
+    fs.delete(tmp, true) // leftover of an interrupted write, never live
+    val cells = spark.read.parquet(live.toString)
+    val idCol = cells.columns.filter(c => c != "cid").head
+    (0 until filesPerCell).foreach { s =>
+      cells.filter(pmod(xxhash64(col(idCol)), lit(filesPerCell)) === s)
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid")
+        .parquet(tmp.toString)
+    }
+    fs.delete(bak, true) // a fully-swapped older backup, superseded
+    require(fs.rename(live, bak),
+      s"compaction swap: rename $live -> $bak failed")
+    require(fs.rename(tmp, live),
+      s"compaction swap: rename $tmp -> $live failed — the previous " +
+        s"table is intact at $bak; the next call self-heals")
+    fs.delete(bak, true)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic dedup by
     * clustering embeddings FIRST and searching for duplicates only

@@ -150,6 +150,122 @@ class AnnSpec extends SparkSpec {
       include("PartitionFilters")
   }
 
+  test("incremental IVF: absorb against pinned centroids equals the " +
+    "from-scratch assignment; a replayed batch and an empty batch are " +
+    "no-ops; a different-dimension batch is refused before any write") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = "/tmp/graft_sinks/spec/ivfinc"
+    val init = emb.filter(col("vec_id") >= 100)
+    Ann.writeIvfIndex(init, "vec_id", "embedding", nCentroids = 8, path)
+    val batch = emb.filter(col("vec_id") < 100)
+    Ann.absorbIvfIndex(spark, path, batch, "vec_id", "embedding")
+    def cells = spark.read.parquet(s"$path/cells")
+    val total = emb.count()
+    cells.count() shouldBe total
+    // replay (at-least-once retry): self-healing no-op
+    Ann.absorbIvfIndex(spark, path, batch, "vec_id", "embedding")
+    cells.count() shouldBe total
+    // empty batch: a no-op, not an error
+    Ann.absorbIvfIndex(spark, path, emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding")
+    cells.count() shouldBe total
+    // incremental index ≡ assigning the WHOLE corpus to the pinned
+    // centroids in one pass (cid rides back as a partition directory —
+    // cast for the compare)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val got = cells.select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = Ann.ivfAssignTo(emb, "vec_id", "embedding",
+        broadcast(cent)).select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    got shouldBe want
+    // family guard: an 8-dim batch against a 64-dim index is refused
+    // loudly and writes nothing
+    val bad = emb.limit(3)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Ann.absorbIvfIndex(spark, path, bad, "vec_id", "embedding")
+    }
+    ex.getMessage should include("dimension mismatch")
+    cells.count() shouldBe total
+  }
+
+  test("cell stats cover every centroid (dead cells at 0) and match a " +
+    "direct recount; compaction collapses absorb-created files without " +
+    "changing rows or query results; a crashed swap self-heals") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = "/tmp/graft_sinks/spec/ivfcompact"
+    Ann.writeIvfIndex(emb.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", nCentroids = 8, path)
+    Seq((0L, 40L), (40L, 80L), (80L, 100L)).foreach { case (lo, hi) =>
+      Ann.absorbIvfIndex(spark, path,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+        "vec_id", "embedding")
+    }
+    val stats = Ann.ivfCellStats(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    stats.size shouldBe 8
+    stats.values.sum shouldBe emb.count()
+    def cells = spark.read.parquet(s"$path/cells")
+    val direct = cells.groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    stats.filter(_._2 > 0L) shouldBe direct
+    def filesPerCid: Map[Long, Int] = stats.keys.map { cid =>
+      val d = new java.io.File(s"$path/cells/cid=$cid")
+      cid -> (if (d.isDirectory)
+        d.listFiles().count(_.getName.endsWith(".parquet")) else 0)
+    }.toMap
+    // the initial build + three absorbs left multi-file cells behind
+    filesPerCid.values.max should be > 1
+    val rowsBefore = cells.select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+    val servedBefore = Ann.ivfTopKFromIndex(spark, path, "vec_id",
+        "embedding", query, "embedding", k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Ann.compactIvfIndex(spark, path)
+    filesPerCid.values.toSet shouldBe Set(1) // exactly one file per cell
+    cells.select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted shouldBe rowsBefore
+    Ann.ivfTopKFromIndex(spark, path, "vec_id", "embedding", query,
+        "embedding", k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq shouldBe servedBefore
+    new java.io.File(s"$path/cells__precompact").exists() shouldBe false
+    new java.io.File(s"$path/cells__compacting").exists() shouldBe false
+    // filesPerCell splits large cells, never exceeds the cap
+    Ann.compactIvfIndex(spark, path, filesPerCell = 2)
+    all(filesPerCid.values) should be <= 2
+    filesPerCid.values.max shouldBe 2 // some cell is big enough to split
+    // crash window: live table renamed to backup, new table not yet in
+    // place — the next call must restore the backup and then compact
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells"),
+      new org.apache.hadoop.fs.Path(s"$path/cells__precompact")) shouldBe
+      true
+    Ann.compactIvfIndex(spark, path)
+    filesPerCid.values.toSet shouldBe Set(1)
+    cells.select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted shouldBe rowsBefore
+    // dead cells: duplicate centroid vectors tie-break to the lower
+    // cid, leaving the higher cid's cell empty — stats must still show
+    // it, at 0 (a groupBy of the cells alone would omit the row)
+    val dupPath = "/tmp/graft_sinks/spec/ivfdead"
+    val dup = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    Ann.writeIvfIndex(dup, "vec_id", "embedding", nCentroids = 2, dupPath)
+    val dead = Ann.ivfCellStats(spark, dupPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    dead shouldBe Map(0L -> 4L, 1L -> 0L)
+  }
+
   test("quantized rerank: equals brute force when candidates cover the " +
     "corpus; subset of its scores otherwise") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")

@@ -500,6 +500,53 @@ class StreamsSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("IVF index absorbs a micro-batched embedding stream (n11's " +
+    "ingest loop via foreachBatch, with a replayed batch): the served " +
+    "index equals the one-pass batch build at the same parameters") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val path = "/tmp/graft_test_sinks/stream_ivfinc"
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => math.cos(0.37 * i * (d + 1)).toFloat)
+    val all = (0L until 60L).map(i => (i, vec(i)))
+    val init = all.filter(_._1 < 20)
+    // REPLAYED middle batch = the at-least-once delivery a streaming
+    // sink must survive; absorb's anti-join makes it a no-op
+    val batches = Seq(all.filter(t => t._1 >= 20 && t._1 < 40),
+      all.filter(_._1 >= 40), all.filter(t => t._1 >= 20 && t._1 < 40))
+    graft.similarity.Ann.writeIvfIndex(init.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.similarity.Ann.absorbIvfIndex(spark, path, batch,
+          "vec_id", "embedding")
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      spark.read.parquet(s"$path/cells").count() shouldBe 60L
+      // the batch build derives centroids from the 4 lowest ids, all of
+      // which sit in the initial slice — so pinned == derived and the
+      // served index must answer exactly like the one-pass path
+      val query = Seq(Tuple1(vec(45L))).toDF("qe")
+      val served = graft.similarity.Ann.ivfTopKFromIndex(spark, path,
+          "vec_id", "embedding", query, "qe", k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val onePass = graft.similarity.Ann.ivfTopK(
+          all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          query, "qe", k = 5, nCentroids = 4, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      served shouldBe onePass
+      served.head._1 shouldBe 45L // the streamed-in vector finds itself
+    } finally gracefulStop(q)
+  }
+
   test("substring store absorbs a micro-batched crawl: each batch is " +
     "deduped against the store then absorbed (d25's ingest loop via " +
     "foreachBatch) — kept rows over all batches equal the batch " +
