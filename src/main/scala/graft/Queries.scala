@@ -313,6 +313,47 @@ object Queries {
       s"ELSE $d / ($na * $nb) END"
   }
 
+  /** Shared n3/n8/n11/n12 oracle prefix: deterministic IVF centroids
+    * (the 8 lowest ids of the `centWhere` slice — empty string = whole
+    * corpus) + full-corpus nearest-centroid assignment, mirroring
+    * `Ann.ivfCentroids` / `ivfAssignTo` (cosine tie → lower cid).
+    * `tail` continues after the `assign` CTE (leading "," if it adds
+    * CTEs). One text, four queries — a change to the assignment tie
+    * rule or cosine spelling cannot desynchronize the family (the
+    * lshVerifiedCtes discipline). */
+  private def ivfOracleSql(centWhere: String, tail: String): String = {
+    val assignCos = cosineSql("e.embedding", "c.ce")
+    s"""WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      $centWhere ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY $assignCos DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1)$tail"""
+  }
+
+  /** The probe + top-k tail shared by n3/n8/n11: query vector = vec_id
+    * 0 (n11 absorbs it in a later batch — the result can only match if
+    * absorbed rows are genuinely probed), nProbe 2, k 10. */
+  private def ivfTopKTailSql: String = {
+    val probeCos = cosineSql("q.qe", "c.ce")
+    val finalCos = cosineSql("a.embedding", "q.qe")
+    s""",
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid, $probeCos AS cs FROM cent c, q
+        ORDER BY cs DESC, c.cid LIMIT 2)),
+    res AS (
+      SELECT a.vec_id, round($finalCos, 4) AS cos_sim
+      FROM assign a JOIN probes USING (cid), q)
+    SELECT vec_id, cos_sim FROM res
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   /** Exact decimal sum of a double column, back to double. */
   private def dsumSql(e: String): String =
     // decimal → VARCHAR → DOUBLE, not decimal → DOUBLE: DuckDB's direct
@@ -2385,31 +2426,7 @@ object Queries {
           k = 10, nCentroids = 8, nProbe = 2)
           .orderBy(desc("cos_sim"), col("vec_id"))
       },
-      Some {
-        val assignCos = cosineSql("e.embedding", "c.ce")
-        val probeCos = cosineSql("q.qe", "c.ce")
-        val finalCos = cosineSql("a.embedding", "q.qe")
-        s"""WITH cent AS (
-          SELECT vec_id AS cid, embedding AS ce FROM embeddings
-          ORDER BY vec_id LIMIT 8),
-        assign AS (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $assignCos DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN cent c)
-          WHERE rn = 1),
-        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        probes AS (
-          SELECT cid FROM (
-            SELECT c.cid, $probeCos AS cs FROM cent c, q
-            ORDER BY cs DESC, c.cid LIMIT 2)),
-        res AS (
-          SELECT a.vec_id, round($finalCos, 4) AS cos_sim
-          FROM assign a JOIN probes USING (cid), q)
-        SELECT vec_id, cos_sim FROM res
-        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
-      }),
+      Some(ivfOracleSql("", ivfTopKTailSql))),
 
     // ---- N8: IVF top-k against a PERSISTED index -----------------------
     // The ANN serving shape: assignment runs once at build time, the
@@ -2429,31 +2446,7 @@ object Queries {
           e.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
           .orderBy(desc("cos_sim"), col("vec_id"))
       },
-      Some {
-        val assignCos = cosineSql("e.embedding", "c.ce")
-        val probeCos = cosineSql("q.qe", "c.ce")
-        val finalCos = cosineSql("a.embedding", "q.qe")
-        s"""WITH cent AS (
-          SELECT vec_id AS cid, embedding AS ce FROM embeddings
-          ORDER BY vec_id LIMIT 8),
-        assign AS (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $assignCos DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN cent c)
-          WHERE rn = 1),
-        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        probes AS (
-          SELECT cid FROM (
-            SELECT c.cid, $probeCos AS cs FROM cent c, q
-            ORDER BY cs DESC, c.cid LIMIT 2)),
-        res AS (
-          SELECT a.vec_id, round($finalCos, 4) AS cos_sim
-          FROM assign a JOIN probes USING (cid), q)
-        SELECT vec_id, cos_sim FROM res
-        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
-      }),
+      Some(ivfOracleSql("", ivfTopKTailSql))),
 
     // ---- N11: INCREMENTAL IVF index (absorb batches, centroids pinned) --
     // The ANN member of the incremental-store family (text d15/d25,
@@ -2484,31 +2477,7 @@ object Queries {
           e.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
           .orderBy(desc("cos_sim"), col("vec_id"))
       },
-      Some {
-        val assignCos = cosineSql("e.embedding", "c.ce")
-        val probeCos = cosineSql("q.qe", "c.ce")
-        val finalCos = cosineSql("a.embedding", "q.qe")
-        s"""WITH cent AS (
-          SELECT vec_id AS cid, embedding AS ce FROM embeddings
-          WHERE vec_id >= 100 ORDER BY vec_id LIMIT 8),
-        assign AS (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $assignCos DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN cent c)
-          WHERE rn = 1),
-        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        probes AS (
-          SELECT cid FROM (
-            SELECT c.cid, $probeCos AS cs FROM cent c, q
-            ORDER BY cs DESC, c.cid LIMIT 2)),
-        res AS (
-          SELECT a.vec_id, round($finalCos, 4) AS cos_sim
-          FROM assign a JOIN probes USING (cid), q)
-        SELECT vec_id, cos_sim FROM res
-        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
-      }),
+      Some(ivfOracleSql("WHERE vec_id >= 100", ivfTopKTailSql))),
 
     // ---- N12: IVF cell occupancy (the index-drift instrument) ----------
     // The monitoring half of the n8/n11 serving loop: per-cell counts
@@ -2531,22 +2500,10 @@ object Queries {
           "vec_id", "embedding")
         Ann.ivfCellStats(s, out).orderBy("cid")
       },
-      Some {
-        val assignCos = cosineSql("e.embedding", "c.ce")
-        s"""WITH cent AS (
-          SELECT vec_id AS cid, embedding AS ce FROM embeddings
-          WHERE vec_id >= 100 ORDER BY vec_id LIMIT 8),
-        assign AS (
-          SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $assignCos DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN cent c)
-          WHERE rn = 1)
+      Some(ivfOracleSql("WHERE vec_id >= 100", """
         SELECT c.cid, count(a.vec_id) AS n_vectors
         FROM cent c LEFT JOIN assign a USING (cid)
-        GROUP BY c.cid ORDER BY c.cid"""
-      }),
+        GROUP BY c.cid ORDER BY c.cid"""))),
 
     // ---- N9: product-quantization ADC top-k ----------------------------
     // The dimension-compression member of the ANN family (Jégou et al.

@@ -325,8 +325,12 @@ object Ann {
     * disjoint across DISTINCT batches (caller contract, as in the dedup
     * stores); single writer assumed (check-then-append does not
     * serialize concurrent absorbs). Dimension is the family parameter:
-    * a batch whose vectors don't match the centroid dimension is
-    * refused loudly, never half-absorbed. */
+    * EVERY row is checked (the jlProject per-row guard, not a sampled
+    * row — a mixed batch would otherwise null its bad rows' cosines
+    * against every centroid and silently assign them to the lowest
+    * cid), so a wrong-dimension or null vector anywhere in the batch
+    * fails the job before anything commits — refused loudly, never
+    * half-absorbed. */
   def absorbIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String, batch: DataFrame,
                      idCol: String, vecCol: String,
@@ -336,13 +340,17 @@ object Ann {
       .distinct().collect().map(_.getInt(0))
     require(dims.length == 1, s"$path/centroids is not a writeIvfIndex " +
       s"centroid table (vector dims ${dims.mkString(",")})")
-    val first = batch.select(size(col(vecCol)).as("d")).limit(1).collect()
-    if (first.isEmpty) return // empty batch: a no-op, not an error
-    require(first.head.getInt(0) == dims.head,
-      s"dimension mismatch: batch $vecCol has ${first.head.getInt(0)} " +
-        s"dims, index at $path has ${dims.head} — refusing to absorb " +
-        "into a store of a different embedding family")
-    val assigned = ivfAssignTo(batch, idCol, vecCol, centroids)
+    if (batch.isEmpty) return // empty batch: a no-op, not an error
+    val guarded = batch.withColumn(vecCol,
+      when(col(vecCol).isNotNull && size(col(vecCol)) === dims.head,
+        col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"dimension mismatch: index at $path holds ${dims.head}" +
+            s"-dim vectors but a batch $vecCol has length "),
+          coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
+          lit(" — refusing to absorb into a store of a different " +
+            "embedding family")))))
+    val assigned = ivfAssignTo(guarded, idCol, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val fresh =
@@ -429,12 +437,18 @@ object Ann {
     fs.delete(tmp, true) // leftover of an interrupted write, never live
     val cells = spark.read.parquet(live.toString)
     val idCol = cells.columns.filter(c => c != "cid").head
-    (0 until filesPerCell).foreach { s =>
-      cells.filter(pmod(xxhash64(col(idCol)), lit(filesPerCell)) === s)
-        .repartition(col("cid"))
-        .write.mode("append").partitionBy("cid")
-        .parquet(tmp.toString)
-    }
+    // each salt pass is its own write job — persist so the table is
+    // scanned once, not filesPerCell times (released before the swap)
+    if (filesPerCell > 1)
+      cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until filesPerCell).foreach { s =>
+        cells.filter(pmod(xxhash64(col(idCol)), lit(filesPerCell)) === s)
+          .repartition(col("cid"))
+          .write.mode("append").partitionBy("cid")
+          .parquet(tmp.toString)
+      }
+    } finally if (filesPerCell > 1) cells.unpersist(blocking = false)
     fs.delete(bak, true) // a fully-swapped older backup, superseded
     require(fs.rename(live, bak),
       s"compaction swap: rename $live -> $bak failed")

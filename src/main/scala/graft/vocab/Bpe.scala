@@ -99,7 +99,17 @@ object Bpe {
     * costs ~10²–10³ Spark jobs instead of 10⁴; `batchPrefetch = 1`
     * degenerates to the pre-batching one-pair-per-job loop (floor =
     * the single count forces a batch of one) — the spec's reference
-    * path. */
+    * path.
+    *
+    * The bound proof's inequality occ(new pair) ≤ count(old pair)
+    * holds only when every histogram weight is ≥ 0: a negative-weight
+    * row can MASK positive occurrence mass (count(x,a) small while
+    * occ(" x a b ") is large), letting the batch admit a pair the
+    * sequential recount would not have picked next. So a histogram
+    * with any negative weight (count-delta inputs) is detected up
+    * front (one tiny aggregate on the persisted histogram) and runs
+    * the sequential one-pair-per-round loop, which never consults the
+    * bound — correct for any weights, just unbatched. */
   def learnMerges(words: DataFrame, wordCol: String, countCol: String,
                   nMerges: Int, batchPrefetch: Int = 512)
   : Seq[(String, String, Long)] = {
@@ -110,18 +120,24 @@ object Bpe {
         col(countCol).cast("long").as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cur.count()
+    // batching is sound only for non-negative weights (see scaladoc);
+    // a count-delta histogram falls back to one pair per round
+    val minRow = cur.agg(min(col("n"))).collect().head
+    val prefetch =
+      if (!minRow.isNullAt(0) && minRow.getLong(0) < 0L) 1
+      else batchPrefetch
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
     var exhausted = false
     while (out.length < nMerges && !exhausted) {
       val cand = pairCounts(cur)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(batchPrefetch).collect()
+        .limit(prefetch).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cand.isEmpty) exhausted = true
       else {
         // below-cut pairs are ≤ floor in count; 0 when the table fit
-        val floor = if (cand.length == batchPrefetch) cand.last._3 else 0L
+        val floor = if (cand.length == prefetch) cand.last._3 else 0L
         val used = scala.collection.mutable.HashSet.empty[String]
         var bound = 0L
         val batch = scala.collection.mutable.ArrayBuffer

@@ -181,14 +181,32 @@ class AnnSpec extends SparkSpec {
     got shouldBe want
     // family guard: an 8-dim batch against a 64-dim index is refused
     // loudly and writes nothing
-    val bad = emb.limit(3)
-      .select((col("vec_id") + 10000L).as("vec_id"),
-        slice(col("embedding"), 1, 8).as("embedding"))
-    val ex = intercept[IllegalArgumentException] {
-      Ann.absorbIvfIndex(spark, path, bad, "vec_id", "embedding")
+    def refused(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val ex = intercept[Exception] {
+        Ann.absorbIvfIndex(spark, path, batch, "vec_id", "embedding")
+      }
+      Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage)
+          .exists(_.contains("dimension mismatch"))) shouldBe true
+      cells.count() shouldBe total
     }
-    ex.getMessage should include("dimension mismatch")
-    cells.count() shouldBe total
+    refused(emb.limit(3)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding")))
+    // a MIXED batch — one good row, one bad — must refuse whole, not
+    // half-absorb (a sampled-row check would pass on the good row and
+    // silently assign the bad row's null cosines to the lowest cid)
+    refused(emb.limit(1)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+      .union(emb.limit(1)
+        .select((col("vec_id") + 30000L).as("vec_id"),
+          slice(col("embedding"), 1, 8).as("embedding"))))
+    // same for a null vector hiding behind good rows
+    refused(emb.limit(1)
+      .select((col("vec_id") + 40000L).as("vec_id"), col("embedding"))
+      .union(emb.limit(1)
+        .select((col("vec_id") + 50000L).as("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))))
   }
 
   test("cell stats cover every centroid (dead cells at 0) and match a " +

@@ -98,6 +98,19 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("mixed-sign weights disable batching: a negative-weight row " +
+    "masking positive occurrence mass must not let the batch skip the " +
+    "merge-created pair greedy would pick next") {
+    import spark.implicits._
+    // count(x,a) = 5 + (-4) = 1, but merging (a,b) creates (x,ab) with
+    // count 5 — the batch bound (built from count(x,a)) would admit
+    // (p,q,3) into (a,b)'s batch, while sequential greedy recounts and
+    // picks (x,ab,5). Only the sequential fallback is correct here.
+    val mixed = Seq(("xab", 5L), ("xa", -4L), ("pq", 3L)).toDF("w", "n")
+    Bpe.learnMerges(mixed, "w", "n", 2) shouldBe Seq(
+      ("a", "b", 5L), ("x", "ab", 5L))
+  }
+
   test("non-positive top pair counts still make progress (the round's " +
     "first pick is unconditional — no empty-batch spin)") {
     import spark.implicits._
