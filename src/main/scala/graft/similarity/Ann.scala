@@ -37,9 +37,24 @@ object Ann {
 
   /** Brute-force top-k by cosine against one query vector (an in-plan
     * 1-row DataFrame, broadcast-joined). Deterministic tiebreak on id. */
+  /** Fail LOUD on a multi-row query frame: every top-k entry point in
+    * this file crossJoins the query against corpus/centroid rows and
+    * takes ONE global top-k, so several query rows would silently mix
+    * all queries' cosines into meaningless results — the
+    * raise-don't-garble discipline (jlProject's inDim guard). One
+    * bounded job (`limit(2)` caps the scan); invoke the operator once
+    * per query vector — each probe is independent and the plans
+    * broadcast only the one-row query. */
+  private def requireSingleQuery(query: DataFrame, fn: String): Unit =
+    require(query.limit(2).count() == 1L,
+      s"$fn: query must be exactly ONE row (a single query vector) — " +
+        "with several rows the top-k would mix all queries' cosines; " +
+        "invoke per query row instead")
+
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      query: DataFrame, queryVecCol: String,
                      k: Int): DataFrame = {
+    requireSingleQuery(query, "bruteForceTopK")
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
     graft.util.Partitioning.spread(corpus).crossJoin(q)
       .select(col(idCol),
@@ -121,6 +136,7 @@ object Ann {
   def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
                     query: DataFrame, queryVecCol: String,
                     k: Int): DataFrame = {
+    requireSingleQuery(query, "quantizedTopK")
     val q = broadcast(quantizeInt8(
       query.select(col(queryVecCol).as("__qv")), "__qv", "__qq")
       .select("__qq"))
@@ -144,6 +160,8 @@ object Ann {
   def quantizedRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
                           query: DataFrame, queryVecCol: String,
                           k: Int, candidates: Int = 200): DataFrame = {
+    // single-query guard inherited: quantizedTopK runs first and
+    // refuses a multi-row frame before anything downstream sees it
     val cand = quantizedTopK(corpus, idCol, vecCol, query, queryVecCol,
       candidates).select(idCol)
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
@@ -240,6 +258,7 @@ object Ann {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    requireSingleQuery(query, "ivfTopK")
     val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids)
     val assigned = ivfAssignTo(corpus, idCol, vecCol, centroids)
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
@@ -284,6 +303,7 @@ object Ann {
                        path: String, idCol: String, vecCol: String,
                        query: DataFrame, queryVecCol: String,
                        k: Int, nProbe: Int = 2): DataFrame = {
+    requireSingleQuery(query, "ivfTopKFromIndex")
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
     val probeCids = q.crossJoin(centroids)
@@ -644,6 +664,7 @@ object Ann {
              codebook: DataFrame, cidCol: String, cvecCol: String,
              query: DataFrame, queryVecCol: String,
              m: Int, subDim: Int, k: Int): DataFrame = {
+    requireSingleQuery(query, "pqTopK")
     val cb = subRows(codebook.select(col(cidCol).as("__cid"),
       col(cvecCol).as("__cv")), Seq("__cid"), "__cv", m, subDim, "cv")
     val q = subRows(query.select(col(queryVecCol).as("__qv")),
@@ -745,16 +766,7 @@ object Ann {
              query: DataFrame, queryVecCol: String,
              inDim: Int, outDim: Int, candidates: Int, k: Int,
              seed: String = "jl"): DataFrame = {
-    // fail LOUD on a multi-row query frame: both crossJoins below mix
-    // every query row's cosines into ONE global top-k — meaningless
-    // results — so the single-vector contract gets the same
-    // raise-don't-garble discipline as jlProject's inDim guard. The
-    // check is one bounded job on a frame that is one row by contract
-    // (limit(2) caps the scan); call once per query vector.
-    require(query.limit(2).count() == 1L,
-      "jlTopK: query must be exactly ONE row (a single query vector) " +
-        "— with several rows the coarse and rerank top-k would mix " +
-        "all queries' cosines; invoke per query row instead")
+    requireSingleQuery(query, "jlTopK")
     val pc = jlProject(graft.util.Partitioning.spread(corpus),
       idCol, vecCol, inDim, outDim, seed)
     val pq = jlProject(query.select(col(queryVecCol).as("__qv"))

@@ -209,6 +209,39 @@ class AnnSpec extends SparkSpec {
           lit(null).cast("array<float>").as("embedding"))))
   }
 
+  test("every top-k entry point refuses a multi-row query frame loudly " +
+    "(raise-don't-garble: one global top-k over several query rows " +
+    "would silently mix their cosines)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q2 = emb.filter(col("vec_id") < 2).select("embedding")
+    val cb = emb.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val path = "/tmp/graft_sinks/spec/multiq_idx"
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", nCentroids = 8, path)
+    val calls: Seq[(String, () => Any)] = Seq(
+      ("bruteForceTopK", () => Ann.bruteForceTopK(
+        emb, "vec_id", "embedding", q2, "embedding", 5)),
+      ("quantizedTopK", () => Ann.quantizedTopK(
+        emb, "vec_id", "embedding", q2, "embedding", 5)),
+      ("quantizedRerankTopK", () => Ann.quantizedRerankTopK(
+        emb, "vec_id", "embedding", q2, "embedding", 5)),
+      ("ivfTopK", () => Ann.ivfTopK(
+        emb, "vec_id", "embedding", q2, "embedding", 5)),
+      ("ivfTopKFromIndex", () => Ann.ivfTopKFromIndex(
+        spark, path, "vec_id", "embedding", q2, "embedding", 5)),
+      ("pqTopK", () => Ann.pqTopK(emb, "vec_id", "embedding",
+        cb, "cid", "ce", q2, "embedding", m = 4, subDim = 16, k = 5)),
+      ("jlTopK", () => Ann.jlTopK(emb, "vec_id", "embedding",
+        q2, "embedding", inDim = 64, outDim = 16, candidates = 50,
+        k = 5)))
+    calls.foreach { case (name, f) =>
+      withClue(name) {
+        val ex = intercept[IllegalArgumentException](f())
+        ex.getMessage should include("exactly ONE row")
+      }
+    }
+  }
+
   test("cell stats cover every centroid (dead cells at 0) and match a " +
     "direct recount; compaction collapses absorb-created files without " +
     "changing rows or query results; a crashed swap self-heals") {
