@@ -195,6 +195,7 @@ object Ann {
   def bucketedTopK(corpus: DataFrame, idCol: String, vecCol: String,
                    query: DataFrame, queryVecCol: String,
                    k: Int, nBits: Int = 8): DataFrame = {
+    requireSingleQuery(query, "bucketedTopK")
     val q = broadcast(query.select(col(queryVecCol).as("__q"),
       signBucket(col(queryVecCol), nBits).as("__qb")))
     corpus.withColumn("__b", signBucket(col(vecCol), nBits))

@@ -221,6 +221,8 @@ class AnnSpec extends SparkSpec {
     val calls: Seq[(String, () => Any)] = Seq(
       ("bruteForceTopK", () => Ann.bruteForceTopK(
         emb, "vec_id", "embedding", q2, "embedding", 5)),
+      ("bucketedTopK", () => Ann.bucketedTopK(
+        emb, "vec_id", "embedding", q2, "embedding", 5)),
       ("quantizedTopK", () => Ann.quantizedTopK(
         emb, "vec_id", "embedding", q2, "embedding", 5)),
       ("quantizedRerankTopK", () => Ann.quantizedRerankTopK(
