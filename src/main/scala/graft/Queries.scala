@@ -2479,6 +2479,51 @@ object Queries {
       },
       Some(ivfOracleSql("WHERE vec_id >= 100", ivfTopKTailSql))),
 
+    // ---- N13: BATCH per-query IVF top-k ---------------------------------
+    // The keyed complement of the single-vector serving calls (n3/n8):
+    // a whole query batch runs as ONE plan, every stage partitioned by
+    // the query id so queries can never mix — probes are rank <= nProbe
+    // per query, the final cut rank <= k per query (the t19
+    // WindowGroupLimit machinery applied to search). Three queries here;
+    // the hash proves per-query probe selection AND per-query ranking
+    // against a from-scratch SQL derivation sharing the n3/n8/n11/n12
+    // assignment CTEs.
+    QueryDef("n13_ivf_batch_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
+          "/ivfbatch"
+        Ann.writeIvfIndex(e, "vec_id", "embedding", nCentroids = 8, out)
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        Ann.ivfTopKPerQuery(s, out, "vec_id", "embedding",
+          qs, "qid", "embedding", k = 5, nProbe = 2)
+          .orderBy(col("qid"), desc("cos_sim"), col("vec_id"))
+      },
+      Some {
+        val probeCos = cosineSql("q.qe", "c.ce")
+        val finalCos = cosineSql("a.embedding", "p.qe")
+        ivfOracleSql("", s""",
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < 3),
+        probes AS (
+          SELECT qid, qe, cid FROM (
+            SELECT q.qid, q.qe, c.cid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY $probeCos DESC, c.cid) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        res AS (
+          SELECT p.qid, a.vec_id, round($finalCos, 4) AS cos_sim
+          FROM assign a JOIN probes p USING (cid)),
+        ranked AS (
+          SELECT qid, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM res)
+        SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        ORDER BY qid, cos_sim DESC, vec_id""")
+      }),
+
     // ---- N12: IVF cell occupancy (the index-drift instrument) ----------
     // The monitoring half of the n8/n11 serving loop: per-cell counts
     // over the PERSISTED index after a build + absorb, every centroid

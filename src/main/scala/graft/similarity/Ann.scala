@@ -388,6 +388,59 @@ object Ann {
     } finally assigned.unpersist(blocking = false)
   }
 
+  /** Per-query IVF top-k for a BATCH of query vectors — the keyed,
+    * fully-distributed complement of the single-vector serving calls
+    * (whose guard tells a multi-row caller to come here). Every stage
+    * is keyed by `qidCol`, so queries can never mix: probes are
+    * rank ≤ nProbe PER QUERY over the broadcast centroid table,
+    * candidates equi-join the probe rows against the cells on cid, and
+    * the final cut is rank ≤ k PER QUERY — a Window whose `rn <= k`
+    * filter triggers InferWindowGroupLimit, so every map partition
+    * prunes each query to its own top-k BEFORE the shuffle (the t19
+    * per-key-cap machinery applied to search). The query frame is
+    * never collected: a thousand-query audit batch runs as ONE plan —
+    * index read once, queries × nProbe cells of candidate work — while
+    * AQE broadcasts the probe side whenever the batch is small.
+    *
+    * Query ids must be UNIQUE: a duplicated qid would merge two
+    * vectors' cosines under one key — the same silent-mixing hazard
+    * the single-vector guard exists for — so duplicates are refused
+    * loudly (one aggregate job bounded by the query count). */
+  def ivfTopKPerQuery(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String,
+                      queryVecCol: String,
+                      k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qidCol != idCol, s"ivfTopKPerQuery: qidCol and idCol are " +
+      s"both '$qidCol' — the output carries one column per role, " +
+      "rename the query id column (e.g. .as(\"qid\"))")
+    val dup = queries.groupBy(col(qidCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L).limit(1).collect()
+    require(dup.isEmpty, s"ivfTopKPerQuery: duplicate $qidCol " +
+      s"'${dup.headOption.map(_.get(0)).orNull}' in the query frame — " +
+      "two query vectors under one id would silently mix their cosines")
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val probeW = Window.partitionBy(col("__qid"))
+      .orderBy(desc("__cs"), col("cid"))
+    val probes = queries
+      .select(col(qidCol).as("__qid"), col(queryVecCol).as("__q"))
+      .crossJoin(centroids)
+      .withColumn("__cs", cosine(col("__q"), col("__ce")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select(col("__qid"), col("__q"), col("cid"))
+    val topW = Window.partitionBy(col("__qid"))
+      .orderBy(desc("cos_sim"), col(idCol))
+    spark.read.parquet(s"$path/cells")
+      .join(probes, "cid")
+      .select(col("__qid"), col(idCol),
+        round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
+      .withColumn("__rn", row_number().over(topW))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(qidCol), col(idCol), col("cos_sim"))
+  }
+
   /** Per-cell occupancy of a [[writeIvfIndex]] index — the monitoring
     * instrument the incremental loop ([[absorbIvfIndex]]) relies on:
     * pinned centroids drift from the TRUE distribution as the corpus

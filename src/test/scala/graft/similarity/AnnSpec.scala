@@ -244,6 +244,40 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("batch per-query top-k equals the single-vector serving call " +
+    "per query; duplicate qids and colliding column roles refuse; the " +
+    "per-query cut plans a map-side WindowGroupLimit") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = "/tmp/graft_sinks/spec/ivfbatch"
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", nCentroids = 8, path)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Ann.ivfTopKPerQuery(spark, path, "vec_id", "embedding",
+      qs, "qid", "embedding", k = 5, nProbe = 2)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (0L until 3L).flatMap { q =>
+      Ann.ivfTopKFromIndex(spark, path, "vec_id", "embedding",
+          emb.filter(col("vec_id") === q).select("embedding"),
+          "embedding", k = 5, nProbe = 2)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    got shouldBe want
+    // rank <= k per query prunes map-side before the window shuffle
+    batch.queryExecution.executedPlan.toString should
+      include("WindowGroupLimit")
+    val dup = intercept[IllegalArgumentException] {
+      Ann.ivfTopKPerQuery(spark, path, "vec_id", "embedding",
+        qs.union(qs.limit(1)), "qid", "embedding", k = 5)
+    }
+    dup.getMessage should include("duplicate qid")
+    val collide = intercept[IllegalArgumentException] {
+      Ann.ivfTopKPerQuery(spark, path, "vec_id", "embedding",
+        emb.limit(2), "vec_id", "embedding", k = 5)
+    }
+    collide.getMessage should include("one column per role")
+  }
+
   test("cell stats cover every centroid (dead cells at 0) and match a " +
     "direct recount; compaction collapses absorb-created files without " +
     "changing rows or query results; a crashed swap self-heals") {
