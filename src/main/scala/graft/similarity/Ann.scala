@@ -35,22 +35,51 @@ object Ann {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
-  /** Brute-force top-k by cosine against one query vector (an in-plan
-    * 1-row DataFrame, broadcast-joined). Deterministic tiebreak on id. */
-  /** Fail LOUD on a multi-row query frame: every top-k entry point in
-    * this file crossJoins the query against corpus/centroid rows and
-    * takes ONE global top-k, so several query rows would silently mix
-    * all queries' cosines into meaningless results — the
-    * raise-don't-garble discipline (jlProject's inDim guard). One
-    * bounded job (`limit(2)` caps the scan); invoke the operator once
-    * per query vector — each probe is independent and the plans
-    * broadcast only the one-row query. */
+  /** Fail LOUD on a multi-row query frame: every single-vector top-k
+    * entry point in this file crossJoins the query against
+    * corpus/centroid rows and takes ONE global top-k, so several query
+    * rows would silently mix all queries' cosines into meaningless
+    * results — the raise-don't-garble discipline (jlProject's inDim
+    * guard). One bounded job (`limit(2)` caps the scan). */
   private def requireSingleQuery(query: DataFrame, fn: String): Unit =
     require(query.limit(2).count() == 1L,
       s"$fn: query must be exactly ONE row (a single query vector) — " +
         "with several rows the top-k would mix all queries' cosines; " +
-        "invoke per query row instead")
+        "invoke per query row, or use ivfTopKPerQuery for a whole " +
+        "query batch keyed by query id")
 
+  /** Per-row vector-dimension guard (the jlProject idiom): a
+    * wrong-dimension or null vector ANYWHERE in `df` fails the job
+    * loudly before any result is returned or file committed —
+    * unguarded, its cosines would null out and the row would silently
+    * assign to / rank by the lowest cid. Used wherever the true
+    * dimension is knowable from a persisted centroid table. */
+  private def guardVecDim(df: DataFrame, vecCol: String, dim: Int,
+                          what: String): DataFrame =
+    df.withColumn(vecCol,
+      when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+        col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"dimension mismatch: $what holds $dim-dim vectors but " +
+            s"$vecCol has length "),
+          coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
+          lit(" — refusing to proceed with a different embedding " +
+            "family")))))
+
+  /** Centroid table of a persisted index + its (single) vector
+    * dimension — refuses a malformed centroid table. */
+  private def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+                             path: String): (DataFrame, Int) = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val dims = centroids.select(size(col("__ce")).as("d"))
+      .distinct().collect().map(_.getInt(0))
+    require(dims.length == 1, s"$path/centroids is not a writeIvfIndex " +
+      s"centroid table (vector dims ${dims.mkString(",")})")
+    (centroids, dims.head)
+  }
+
+  /** Brute-force top-k by cosine against one query vector (an in-plan
+    * 1-row DataFrame, broadcast-joined). Deterministic tiebreak on id. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      query: DataFrame, queryVecCol: String,
                      k: Int): DataFrame = {
@@ -160,8 +189,9 @@ object Ann {
   def quantizedRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
                           query: DataFrame, queryVecCol: String,
                           k: Int, candidates: Int = 200): DataFrame = {
-    // single-query guard inherited: quantizedTopK runs first and
-    // refuses a multi-row frame before anything downstream sees it
+    // own guard first so the refusal names THIS function (quantizedTopK
+    // would refuse too, but send the caller to the wrong entry point)
+    requireSingleQuery(query, "quantizedRerankTopK")
     val cand = quantizedTopK(corpus, idCol, vecCol, query, queryVecCol,
       candidates).select(idCol)
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
@@ -305,8 +335,10 @@ object Ann {
                        query: DataFrame, queryVecCol: String,
                        k: Int, nProbe: Int = 2): DataFrame = {
     requireSingleQuery(query, "ivfTopKFromIndex")
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val q = broadcast(query.select(col(queryVecCol).as("__q")))
+    val (centroids, dim) = indexCentroids(spark, path)
+    val q = broadcast(guardVecDim(
+      query.select(col(queryVecCol).as("__q")), "__q", dim,
+      s"index at $path"))
     val probeCids = q.crossJoin(centroids)
       .withColumn("__cs", cosine(col("__q"), col("__ce")))
       .orderBy(desc("__cs"), col("cid")).limit(nProbe)
@@ -356,21 +388,9 @@ object Ann {
                      path: String, batch: DataFrame,
                      idCol: String, vecCol: String,
                      idempotent: Boolean = true): Unit = {
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val dims = centroids.select(size(col("__ce")).as("d"))
-      .distinct().collect().map(_.getInt(0))
-    require(dims.length == 1, s"$path/centroids is not a writeIvfIndex " +
-      s"centroid table (vector dims ${dims.mkString(",")})")
+    val (centroids, dim) = indexCentroids(spark, path)
     if (batch.isEmpty) return // empty batch: a no-op, not an error
-    val guarded = batch.withColumn(vecCol,
-      when(col(vecCol).isNotNull && size(col(vecCol)) === dims.head,
-        col(vecCol))
-        .otherwise(raise_error(concat(
-          lit(s"dimension mismatch: index at $path holds ${dims.head}" +
-            s"-dim vectors but a batch $vecCol has length "),
-          coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
-          lit(" — refusing to absorb into a store of a different " +
-            "embedding family")))))
+    val guarded = guardVecDim(batch, vecCol, dim, s"index at $path")
     val assigned = ivfAssignTo(guarded, idCol, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -405,7 +425,10 @@ object Ann {
     * Query ids must be UNIQUE: a duplicated qid would merge two
     * vectors' cosines under one key — the same silent-mixing hazard
     * the single-vector guard exists for — so duplicates are refused
-    * loudly (one aggregate job bounded by the query count). */
+    * loudly (one aggregate job bounded by the query count). A
+    * wrong-dimension or null query vector anywhere in the batch also
+    * refuses loudly ([[guardVecDim]] — unguarded, its null cosines
+    * would silently probe and rank by the lowest cid). */
   def ivfTopKPerQuery(spark: org.apache.spark.sql.SparkSession,
                       path: String, idCol: String, vecCol: String,
                       queries: DataFrame, qidCol: String,
@@ -420,11 +443,12 @@ object Ann {
     require(dup.isEmpty, s"ivfTopKPerQuery: duplicate $qidCol " +
       s"'${dup.headOption.map(_.get(0)).orNull}' in the query frame — " +
       "two query vectors under one id would silently mix their cosines")
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val (centroids, dim) = indexCentroids(spark, path)
     val probeW = Window.partitionBy(col("__qid"))
       .orderBy(desc("__cs"), col("cid"))
-    val probes = queries
-      .select(col(qidCol).as("__qid"), col(queryVecCol).as("__q"))
+    val probes = guardVecDim(
+        queries.select(col(qidCol).as("__qid"),
+          col(queryVecCol).as("__q")), "__q", dim, s"index at $path")
       .crossJoin(centroids)
       .withColumn("__cs", cosine(col("__q"), col("__ce")))
       .withColumn("__rn", row_number().over(probeW))

@@ -240,6 +240,9 @@ class AnnSpec extends SparkSpec {
       withClue(name) {
         val ex = intercept[IllegalArgumentException](f())
         ex.getMessage should include("exactly ONE row")
+        // the refusal must name the entry point the caller invoked —
+        // quantizedRerankTopK once reported its inner quantizedTopK
+        ex.getMessage should include(name)
       }
     }
   }
@@ -276,6 +279,23 @@ class AnnSpec extends SparkSpec {
         emb.limit(2), "vec_id", "embedding", k = 5)
     }
     collide.getMessage should include("one column per role")
+    // a wrong-dimension query vector hiding in the batch refuses
+    // loudly instead of silently probing/ranking by null cosines —
+    // and the single-vector index call refuses the same way
+    def dimRefused(f: => Unit): Unit = {
+      val ex = intercept[Exception](f)
+      Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage)
+          .exists(_.contains("dimension mismatch"))) shouldBe true
+    }
+    val mixedQs = qs.union(emb.limit(1)
+      .select((col("vec_id") + 100L).as("qid"),
+        slice(col("embedding"), 1, 8).as("embedding")))
+    dimRefused(Ann.ivfTopKPerQuery(spark, path, "vec_id", "embedding",
+      mixedQs, "qid", "embedding", k = 5).collect())
+    dimRefused(Ann.ivfTopKFromIndex(spark, path, "vec_id", "embedding",
+      emb.limit(1).select(slice(col("embedding"), 1, 8).as("embedding")),
+      "embedding", k = 5).collect())
   }
 
   test("cell stats cover every centroid (dead cells at 0) and match a " +
