@@ -500,6 +500,57 @@ class StreamsSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("IVF index SERVES a micro-batched query stream (n13's batch " +
+    "search via foreachBatch): per-batch keyed top-k over the static " +
+    "index — accumulated results equal one batch call on all queries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val path = "/tmp/graft_test_sinks/stream_ivfserve"
+    val outDir = s"$path/results"
+    // the results sink APPENDS per micro-batch — clear the whole tree
+    // so repeated suite runs don't accumulate stale rows
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => math.cos(0.41 * i * (d + 1)).toFloat)
+    val corpus = (0L until 60L).map(i => (i, vec(i)))
+    graft.similarity.Ann.writeIvfIndex(
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nCentroids = 4, s"$path/index")
+    // queries arrive as a stream, in batches — each micro-batch runs
+    // the KEYED search (one plan per trigger, never per query row)
+    val queryIds = Seq(Seq(100L, 101L), Seq(102L, 103L, 104L))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("qid", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.similarity.Ann.ivfTopKPerQuery(spark, s"$path/index",
+            "vec_id", "embedding", batch, "qid", "embedding",
+            k = 5, nProbe = 2)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      queryIds.foreach { ids =>
+        input.addData(ids.map(i => (i, vec(i))): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val oneCall = graft.similarity.Ann.ivfTopKPerQuery(spark,
+          s"$path/index", "vec_id", "embedding",
+          queryIds.flatten.map(i => (i, vec(i)))
+            .toDF("qid", "embedding"), "qid", "embedding",
+          k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      streamed shouldBe oneCall
+      streamed.map(_._1) shouldBe queryIds.flatten.toSet // every query
+    } finally gracefulStop(q)
+  }
+
   test("IVF index absorbs a micro-batched embedding stream (n11's " +
     "ingest loop via foreachBatch, with a replayed batch): the served " +
     "index equals the one-pass batch build at the same parameters") {
