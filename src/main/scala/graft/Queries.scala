@@ -2003,6 +2003,48 @@ object Queries {
             WHEN 'src2' THEN 5 ELSE 10 END) AS BIGINT) AS ikey
         FROM r ORDER BY ikey, source, doc_id""")),
 
+    // ---- O13: leakage-safe train/val/test split -----------------------
+    // Dedup.leakageSafeSplit: the d7 verified-pair graph's components
+    // move WHOLE into one split (no near-dup straddles train/test — the
+    // group-aware split a benchmark-honest release needs), assignment by
+    // md5 bucket of the component label so backfills and the oracle
+    // reproduce it bit-for-bit. Oracle = d7's recursive-CC labels + the
+    // same 16-bit md5 cut arithmetic; cuts interpolated from ONE Scala
+    // computation so query and oracle can never disagree on floor().
+    QueryDef("o13_leakage_split", {
+      (s, dir) => Dedup.leakageSafeSplit(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5,
+        trainFrac = 0.80, valFrac = 0.10)
+        .select("doc_id", "source", "group_id", "split")
+        .orderBy("doc_id")
+    },
+      Some {
+        val trainCut = math.floor(0.80 * 65536).toInt
+        val valCut = math.floor(0.90 * 65536).toInt
+        s"""WITH RECURSIVE ${lshVerifiedCtes()},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        grouped AS (
+          SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        bucketed AS (
+          SELECT doc_id, source, group_id,
+            CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4))
+              AS INT) AS b
+          FROM grouped)
+        SELECT doc_id, source, group_id,
+          CASE WHEN b < $trainCut THEN 'train'
+               WHEN b < $valCut THEN 'val'
+               ELSE 'test' END AS split
+        FROM bucketed ORDER BY doc_id"""
+      }),
+
     // ---- D1: exact dedup groups -------------------------------------
     // NFC-first keying (default): DuckDB's utf8proc nfc_normalize vs the
     // engine's JDK-backed native expression — the hash match re-proves

@@ -695,6 +695,56 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split: every NEAR-DUP COMPONENT lands
+    * whole in one split, so no near-duplicate pair ever straddles the
+    * train/test boundary — the group-aware split discipline every
+    * benchmark-honest corpus release needs (splitting i.i.d. by doc
+    * leaks paraphrases of test docs into train; the reference corpus
+    * ships pre-split, so this is a north-star extension). Returns the
+    * input plus `group_id` (the component label — min id, singletons =
+    * their own id) and `split` ∈ train/val/test.
+    *
+    * Assignment is CONTENT-DETERMINISTIC, not seeded-random: bucket =
+    * first 16 bits of md5 of the group id's decimal string, cut at
+    * floor(trainFrac·2¹⁶) / floor((trainFrac+valFrac)·2¹⁶). Determinism
+    * means a backfill (or the DuckDB oracle) reproduces the assignment
+    * bit-for-bit, and adding NEW docs never reshuffles existing groups
+    * (a group's bucket depends only on its own label — the stable-split
+    * property incremental corpus releases rely on). Fractions are hit
+    * in expectation over groups, not exactly per release (md5 is
+    * uniform; the o5 seeded-sample op is the exact-n tool).
+    *
+    * Scale shape: the corpus-side work is [[nearDupPairs]]'s one LSH
+    * pipeline scan; [[componentLabels]] runs on the verified-pair graph
+    * (member-set-sized, tiny vs the corpus); the label attach is one
+    * left join against that small frame (AQE broadcasts it), then the
+    * split expression is map-only codegen'd md5 arithmetic. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double,
+                       trainFrac: Double = 0.90, valFrac: Double = 0.05,
+                       k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                       maxBucket: Int = 10000,
+                       tokensCol: Option[String] = None): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1; " +
+        s"got train=$trainFrac val=$valFrac")
+    val trainCut = math.floor(trainFrac * 65536).toInt
+    val valCut = math.floor((trainFrac + valFrac) * 65536).toInt
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, k, bands,
+      shingleN, maxBucket, tokensCol)
+    val labels = componentLabels(pairs)
+      .select(col("id").as(idCol), col("label").as("__lsLabel"))
+    val bucket = conv(substring(md5(col("group_id").cast("string")), 1, 4),
+      16, 10).cast("int")
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("__lsLabel"), col(idCol)))
+      .drop("__lsLabel")
+      .withColumn("split",
+        when(bucket < trainCut, "train")
+          .when(bucket < valCut, "val")
+          .otherwise("test"))
+  }
+
   /** BINARY(8) digest key: first 64 bits of md5 — the decontamination
     * join key (see [[decontaminate]]'s scaladoc for why 64 bits). */
   private def key64(tok: Column): Column = unhex(substring(md5(tok), 1, 16))

@@ -1027,4 +1027,77 @@ class DedupSpec extends SparkSpec {
     plan should not include "Exchange"
     plan should not include "Join"
   }
+
+  /** Independent md5-bucket computation (java MessageDigest, not Spark)
+    * for the leakageSafeSplit assertions. */
+  private def expectedSplit(group: Long, trainFrac: Double,
+                            valFrac: Double): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(group.toString.getBytes("UTF-8"))
+      .take(2).map(b => f"$b%02x").mkString
+    val bucket = Integer.parseInt(hex, 16)
+    if (bucket < math.floor(trainFrac * 65536).toInt) "train"
+    else if (bucket < math.floor((trainFrac + valFrac) * 65536).toInt) "val"
+    else "test"
+  }
+
+  test("leakageSafeSplit: components move whole, assignment matches an " +
+    "independent md5-bucket computation, singletons keep their own id") {
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+      threshold = 0.5, bands = 6, shingleN = 1)
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    // {1,2,3,5} is one near-dup component on unigram shingles (the
+    // candidate-pair test's params: jaccard(1,5) = 7/9, banding k=12/b=6
+    // surfaces it) — all four share one group AND one split
+    Set(out(1L), out(2L), out(3L), out(5L)).size shouldBe 1
+    out(1L)._1 shouldBe 1L
+    out(4L)._1 shouldBe 4L // unrelated doc: its own singleton group
+    out(1L)._2 shouldBe expectedSplit(1L, 0.90, 0.05)
+    out(4L)._2 shouldBe expectedSplit(4L, 0.90, 0.05)
+  }
+
+  test("leakageSafeSplit: no verified near-dup pair straddles a split " +
+    "boundary, every doc assigned exactly once, custom fractions hit " +
+    "every branch of the bucket rule") {
+    import spark.implicits._
+    // 12 exact-dup triples (certain verified pairs) + 12 singletons,
+    // deterministic content — ids chosen so group labels spread buckets
+    val base = (0 until 12).map(i =>
+      s"sentence number $i about topic ${i * 7} with shared tail words " +
+        s"alpha beta gamma delta epsilon zeta")
+    val d = ((0 until 12).flatMap(i => Seq(0, 1, 2).map(v =>
+      (i * 10L + v, base(i)))) ++
+      (0 until 12).map(i => (500L + i * 3,
+        s"unique singleton document $i carrying only its own words " +
+          s"item${i}a item${i}b item${i}c item${i}d item${i}e item${i}f")))
+      .toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(d, "doc_id", "text", threshold = 0.5,
+      trainFrac = 0.4, valFrac = 0.3)
+    val rows = out.select("doc_id", "group_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.length shouldBe d.count().toInt // every doc exactly once
+    // partition property against the ACTUAL verified pairs
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should not be empty
+    pairs.foreach { case (a, b) => splitOf(a) shouldBe splitOf(b) }
+    // every assignment reproduces the independent bucket computation
+    rows.foreach { case (_, g, s) =>
+      s shouldBe expectedSplit(g, 0.4, 0.3) }
+    // 24 md5-spread groups at 40/30/30 cuts: expect all three splits
+    rows.map(_._3).toSet shouldBe Set("train", "val", "test")
+  }
+
+  test("leakageSafeSplit: degenerate fractions refused loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.3,
+        trainFrac = 0.7, valFrac = 0.3) // train+val must leave test mass
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.3,
+        trainFrac = 0.0, valFrac = 0.1)
+  }
 }
