@@ -440,6 +440,29 @@ object Queries {
     })"""
   }
 
+  /** Recursive connected-component labeling over a (id_a, id_b) pair CTE
+    * (normally `verified` from [[lshVerifiedCtes]]): emits the
+    * edges/reach/labels chain with label = component min id. ONE
+    * definition — the same discipline as lshVerifiedCtes — so the four
+    * CC-consuming oracles (d7, d20, q4's dedup stage, o13) can never
+    * desync on the label/tie rule. Materialization flags preserve each
+    * call site's measured DuckDB plan needs (see the lshVerifiedCtes
+    * scaladoc on AS MATERIALIZED). */
+  private def ccLabelCtes(pairSrc: String = "verified",
+                          edgesMaterialized: Boolean = false,
+                          labelsMaterialized: Boolean = false): String = {
+    val em = if (edgesMaterialized) "MATERIALIZED " else ""
+    val lm = if (labelsMaterialized) "MATERIALIZED " else ""
+    s"""edges AS $em(
+          SELECT id_a AS src, id_b AS dst FROM $pairSrc
+          UNION ALL SELECT id_b, id_a FROM $pairSrc),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS $lm(SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)"""
+  }
+
   // ------------------------------------------------------------ queries
 
   private def dsum(c: Column): Column =
@@ -2019,17 +2042,9 @@ object Queries {
         .orderBy("doc_id")
     },
       Some {
-        val trainCut = math.floor(0.80 * 65536).toInt
-        val valCut = math.floor(0.90 * 65536).toInt
+        val (trainCut, valCut) = Dedup.splitCuts(0.80, 0.10)
         s"""WITH RECURSIVE ${lshVerifiedCtes()},
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM verified
-          UNION ALL SELECT id_b, id_a FROM verified),
-        reach AS (
-          SELECT DISTINCT src AS id, src AS lbl FROM edges
-          UNION
-          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        ${ccLabelCtes()},
         grouped AS (
           SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS group_id
           FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
@@ -2316,14 +2331,7 @@ object Queries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${lshVerifiedCtes()},
-        edges AS MATERIALIZED (
-          SELECT id_a AS src, id_b AS dst FROM verified
-          UNION ALL SELECT id_b, id_a FROM verified),
-        reach AS (
-          SELECT DISTINCT src AS id, src AS lbl FROM edges
-          UNION
-          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+        ${ccLabelCtes(edgesMaterialized = true)}
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT id FROM labels WHERE lbl < id)
         ORDER BY doc_id""")),
@@ -4449,14 +4457,7 @@ object Queries {
               trim(lower(nfc_normalize(text))), '\s+', ' ', 'g'))
             ORDER BY doc_id) = 1),
         ${lshVerifiedCtes("dd", materialized = true)},
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM verified
-          UNION ALL SELECT id_b, id_a FROM verified),
-        reach AS (
-          SELECT DISTINCT src AS id, src AS lbl FROM edges
-          UNION
-          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        labels AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        ${ccLabelCtes(labelsMaterialized = true)},
         members AS MATERIALIZED (
           SELECT l.id, l.lbl, length(d.text) AS score
           FROM labels l JOIN dd d ON d.doc_id = l.id),
@@ -5429,14 +5430,7 @@ object Queries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${lshVerifiedCtes()},
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM verified
-          UNION ALL SELECT id_b, id_a FROM verified),
-        reach AS (
-          SELECT DISTINCT src AS id, src AS lbl FROM edges
-          UNION
-          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        ${ccLabelCtes()},
         members AS (
           SELECT l.id, l.lbl, d.n_chars AS score
           FROM labels l JOIN documents d ON d.doc_id = l.id),

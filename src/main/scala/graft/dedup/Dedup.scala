@@ -719,6 +719,15 @@ object Dedup {
     * (member-set-sized, tiny vs the corpus); the label attach is one
     * left join against that small frame (AQE broadcasts it), then the
     * split expression is map-only codegen'd md5 arithmetic. */
+  /** The md5-bucket cutoffs of [[leakageSafeSplit]]:
+    * (floor(trainFrac·2¹⁶), floor((trainFrac+valFrac)·2¹⁶)). Public and
+    * used by BOTH the operator and the o13 oracle SQL builder — one
+    * computation, so the two sides cannot disagree on floor() or on the
+    * IEEE sum trainFrac+valFrac near a k/2¹⁶ boundary. */
+  def splitCuts(trainFrac: Double, valFrac: Double): (Int, Int) =
+    (math.floor(trainFrac * 65536).toInt,
+      math.floor((trainFrac + valFrac) * 65536).toInt)
+
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double,
                        trainFrac: Double = 0.90, valFrac: Double = 0.05,
@@ -728,8 +737,7 @@ object Dedup {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       s"need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1; " +
         s"got train=$trainFrac val=$valFrac")
-    val trainCut = math.floor(trainFrac * 65536).toInt
-    val valCut = math.floor((trainFrac + valFrac) * 65536).toInt
+    val (trainCut, valCut) = splitCuts(trainFrac, valFrac)
     val pairs = nearDupPairs(df, idCol, textCol, threshold, k, bands,
       shingleN, maxBucket, tokensCol)
     val labels = componentLabels(pairs)
