@@ -62,7 +62,11 @@ object Bench {
         "m12_bpe_tokens",
         // d13 times the span-detect machinery; the coverage-array
         // excision rebuild is timed in d24/d26 (shared code path)
-        "d16_drop_dup_spans")
+        "d16_drop_dup_spans",
+        // r18's pre-declared next trim, executed r19: the
+        // signature-pair join shape is timed by d3 (LSH pairs) + d4
+        // (verified jaccard) on the same corpus
+        "m9_minhash_estimate")
     def selected = only match {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
         ps.exists(n.startsWith) } // explicit ONLY overrides the skip
@@ -90,6 +94,13 @@ object Bench {
     // covers the build + ingest composition.
     if (!benchAll && selected.contains("q6_shard_ingest")) {
       Queries.buildQ6Stores(spark, sfDir)
+      spark.conf.set("spark.graft.benchPrebuiltStores", "true")
+    }
+    // same contract for n12: its build + absorb prefix is n11's timed
+    // body verbatim, so the timed n12 measures the occupancy aggregate
+    // (the monitoring-cadence verb) alone
+    if (!benchAll && selected.contains("n12_ivf_cell_stats")) {
+      Queries.buildN12Index(spark, sfDir)
       spark.conf.set("spark.graft.benchPrebuiltStores", "true")
     }
     // a failing query must be VISIBLE, not a phantom speedup: it is

@@ -737,6 +737,16 @@ object Dedup {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       s"need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1; " +
         s"got train=$trainFrac val=$valFrac")
+    // the output owns these two column names; withColumn would
+    // silently OVERWRITE a caller's existing column (e.g. a prior
+    // release's split) instead of refusing — the loud-refusal posture
+    // of ivfTopKPerQuery's column-role guard
+    Seq("group_id", "split").foreach { c =>
+      require(!df.columns.contains(c),
+        s"leakageSafeSplit: input already has a '$c' column, which " +
+          "this operator produces — rename or drop it first " +
+          s"(e.g. .withColumnRenamed(\"$c\", \"${c}_prev\"))")
+    }
     val (trainCut, valCut) = splitCuts(trainFrac, valFrac)
     val pairs = nearDupPairs(df, idCol, textCol, threshold, k, bands,
       shingleN, maxBucket, tokensCol)

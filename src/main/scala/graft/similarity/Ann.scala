@@ -78,6 +78,36 @@ object Ann {
     (centroids, dims.head)
   }
 
+  /** Open the cells table of a persisted [[writeIvfIndex]] index,
+    * SELF-HEALING the one crash window [[compactIvfIndex]]'s
+    * non-atomic swap can leave behind (live table missing, backup
+    * `cells__precompact` present): the backup IS the last complete
+    * table, so rename it back into place before reading. EVERY verb
+    * that touches cells — serving, absorb, stats, compaction itself —
+    * reads through here, so recovery never waits for the next
+    * compaction call (the existence probe is one FS metadata op per
+    * call, free next to the read it fronts). */
+  private def openCells(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    healCells(spark, path)
+    spark.read.parquet(s"$path/cells")
+  }
+
+  /** The restore step of [[openCells]] alone — for the one write-only
+    * path ([[absorbIvfIndex]] with `idempotent = false`), where an
+    * unhealed append would CREATE a fresh live table holding only the
+    * batch and silently shadow the backup forever. */
+  private def healCells(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/cells")
+    val bak = new Path(s"$path/cells__precompact")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(bak))
+      require(fs.rename(bak, live), s"crash recovery: rename $bak -> " +
+        s"$live failed — restore the cells table manually")
+  }
+
   /** Brute-force top-k by cosine against one query vector (an in-plan
     * 1-row DataFrame, broadcast-joined). Deterministic tiebreak on id. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
@@ -166,6 +196,18 @@ object Ann {
                     query: DataFrame, queryVecCol: String,
                     k: Int): DataFrame = {
     requireSingleQuery(query, "quantizedTopK")
+    quantizedTopKUnguarded(corpus, idCol, vecCol, query, queryVecCol, k)
+  }
+
+  /** [[quantizedTopK]] minus the single-query guard — the internal
+    * candidate pass of [[quantizedRerankTopK]], whose OWN guard has
+    * already run: repeating it would execute the query frame's lineage
+    * in a second count job per serving call, pure overhead. Private so
+    * every public entry point stays guarded. */
+  private def quantizedTopKUnguarded(corpus: DataFrame, idCol: String,
+                                     vecCol: String, query: DataFrame,
+                                     queryVecCol: String,
+                                     k: Int): DataFrame = {
     val q = broadcast(quantizeInt8(
       query.select(col(queryVecCol).as("__qv")), "__qv", "__qq")
       .select("__qq"))
@@ -189,11 +231,11 @@ object Ann {
   def quantizedRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
                           query: DataFrame, queryVecCol: String,
                           k: Int, candidates: Int = 200): DataFrame = {
-    // own guard first so the refusal names THIS function (quantizedTopK
-    // would refuse too, but send the caller to the wrong entry point)
     requireSingleQuery(query, "quantizedRerankTopK")
-    val cand = quantizedTopK(corpus, idCol, vecCol, query, queryVecCol,
-      candidates).select(idCol)
+    // candidate pass skips quantizedTopK's guard — it just ran above,
+    // and re-running it would cost a second count job per call
+    val cand = quantizedTopKUnguarded(corpus, idCol, vecCol, query,
+      queryVecCol, candidates).select(idCol)
     val q = broadcast(query.select(col(queryVecCol).as("__q")))
     corpus.join(broadcast(cand), idCol)
       .crossJoin(q)
@@ -329,7 +371,17 @@ object Ann {
     * filter is a literal `cid IN (...)` — the precondition for
     * planning-time directory pruning (a join-based probe would read
     * every cell and prune at runtime, if at all). The probed cells are
-    * then brute-forced against the broadcast query. */
+    * then brute-forced against the broadcast query.
+    *
+    * SERVING-LOOP cost note: each call pays two small driver jobs
+    * before any probing — the single-query guard (a `limit(2)` count
+    * over the query frame's lineage) and the centroid-table load +
+    * dim check ([[indexCentroids]]). Negligible per ad-hoc call, but
+    * at high-cadence loops (a foreachBatch serving loop calling this
+    * per vector) it is per-call latency: hand the WHOLE batch to
+    * [[ivfTopKPerQuery]] instead (one guard per batch, the refusal
+    * message's own advice), and keep the SparkSession warm so the
+    * centroid read hits the FS cache. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, idCol: String, vecCol: String,
                        query: DataFrame, queryVecCol: String,
@@ -343,7 +395,7 @@ object Ann {
       .withColumn("__cs", cosine(col("__q"), col("__ce")))
       .orderBy(desc("__cs"), col("cid")).limit(nProbe)
       .select("cid").collect().map(_.get(0))
-    spark.read.parquet(s"$path/cells")
+    openCells(spark, path)
       .filter(col("cid").isin(probeCids: _*))
       .crossJoin(q)
       .select(col(idCol),
@@ -383,13 +435,19 @@ object Ann {
     * against every centroid and silently assign them to the lowest
     * cid), so a wrong-dimension or null vector anywhere in the batch
     * fails the job before anything commits — refused loudly, never
-    * half-absorbed. */
+    * half-absorbed.
+    *
+    * SERVING-LOOP cost note: the up-front driver work (centroid load +
+    * dim check, the isEmpty probe) runs once per CALL — already
+    * amortized over the whole batch at foreachBatch cadence; keep
+    * batches row-plural rather than calling per vector. */
   def absorbIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String, batch: DataFrame,
                      idCol: String, vecCol: String,
                      idempotent: Boolean = true): Unit = {
     val (centroids, dim) = indexCentroids(spark, path)
     if (batch.isEmpty) return // empty batch: a no-op, not an error
+    healCells(spark, path) // before the append, even when idempotent=false
     val guarded = guardVecDim(batch, vecCol, dim, s"index at $path")
     val assigned = ivfAssignTo(guarded, idCol, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -399,7 +457,7 @@ object Ann {
           // bounded by the centroid count — cells form the cid domain
           val touched = assigned.select("cid").distinct().collect()
             .map(_.get(0))
-          val existing = spark.read.parquet(s"$path/cells")
+          val existing = openCells(spark, path)
             .filter(col("cid").isin(touched: _*)).select(col(idCol))
           assigned.join(existing, Seq(idCol), "left_anti")
         } else assigned
@@ -428,7 +486,12 @@ object Ann {
     * loudly (one aggregate job bounded by the query count). A
     * wrong-dimension or null query vector anywhere in the batch also
     * refuses loudly ([[guardVecDim]] — unguarded, its null cosines
-    * would silently probe and rank by the lowest cid). */
+    * would silently probe and rank by the lowest cid).
+    *
+    * SERVING-LOOP cost note: the guard jobs here (duplicate-qid
+    * aggregate, centroid load + dim check) run once per BATCH — this
+    * is the high-cadence entry point; a loop over the single-vector
+    * [[ivfTopKFromIndex]] pays those driver jobs per VECTOR instead. */
   def ivfTopKPerQuery(spark: org.apache.spark.sql.SparkSession,
                       path: String, idCol: String, vecCol: String,
                       queries: DataFrame, qidCol: String,
@@ -456,7 +519,7 @@ object Ann {
       .select(col("__qid"), col("__q"), col("cid"))
     val topW = Window.partitionBy(col("__qid"))
       .orderBy(desc("cos_sim"), col(idCol))
-    spark.read.parquet(s"$path/cells")
+    openCells(spark, path)
       .join(probes, "cid")
       .select(col("__qid"), col(idCol),
         round(cosine(col(vecCol), col("__q")), 4).as("cos_sim"))
@@ -488,7 +551,7 @@ object Ann {
     // both sides before the join
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long").as("cid"))
-    val counts = spark.read.parquet(s"$path/cells")
+    val counts = openCells(spark, path)
       .groupBy(col("cid").cast("long").as("cid"))
       .agg(count(lit(1)).as("n_vectors"))
     cents.join(counts, Seq("cid"), "left")
@@ -514,27 +577,31 @@ object Ann {
     * rename new into place — the R3 checkpoint machinery; object-store
     * renames are copies, so prefer a quiet window there). The swap is
     * NOT atomic: a crash between the two renames leaves the backup but
-    * no live table, and the NEXT call self-heals by renaming the backup
-    * back before proceeding (same at-least-once posture as absorb's
-    * anti-join). Single writer assumed, like every store: don't compact
-    * under a live absorb. */
+    * no live table, and EVERY cells-touching verb self-heals by
+    * renaming the backup back before proceeding ([[openCells]] — the
+    * serving and absorb paths recover immediately, not at the next
+    * compaction; same at-least-once posture as absorb's anti-join).
+    * Single writer assumed, like every store: don't compact under a
+    * live absorb. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, filesPerCell: Int = 1): Unit = {
+                      path: String, idCol: String,
+                      filesPerCell: Int = 1): Unit = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1: $filesPerCell")
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/cells")
     val bak = new Path(s"$path/cells__precompact")
     val tmp = new Path(s"$path/cells__compacting")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(bak)) {
-      // a previous compaction crashed between its two renames: the
-      // backup IS the last complete table — restore it and carry on
-      require(fs.rename(bak, live), s"crash recovery: rename $bak -> " +
-        s"$live failed — restore the cells table manually")
-    }
     fs.delete(tmp, true) // leftover of an interrupted write, never live
-    val cells = spark.read.parquet(live.toString)
-    val idCol = cells.columns.filter(c => c != "cid").head
+    val cells = openCells(spark, path) // self-heals a crashed prior swap
+    // the salt column is NAMED by the caller, never inferred by
+    // position — a reordered or widened cells schema must refuse, not
+    // silently salt on the vector column and tie file placement to
+    // column order
+    require(cells.columns.contains(idCol) && idCol != "cid",
+      s"compactIvfIndex: cells at $path has columns " +
+        s"[${cells.columns.mkString(", ")}] — idCol '$idCol' must be " +
+        "one of them (and not the partition column 'cid')")
     // each salt pass is its own write job — persist so the table is
     // scanned once, not filesPerCell times (released before the swap)
     if (filesPerCell > 1)

@@ -1100,4 +1100,67 @@ class DedupSpec extends SparkSpec {
       Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.3,
         trainFrac = 0.0, valFrac = 0.1)
   }
+
+  test("leakageSafeSplit: pre-existing group_id / split column refused " +
+    "loudly instead of silently overwritten") {
+    import spark.implicits._
+    val withGroup = docs.withColumn("group_id",
+      org.apache.spark.sql.functions.lit(0L))
+    val eGroup = intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(withGroup, "doc_id", "text", threshold = 0.5)
+    }
+    eGroup.getMessage should include("'group_id'")
+    val withSplit = docs.withColumn("split",
+      org.apache.spark.sql.functions.lit("train"))
+    val eSplit = intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(withSplit, "doc_id", "text", threshold = 0.5)
+    }
+    eSplit.getMessage should include("'split'")
+  }
+
+  test("leakageSafeSplit: a new batch that BRIDGES two old groups " +
+    "re-labels to the merged min and the merged group moves whole " +
+    "(the SCALE.md o13 release-over-release contract)") {
+    import spark.implicits._
+    // release A: two separate near-dup groups (disjoint token sets) +
+    // one singleton. Unigram shingles; J(a1,a2) = J(b1,b2) = 7/9.
+    val aTok = "apple banana cherry date elder fig grape"
+    val bTok = "kiwi lemon mango nectar olive peach quince"
+    val relA = Seq(
+      (10L, s"$aTok honey"), (11L, s"$aTok hazel"),
+      (20L, s"$bTok rasp"), (21L, s"$bTok rowan"),
+      (40L, "solitary words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    // bands = 12 → 1-row bands: a candidate pair needs only ONE of the
+    // 12 minhash coordinates to agree, so the J = 0.5 bridge pairs
+    // below surface deterministically; precision is restored by the
+    // exact-jaccard verify (>= threshold)
+    def split(df: org.apache.spark.sql.DataFrame) =
+      Dedup.leakageSafeSplit(df, "doc_id", "text", threshold = 0.5,
+        bands = 12, shingleN = 1)
+        .select("doc_id", "group_id", "split").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val before = split(relA)
+    before(10L)._1 shouldBe 10L // group {10,11}
+    before(11L)._1 shouldBe 10L
+    before(20L)._1 shouldBe 20L // group {20,21} — separate from A's
+    before(21L)._1 shouldBe 20L
+    before(40L)._1 shouldBe 40L
+    // release A ∪ B: doc 30 is the union of a1's and b1's token sets —
+    // J(30, 10) = J(30, 20) = 8/16 = 0.5, bridging the two old groups
+    val relAB = relA.union(Seq((30L, s"$aTok honey $bTok rasp"))
+      .toDF("doc_id", "text"))
+    val after = split(relAB)
+    // merged component re-labels to the merged min everywhere...
+    Seq(10L, 11L, 20L, 21L, 30L).foreach { id =>
+      after(id)._1 shouldBe 10L
+    }
+    // ...and lands whole in exactly ONE split, the merged label's
+    // bucket (the old b-group MOVES if md5(20) and md5(10) bucket
+    // differently — leakage-safety outranks assignment stability)
+    Seq(10L, 11L, 20L, 21L, 30L)
+      .map(after(_)._2).toSet shouldBe Set(expectedSplit(10L, 0.90, 0.05))
+    // untouched singleton: label and split stable across releases
+    after(40L) shouldBe before(40L)
+  }
 }

@@ -332,7 +332,7 @@ class AnnSpec extends SparkSpec {
     val servedBefore = Ann.ivfTopKFromIndex(spark, path, "vec_id",
         "embedding", query, "embedding", k = 10, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    Ann.compactIvfIndex(spark, path)
+    Ann.compactIvfIndex(spark, path, "vec_id")
     filesPerCid.values.toSet shouldBe Set(1) // exactly one file per cell
     cells.select(col("vec_id"), col("cid").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -344,7 +344,7 @@ class AnnSpec extends SparkSpec {
     new java.io.File(s"$path/cells__precompact").exists() shouldBe false
     new java.io.File(s"$path/cells__compacting").exists() shouldBe false
     // filesPerCell splits large cells, never exceeds the cap
-    Ann.compactIvfIndex(spark, path, filesPerCell = 2)
+    Ann.compactIvfIndex(spark, path, "vec_id", filesPerCell = 2)
     all(filesPerCid.values) should be <= 2
     filesPerCid.values.max shouldBe 2 // some cell is big enough to split
     // crash window: live table renamed to backup, new table not yet in
@@ -354,11 +354,33 @@ class AnnSpec extends SparkSpec {
     fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells"),
       new org.apache.hadoop.fs.Path(s"$path/cells__precompact")) shouldBe
       true
-    Ann.compactIvfIndex(spark, path)
+    Ann.compactIvfIndex(spark, path, "vec_id")
     filesPerCid.values.toSet shouldBe Set(1)
     cells.select(col("vec_id"), col("cid").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sorted shouldBe rowsBefore
+    // the SAME crash window healed by a SERVING verb (not only the
+    // next compaction): stats and top-k read through openCells, which
+    // restores the backup before reading
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells"),
+      new org.apache.hadoop.fs.Path(s"$path/cells__precompact")) shouldBe
+      true
+    Ann.ivfCellStats(spark, path).agg(sum("n_vectors")).collect()
+      .head.getLong(0) shouldBe emb.count()
+    new java.io.File(s"$path/cells").exists() shouldBe true
+    new java.io.File(s"$path/cells__precompact").exists() shouldBe false
+    Ann.ivfTopKFromIndex(spark, path, "vec_id", "embedding", query,
+        "embedding", k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq shouldBe servedBefore
+    // a wrong idCol (or the partition column) refuses compaction loudly
+    val badCol = intercept[IllegalArgumentException] {
+      Ann.compactIvfIndex(spark, path, "no_such_col")
+    }
+    badCol.getMessage should include("idCol 'no_such_col'")
+    intercept[IllegalArgumentException] {
+      Ann.compactIvfIndex(spark, path, "cid")
+    }
     // dead cells: duplicate centroid vectors tie-break to the lower
     // cid, leaving the higher cid's cell empty — stats must still show
     // it, at 0 (a groupBy of the cells alone would omit the row)
