@@ -741,8 +741,14 @@ object Dedup {
     // silently OVERWRITE a caller's existing column (e.g. a prior
     // release's split) instead of refusing — the loud-refusal posture
     // of ivfTopKPerQuery's column-role guard
+    // match with the SESSION'S resolver: withColumn resolves
+    // case-insensitively under the default spark.sql.caseSensitive=
+    // false (a caller's 'Split' column would be overwritten even
+    // though it fails an exact-string contains), but a case-SENSITIVE
+    // session keeps the names distinct and must not be refused
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
     Seq("group_id", "split").foreach { c =>
-      require(!df.columns.contains(c),
+      require(!df.columns.exists(resolver(_, c)),
         s"leakageSafeSplit: input already has a '$c' column, which " +
           "this operator produces — rename or drop it first " +
           s"(e.g. .withColumnRenamed(\"$c\", \"${c}_prev\"))")

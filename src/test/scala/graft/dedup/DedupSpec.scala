@@ -1116,6 +1116,13 @@ class DedupSpec extends SparkSpec {
       Dedup.leakageSafeSplit(withSplit, "doc_id", "text", threshold = 0.5)
     }
     eSplit.getMessage should include("'split'")
+    // case-INSENSITIVE: withColumn resolves 'Split' to the produced
+    // column under the default spark.sql.caseSensitive=false, so the
+    // guard must catch differently-cased collisions too
+    val withCased = docs.withColumn("Split",
+      org.apache.spark.sql.functions.lit("train"))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.leakageSafeSplit(withCased, "doc_id", "text", threshold = 0.5)
   }
 
   test("leakageSafeSplit: a new batch that BRIDGES two old groups " +

@@ -381,6 +381,18 @@ class AnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ann.compactIvfIndex(spark, path, "cid")
     }
+    // the crash window healed by the WRITE-ONLY path: an unhealed
+    // non-idempotent absorb would CREATE a fresh live table holding
+    // only the batch and silently shadow the backup forever
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells"),
+      new org.apache.hadoop.fs.Path(s"$path/cells__precompact")) shouldBe
+      true
+    Ann.absorbIvfIndex(spark, path,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .withColumn("vec_id", col("vec_id") + 100000L),
+      "vec_id", "embedding", idempotent = false)
+    new java.io.File(s"$path/cells__precompact").exists() shouldBe false
+    spark.read.parquet(s"$path/cells").count() shouldBe emb.count() + 10
     // dead cells: duplicate centroid vectors tie-break to the lower
     // cid, leaving the higher cid's cell empty — stats must still show
     // it, at 0 (a groupBy of the cells alone would omit the row)

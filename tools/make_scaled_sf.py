@@ -30,6 +30,7 @@ synthetic artifact:
 
 Usage: python3 tools/make_scaled_sf.py <src_sf_dir> <out_dir> <R>
 """
+import re
 import sys, shutil, pathlib
 import duckdb
 
@@ -41,8 +42,8 @@ STOPWORDS = {
     "mit", "auf", "für", "von", "zu", "den", "im",
     "el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
     "por", "con", "para", "es", "del", "se",
-    "le", "les", "et", "des", "est", "dans", "pour", "qui", "sur",
-    "avec", "pas",
+    "le", "les", "et", "une", "des", "est", "dans", "pour", "qui",
+    "sur", "avec", "pas",
     "be", "have",
 }
 ID_STEP = 100_000_000
@@ -65,21 +66,28 @@ def scale_documents(con, src, out, r):
         if text is None or i == 0:
             return text
         shift = (i * stride) % v
-        return " ".join(
+        # whitespace-PRESERVING split (capturing group keeps the
+        # separators): newlines/tabs/run-lengths survive relabeling, so
+        # line-gated signals (Gopher dup-line fractions, n_chars
+        # bounds) see the same structure in every replica
+        return "".join(
             vocab[(idx[t] + shift) % v]
-            if (t.isalpha() and t.islower() and t not in STOPWORDS)
+            if (t.isalpha() and t.islower() and t not in STOPWORDS
+                and t in idx)
             else t
-            for t in text.split())
+            for t in re.split(r"(\s+)", text))
 
-    out_rows = [(doc_id + i * ID_STEP, nt, lang, source,
-                 len(nt) if nt is not None else None)
-                for i in range(r)
-                for (doc_id, text, lang, source) in rows
-                for nt in (relabel(text, i),)]
     con.execute("CREATE OR REPLACE TABLE docs_out(doc_id BIGINT, "
                 "text VARCHAR, lang VARCHAR, source VARCHAR, "
                 "n_chars BIGINT)")
-    con.executemany("INSERT INTO docs_out VALUES (?,?,?,?,?)", out_rows)
+    # one replica at a time: bounds Python-side memory to one corpus
+    # copy regardless of R (larger source SFs stay feasible)
+    for i in range(r):
+        rep = [(doc_id + i * ID_STEP, nt, lang, source,
+                len(nt) if nt is not None else None)
+               for (doc_id, text, lang, source) in rows
+               for nt in (relabel(text, i),)]
+        con.executemany("INSERT INTO docs_out VALUES (?,?,?,?,?)", rep)
     con.execute(f"COPY (SELECT * FROM docs_out ORDER BY doc_id) TO "
                 f"'{out}/documents.parquet' (FORMAT PARQUET)")
 
