@@ -90,14 +90,15 @@ object ImageOps {
     * deterministic channel quantization (keep the top 8−shift bits,
     * shift = (100−quality)/20, capped at 5) before the same lossless
     * encode — the r5-accepted stand-in contract, kept as the default
-    * for its pointwise error bounds (PropertySpec pins them). The
-    * REAL VP8 transform layer exists as [[webpEncodeDct]] (RFC 6386
-    * integer DCT pair + DC/AC quantization — chain param
-    * `mode=vp8dct`); only the boolean-coder BITSTREAM remains out of
-    * scope, for lack of an offline conformance oracle (Vp8Transform
-    * scaladoc). The output container is still real WebP that any
-    * conforming decoder accepts. `method` (an encoder effort knob
-    * in libwebp) has no analogue here and is ignored. */
+    * for its pointwise error bounds (PropertySpec pins them). Two
+    * further lossy forms exist: [[webpEncodeDct]] (RFC 6386 integer
+    * DCT pair + DC/AC quantization inside a lossless container —
+    * chain param `mode=vp8dct`) and [[webpEncodeLossy]] (chain param
+    * `mode=vp8`): the COMPLETE real VP8 keyframe bitstream —
+    * boolean-coded headers, token-tree coefficients, the normative
+    * probability tables — whose output libwebp decodes pixel-exactly
+    * (golden-fixture-pinned, Vp8GoldenSpec). `method` (an encoder
+    * effort knob in libwebp) has no analogue here and is ignored. */
   def webpEncode(bytes: Array[Byte], lossless: Boolean = true,
                  quality: Int = 50): Option[Array[Byte]] =
     decode(bytes).flatMap { img =>
@@ -162,6 +163,25 @@ object ImageOps {
       WebpCodec.encodeLossless(res)
     }
 
+  /** I3, REAL lossy WebP: the full RFC 6386 VP8 keyframe pipeline —
+    * [[Vp8Encoder]] (DC_PRED macroblocks, Y2 Walsh–Hadamard, DCT
+    * residuals, token-tree entropy coding with the normative tables)
+    * in a RIFF "VP8 " container that ANY conforming WebP decoder
+    * reads; libwebp reproduces the encoder's own reconstruction
+    * pixel-exactly (Vp8GoldenSpec). Quality 0..100 maps linearly onto
+    * the frame quantizer index (qindex 127..0). Alpha is dropped
+    * (real lossy WebP carries alpha as a separate lossless chunk —
+    * out of scope; use `lossless` when alpha matters). */
+  def webpEncodeLossy(bytes: Array[Byte], quality: Int = 50)
+      : Option[Array[Byte]] =
+    decode(bytes).map { img =>
+      val q = math.min(100, math.max(0, quality))
+      val qindex = (100 - q) * 127 / 100
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      Vp8Encoder.encodeArgb(px, w, h, qindex).webp
+    }
+
   /** I4: fold the configured chain over one payload; None = failure
     * (→ F4 success-mask drop, `wikicaps_etl_pipeline.py:203-210`). */
   def applyChain(bytes: Array[Byte],
@@ -175,6 +195,9 @@ object ImageOps {
             t.params.getOrElse("max_height", "640").toInt)
           case "compress" => compressBytes(b,
             t.params.getOrElse("quality", "0.8").toFloat)
+          case "webp" if t.params.get("mode").contains("vp8") &&
+              !t.params.get("mode").contains("vp8dct") =>
+            webpEncodeLossy(b, t.params.getOrElse("quality", "50").toInt)
           case "webp" if t.params.get("mode").contains("vp8dct") =>
             webpEncodeDct(b, t.params.getOrElse("quality", "50").toInt)
           case "webp" => webpEncode(b,

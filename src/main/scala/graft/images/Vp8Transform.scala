@@ -99,6 +99,34 @@ object Vp8Transform {
     out
   }
 
+  /** Inverse 4×4 Walsh–Hadamard transform (§14.3) — distributes the
+    * Y2 block's second-order coefficients back onto the 16 luma DCs
+    * of a 16×16-mode macroblock. Exact integer form; conformance
+    * pinned by the lossy golden fixtures (libwebp reproduces the
+    * reconstruction pixel-exactly — Vp8GoldenSpec). */
+  def invWalsh4x4(c: Array[Int]): Array[Int] = {
+    val tmp = new Array[Int](16)
+    val out = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = c(i) + c(12 + i); val b1 = c(4 + i) + c(8 + i)
+      val c1 = c(4 + i) - c(8 + i); val d1 = c(i) - c(12 + i)
+      tmp(i) = a1 + b1; tmp(4 + i) = c1 + d1
+      tmp(8 + i) = a1 - b1; tmp(12 + i) = d1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = tmp(o) + tmp(o + 3); val b1 = tmp(o + 1) + tmp(o + 2)
+      val c1 = tmp(o + 1) - tmp(o + 2); val d1 = tmp(o) - tmp(o + 3)
+      out(o) = (a1 + b1 + 3) >> 3; out(o + 1) = (c1 + d1 + 3) >> 3
+      out(o + 2) = (a1 - b1 + 3) >> 3; out(o + 3) = (d1 - c1 + 3) >> 3
+      i += 1
+    }
+    out
+  }
+
   /** VP8-shaped quantization: DC by `qdc`, AC by `qac`; truncating
     * division toward zero (the RFC's level semantics). */
   def quantize(coeffs: Array[Int], qdc: Int, qac: Int): Array[Int] = {
