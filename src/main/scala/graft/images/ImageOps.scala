@@ -131,10 +131,9 @@ object ImageOps {
     * fixed-point pair, roundtrip ±1 property-tested), then the VP8L
     * container. Alpha passes through untouched (real lossy WebP stores
     * alpha as a separate lossless chunk). Quality maps linearly onto
-    * the DC/AC quantizer steps (VP8's 4..157 / 4..284 ranges); the
-    * qindex→step lookup and boolean-coder bitstream stay out of scope
-    * — they are entropy-layer constants with no offline conformance
-    * oracle here (Vp8Transform scaladoc). */
+    * the DC/AC quantizer steps (VP8's 4..157 / 4..284 ranges). Kept as
+    * the transform-only tier; the FULL entropy layer now exists —
+    * [[webpEncodeLossy]] emits the real VP8 bitstream. */
   def webpEncodeDct(bytes: Array[Byte], quality: Int = 50)
       : Option[Array[Byte]] =
     decode(bytes).flatMap { img =>
@@ -174,12 +173,18 @@ object ImageOps {
     * out of scope; use `lossless` when alpha matters). */
   def webpEncodeLossy(bytes: Array[Byte], quality: Int = 50)
       : Option[Array[Byte]] =
-    decode(bytes).map { img =>
+    decode(bytes).flatMap { img =>
       val q = math.min(100, math.max(0, quality))
       val qindex = (100 - q) * 127 / 100
       val (w, h) = (img.getWidth, img.getHeight)
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
-      Vp8Encoder.encodeArgb(px, w, h, qindex).webp
+      // None, never throw (the R4/F4 chain contract the lossless path
+      // honors): dimension and partition-size refusals inside the
+      // encoder become a success-mask drop, not a task crash
+      if (w >= 16384 || h >= 16384) None
+      else scala.util.Try {
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        Vp8Encoder.encodeArgb(px, w, h, qindex).webp
+      }.toOption
     }
 
   /** I4: fold the configured chain over one payload; None = failure
@@ -195,8 +200,9 @@ object ImageOps {
             t.params.getOrElse("max_height", "640").toInt)
           case "compress" => compressBytes(b,
             t.params.getOrElse("quality", "0.8").toFloat)
-          case "webp" if t.params.get("mode").contains("vp8") &&
-              !t.params.get("mode").contains("vp8dct") =>
+          // Option.contains is exact equality, so the two webp modes
+          // are mutually exclusive without extra guards
+          case "webp" if t.params.get("mode").contains("vp8") =>
             webpEncodeLossy(b, t.params.getOrElse("quality", "50").toInt)
           case "webp" if t.params.get("mode").contains("vp8dct") =>
             webpEncodeDct(b, t.params.getOrElse("quality", "50").toInt)

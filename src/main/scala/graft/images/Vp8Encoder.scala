@@ -133,6 +133,15 @@ object Vp8Encoder {
       (s + n / 2) >> shift
     }
 
+    // per-MB scratch, hoisted: every cell is overwritten each MB
+    // (yLv(b)(0) is never written and stays 0 - luma DC rides Y2), so
+    // reuse avoids ~20 short-lived allocations per macroblock
+    val yLv = Array.ofDim[Int](16, 16)
+    val uLv = Array.ofDim[Int](4, 16)
+    val vLv = Array.ofDim[Int](4, 16)
+    val y2Coef = new Array[Int](16)
+    val block = new Array[Int](16)
+    val co = new Array[Int](16)
     var mby = 0
     while (mby < mbH) {
       val yLeft = new Array[Int](4)
@@ -145,9 +154,6 @@ object Vp8Encoder {
         val yPred = dcPredict(yR, pw, mbx * 16, mby * 16, 16)
         val uPred = dcPredict(uR, pw / 2, mbx * 8, mby * 8, 8)
         val vPred = dcPredict(vR, pw / 2, mbx * 8, mby * 8, 8)
-        val yLv = Array.ofDim[Int](16, 16) // 16 blocks × 16 levels
-        val y2Coef = new Array[Int](16)
-        val block = new Array[Int](16)
         var b = 0
         while (b < 16) {
           val br = b / 4; val bc = b % 4
@@ -162,23 +168,14 @@ object Vp8Encoder {
           y2Coef(b) = co(0)
           var k = 1
           while (k < 16) {
-            val c = co(k)
-            yLv(b)(k) = (if (c < 0) -((-c) / y1ac) else c / y1ac)
+            yLv(b)(k) = co(k) / y1ac // Scala / truncates toward zero
             k += 1
           }
           b += 1
         }
         val y2w = walsh4x4(y2Coef)
-        val y2Lv = new Array[Int](16)
+        val y2Lv = Vp8Transform.quantize(y2w, y2dc, y2ac)
         var k = 0
-        while (k < 16) {
-          val q = if (k == 0) y2dc else y2ac
-          val c = y2w(k)
-          y2Lv(k) = if (c < 0) -((-c) / q) else c / q
-          k += 1
-        }
-        val uLv = Array.ofDim[Int](4, 16)
-        val vLv = Array.ofDim[Int](4, 16)
         var pl = 0
         while (pl < 2) {
           val (src, pred, lv) =
@@ -193,14 +190,9 @@ object Vp8Encoder {
               block(j) = src(yy * (pw / 2) + xx) - pred
               j += 1
             }
-            val co = Vp8Transform.fdct4x4(block)
-            var k2 = 0
-            while (k2 < 16) {
-              val q = if (k2 == 0) uvdc else uvac
-              val c = co(k2)
-              lv(b)(k2) = if (c < 0) -((-c) / q) else c / q
-              k2 += 1
-            }
+            val q = Vp8Transform.quantize(
+              Vp8Transform.fdct4x4(block), uvdc, uvac)
+            System.arraycopy(q, 0, lv(b), 0, 16)
             b += 1
           }
           pl += 1
@@ -273,13 +265,8 @@ object Vp8Encoder {
           java.util.Arrays.fill(vLeft, 0)
         }
         // ---- reconstruction (what the decoder will compute) ----
-        val y2De = new Array[Int](16)
-        k = 0
-        while (k < 16) {
-          y2De(k) = y2Lv(k) * (if (k == 0) y2dc else y2ac); k += 1
-        }
-        val dcs = Vp8Transform.invWalsh4x4(y2De)
-        val co = new Array[Int](16)
+        val dcs = Vp8Transform.invWalsh4x4(
+          Vp8Transform.dequantize(y2Lv, y2dc, y2ac))
         b = 0
         while (b < 16) {
           val br = b / 4; val bc = b % 4
@@ -303,11 +290,8 @@ object Vp8Encoder {
           b = 0
           while (b < 4) {
             val br = b / 2; val bc = b % 2
-            k = 0
-            while (k < 16) {
-              lvDeq(co, lv(b), k, uvdc, uvac); k += 1
-            }
-            val res = Vp8Transform.idct4x4(co)
+            val res = Vp8Transform.idct4x4(
+              Vp8Transform.dequantize(lv(b), uvdc, uvac))
             var j = 0
             while (j < 16) {
               val yy = mby * 8 + br * 4 + j / 4
@@ -324,6 +308,11 @@ object Vp8Encoder {
       mby += 1
     }
     val part1 = hdr.stop()
+    require(part1.length < (1 << 19),
+      s"first partition ${part1.length} B exceeds the frame tag's " +
+        "19-bit size field (RFC 6386 \u00a79.1) - the image has too " +
+        "many macroblocks for one partition; refuse rather than emit " +
+        "a silently corrupt stream")
     val part2raw = tok.stop()
     val part2 = if (part2raw.isEmpty) Array[Byte](0) else part2raw
     val tag = (1 << 4) | (part1.length << 5) // keyframe, ver 0, shown
@@ -338,10 +327,6 @@ object Vp8Encoder {
     val frame = out.toByteArray
     Encoded(riffVp8(frame), yR, uR, vR, w, h, pw, ph)
   }
-
-  @inline private def lvDeq(co: Array[Int], lv: Array[Int], k: Int,
-                            qdc: Int, qac: Int): Unit =
-    co(k) = lv(k) * (if (k == 0) qdc else qac)
 
   /** Forward 4×4 Walsh–Hadamard (§14.3's inverse pair partner): packs
     * the 16 luma DC coefficients into the Y2 block. Fidelity-only —

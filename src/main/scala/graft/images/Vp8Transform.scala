@@ -16,16 +16,15 @@ package graft.images
   * approximation we accept silently).
   *
   * Quantization is the VP8 shape: position 0 (DC) divides by `qdc`,
-  * the 15 AC positions by `qac`; dequantization multiplies back. What
-  * this file deliberately does NOT contain: the qindex→step lookup
-  * tables, probability tables and the boolean arithmetic coder of the
-  * VP8 BITSTREAM — those are entropy-layer constants whose only
-  * correctness oracle is interop with a conforming decoder, and this
-  * environment has none (no libwebp, no lossy golden fixtures — see
-  * FIXTURES.md; the VP8L side DOES have committed libwebp goldens).
-  * [[WebpCodec.encodeLossless]] remains the entropy layer; the lossy
-  * pipeline is transform → quantize → dequantize → inverse →
-  * lossless container ([[ImageOps.webpEncode]] mode `vp8dct`). */
+  * the 15 AC positions by `qac`; dequantization multiplies back.
+  * The entropy layer ABOVE this file — qindex→step lookups,
+  * probability tables, boolean arithmetic coder, token trees — lives
+  * in [[Vp8Tables]]/[[Vp8Entropy]]/[[Vp8Encoder]] (r19): the system
+  * libwebp turned out to be a conformance oracle, so the full real
+  * VP8 bitstream now exists and is golden-fixture-pinned
+  * (FIXTURES.md §1.9, Vp8GoldenSpec). This file stays the shared
+  * transform core; `vp8dct` mode ([[ImageOps.webpEncodeDct]]) remains
+  * as the transform-only tier inside a lossless container. */
 object Vp8Transform {
 
   /** Forward 4×4 transform of a residual block (row-major, values in

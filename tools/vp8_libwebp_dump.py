@@ -46,7 +46,6 @@ for p in fixtures:
         bytes(ub[j * US + i] for j in range(ch) for i in range(cw)) + \
         bytes(vb[j * US + i] for j in range(ch) for i in range(cw))
     lib.WebPFree(ctypes.cast(y, ctypes.c_void_p))
-    outp = p.with_suffix("").with_suffix("")  # strip .webp
     outp = p.parent / (p.stem + ".libwebp.yuv")
     outp.write_bytes(out)
     print(f"{p.name}: {W}x{H} -> {outp.name} ({len(out)} bytes)")
