@@ -97,6 +97,16 @@ class ImageOpsSpec extends SparkSpec {
     ImageOps.applyChain(png, Seq(TransformCfg("webp",
       Map("mode" -> "vp8dct", "quality" -> "60")))).get.toSeq shouldBe
       ImageOps.webpEncodeDct(png, 60).get.toSeq
+    // ...and mode=vp8 to the REAL lossy VP8 keyframe encoder: the
+    // chain output is a RIFF "VP8 " container, equal to the direct call
+    val lossy = ImageOps.applyChain(png, Seq(TransformCfg("webp",
+      Map("mode" -> "vp8", "quality" -> "60")))).get
+    new String(lossy, 12, 4, "ASCII") shouldBe "VP8 "
+    lossy.toSeq shouldBe ImageOps.webpEncodeLossy(png, 60).get.toSeq
+    // encoder refusals keep the None-not-throw chain contract (R4):
+    // a corrupt payload through the lossy route drops, never crashes
+    ImageOps.applyChain(Fixtures.corrupt, Seq(TransformCfg("webp",
+      Map("mode" -> "vp8")))) shouldBe None
   }
 
   test("binary-column transform keeps plumbing: schema + fail flag (F4)") {
