@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.StoreLease
+
 /** Count-min sketch over a token stream — the classic sublinear-space
   * frequency sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
   * `width` counters; an item's estimate is the MIN of its `depth`
@@ -283,8 +285,13 @@ object Sketches {
     * sketch (oracle m19 proves it end-to-end). */
   def writeKmvStore(items: DataFrame, srcCol: String, itemCol: String,
                     k: Int, path: String): Unit =
-    kmvSketch(items, srcCol, itemCol, k)
-      .write.mode("overwrite").parquet(path)
+    // single writer enforced: a concurrent rewrite of the same store
+    // path would race overwrite-mode commits (see StoreLease)
+    StoreLease.withLease(items.sparkSession, StoreLease.forDir(path),
+      "writeKmvStore") { _ =>
+      kmvSketch(items, srcCol, itemCol, k)
+        .write.mode("overwrite").parquet(path)
+    }
 
   /** Pairwise cross-source overlap report from KMV sketches: for every
     * source pair (a < b) the theta-sketch set estimates — distinct
@@ -474,8 +481,12 @@ object Sketches {
   def writeQuantileStore(df: DataFrame, srcCol: String, keyCol: String,
                          valueCol: String, k: Int, tableName: String,
                          path: String, nBuckets: Int = 4): Unit =
-    saveQuantileStore(quantileSketch(df, srcCol, keyCol, valueCol, k),
-      tableName, path, nBuckets, k, keyCol, valueCol)
+    StoreLease.withLease(df.sparkSession,
+      StoreLease.forTable(df.sparkSession, tableName),
+      "writeQuantileStore") { _ =>
+      saveQuantileStore(quantileSketch(df, srcCol, keyCol, valueCol, k),
+        tableName, path, nBuckets, k, keyCol, valueCol)
+    }
 
   /** Shared write tail of store build and absorb: bucketed external
     * table + the family properties the next absorb validates. The
@@ -544,9 +555,10 @@ object Sketches {
     * identical state instead of corrupting it — no anti-join guard
     * needed, the algebra itself is the guard (SketchesSpec pins
     * idempotence; the m21 oracle replays a batch end-to-end). SINGLE
-    * WRITER assumed, as with every store here: two CONCURRENT absorbs
-    * race the read-merge-rewrite cycle and one's delta can be lost —
-    * serialize absorbs in the orchestrator. The sketch-sized merged
+    * WRITER enforced ([[graft.util.StoreLease]]): two CONCURRENT
+    * absorbs race the read-merge-rewrite cycle and one's delta can be
+    * lost — an overlapping writer now refuses loudly instead of
+    * losing it silently. The sketch-sized merged
     * state is eagerly materialized (localCheckpoint) BEFORE the
     * overwrite so the rewrite never reads the files it replaces. */
   def absorbIntoQuantileStore(delta: DataFrame, srcCol: String,
@@ -563,11 +575,14 @@ object Sketches {
       .getOrElse(throw new IllegalStateException(
         s"$tableName has no storage location — was the store written " +
           "by writeQuantileStore?")).toString
-    val merged = quantileSketchMerge(spark.table(tableName),
-      quantileSketch(delta, srcCol, keyCol, valueCol, k), k)
-      .localCheckpoint() // ≤ sources × k rows; cuts lineage so the
-    // overwrite below no longer reads the table it replaces
-    saveQuantileStore(merged, tableName, path, nb, k, keyCol, valueCol)
+    StoreLease.withLease(spark, StoreLease.forTable(spark, tableName),
+      "absorbIntoQuantileStore") { _ =>
+      val merged = quantileSketchMerge(spark.table(tableName),
+        quantileSketch(delta, srcCol, keyCol, valueCol, k), k)
+        .localCheckpoint() // ≤ sources × k rows; cuts lineage so the
+      // overwrite below no longer reads the table it replaces
+      saveQuantileStore(merged, tableName, path, nb, k, keyCol, valueCol)
+    }
   }
 
   /** Shared estimate + top-k tail: join each candidate against the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.enrich.CaptionStats
 import graft.text.TextAnalysis
-import graft.util.Metrics
+import graft.util.{Metrics, StoreLease}
 
 /** Deduplication operators for LLM-scale corpora (north-star extension,
   * BASELINE.json). All keys are md5-derived so results are deterministic and
@@ -1623,18 +1623,22 @@ object Dedup {
                           tokensCol: Option[String] = None): Unit = {
     val nb = if (nBuckets > 0) nBuckets
              else suggestedStoreBuckets(df, expansion = 8.0)
-    windowOccurrences(
-        origAndNormToks(df, idCol, textCol, nfc, tokensCol), idCol, seedN)
-      .write.mode("overwrite").option("path", s"$path/seeds")
-      .bucketBy(nb, "__h").sortBy("__h")
-      .format("parquet").saveAsTable(s"${tablePrefix}_seeds")
-    // persist the hash family: every later absorb/shard-run validates
-    // against these instead of trusting its own defaults — a mismatched
-    // seedN would silently join incompatible hashes (zero matches, no
-    // error), the worst failure mode for a dedup store
-    df.sparkSession.sql(
-      s"ALTER TABLE ${tablePrefix}_seeds SET TBLPROPERTIES(" +
-        s"'graft.seedn' = '$seedN', 'graft.nfc' = '$nfc')")
+    StoreLease.withLease(df.sparkSession,
+      StoreLease.forTable(df.sparkSession, tablePrefix),
+      "writeSubstringStore") { _ =>
+      windowOccurrences(
+          origAndNormToks(df, idCol, textCol, nfc, tokensCol), idCol, seedN)
+        .write.mode("overwrite").option("path", s"$path/seeds")
+        .bucketBy(nb, "__h").sortBy("__h")
+        .format("parquet").saveAsTable(s"${tablePrefix}_seeds")
+      // persist the hash family: every later absorb/shard-run validates
+      // against these instead of trusting its own defaults — a mismatched
+      // seedN would silently join incompatible hashes (zero matches, no
+      // error), the worst failure mode for a dedup store
+      df.sparkSession.sql(
+        s"ALTER TABLE ${tablePrefix}_seeds SET TBLPROPERTIES(" +
+          s"'graft.seedn' = '$seedN', 'graft.nfc' = '$nfc')")
+    }
   }
 
   /** Validate a caller's (seedN, nfc) against what the store was built
@@ -1681,11 +1685,12 @@ object Dedup {
     * whole batch exactly once. The guard costs one projected scan of
     * the store's id column per absorb; pass `idempotent = false` only
     * where the orchestrator already guarantees exactly-once delivery of
-    * DISJOINT batches. SINGLE WRITER assumed: the guard is
-    * check-then-append, so two CONCURRENT absorbs of overlapping
-    * batches can both pass the anti-join and double-insert — replay
-    * safety covers sequential retries, not concurrent writers;
-    * serialize absorbs in the orchestrator. */
+    * DISJOINT batches. SINGLE WRITER enforced ([[graft.util
+    * .StoreLease]]): the guard is check-then-append, so two CONCURRENT
+    * absorbs of overlapping batches could both pass the anti-join and
+    * double-insert — replay safety covers sequential retries, not
+    * concurrent writers; an overlapping writer now refuses loudly
+    * instead of corrupting persistent state. */
   def absorbIntoSubstringStore(docs: DataFrame, idCol: String,
                                textCol: String, tablePrefix: String,
                                seedN: Int = 8, nfc: Boolean = true,
@@ -1698,15 +1703,19 @@ object Dedup {
       .getOrElse(throw new IllegalStateException(
         s"${tablePrefix}_seeds is not a bucketed table — was the store " +
           "written by writeSubstringStore?"))
-    val fresh =
-      if (idempotent)
-        docs.join(spark.table(s"${tablePrefix}_seeds")
-          .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-      else docs
-    windowOccurrences(
-        origAndNormToks(fresh, idCol, textCol, nfc, tokensCol), idCol, seedN)
-      .write.mode("append").bucketBy(nb, "__h").sortBy("__h")
-      .format("parquet").saveAsTable(s"${tablePrefix}_seeds")
+    StoreLease.withLease(spark, StoreLease.forTable(spark, tablePrefix),
+      "absorbIntoSubstringStore") { _ =>
+      val fresh =
+        if (idempotent)
+          docs.join(spark.table(s"${tablePrefix}_seeds")
+            .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        else docs
+      windowOccurrences(
+          origAndNormToks(fresh, idCol, textCol, nfc, tokensCol), idCol,
+          seedN)
+        .write.mode("append").bucketBy(nb, "__h").sortBy("__h")
+        .format("parquet").saveAsTable(s"${tablePrefix}_seeds")
+    }
   }
 
   /** Per-hash occurrence counts over the store's seed table — groupBy
@@ -1963,17 +1972,22 @@ object Dedup {
                           k: Int = 12, bands: Int = 4, shingleN: Int = 3,
                           nBuckets: Int = 0): Unit = {
     val nb = if (nBuckets > 0) nBuckets else suggestedStoreBuckets(df)
-    val sh = shingleTable(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshBands(signaturesFrom(sh, idCol, k), idCol, bands, rowsPer(k, bands))
-      .select(bandJoinKey.as("bk"), col(idCol))
-      .write.mode("overwrite").option("path", s"$path/bands")
-      .bucketBy(nb, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(s"${tablePrefix}_bands")
-    sh.write.mode("overwrite").option("path", s"$path/shingles")
-      .bucketBy(nb, idCol).sortBy(idCol)
-      .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
-    sh.unpersist(blocking = false)
+    StoreLease.withLease(df.sparkSession,
+      StoreLease.forTable(df.sparkSession, tablePrefix),
+      "writeSignatureStore") { _ =>
+      val sh = shingleTable(df, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lshBands(signaturesFrom(sh, idCol, k), idCol, bands,
+          rowsPer(k, bands))
+        .select(bandJoinKey.as("bk"), col(idCol))
+        .write.mode("overwrite").option("path", s"$path/bands")
+        .bucketBy(nb, "bk").sortBy("bk")
+        .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+      sh.write.mode("overwrite").option("path", s"$path/shingles")
+        .bucketBy(nb, idCol).sortBy(idCol)
+        .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+      sh.unpersist(blocking = false)
+    }
   }
 
   /** Bucket-count derivation for the signature stores: estimated store
@@ -2054,36 +2068,39 @@ object Dedup {
     // guarding each table against ITS OWN ids makes a retry
     // self-healing (it repairs exactly the missing table, duplicates
     // neither). Guard cost: one projected id scan per table. Single
-    // writer assumed (see absorbIntoSubstringStore — check-then-append
-    // does not serialize concurrent absorbs).
+    // writer ENFORCED (StoreLease — check-then-append cannot serialize
+    // concurrent absorbs; an overlapping writer refuses loudly).
     def storedIds(table: String): DataFrame =
       spark.table(table).select(col(idCol)).distinct()
-    // tokenize+shingle ONCE over the union of both tables' fresh docs
-    // (= docs absent from at least one table; in the no-crash common
-    // case that is simply the new batch), then restrict per table —
-    // shingling per table would double the expensive half of the job
-    val freshUnion =
-      if (idempotent)
-        docs.join(storedIds(s"${tablePrefix}_bands")
-            .intersect(storedIds(s"${tablePrefix}_shingles")),
-          Seq(idCol), "left_anti")
-      else docs
-    val sh = shingleTable(freshUnion, idCol, textCol, shingleN,
-        tokensCol = tokensCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def freshFor(frame: DataFrame, table: String): DataFrame =
-      if (idempotent)
-        frame.join(storedIds(table), Seq(idCol), "left_anti")
-      else frame
-    lshBands(signaturesFrom(freshFor(sh, s"${tablePrefix}_bands"),
-        idCol, k), idCol, bands, rowsPer(k, bands))
-      .select(bandJoinKey.as("bk"), col(idCol))
-      .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(s"${tablePrefix}_bands")
-    freshFor(sh, s"${tablePrefix}_shingles")
-      .write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
-      .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
-    sh.unpersist(blocking = false)
+    StoreLease.withLease(spark, StoreLease.forTable(spark, tablePrefix),
+      "absorbIntoSignatureStore") { _ =>
+      // tokenize+shingle ONCE over the union of both tables' fresh docs
+      // (= docs absent from at least one table; in the no-crash common
+      // case that is simply the new batch), then restrict per table —
+      // shingling per table would double the expensive half of the job
+      val freshUnion =
+        if (idempotent)
+          docs.join(storedIds(s"${tablePrefix}_bands")
+              .intersect(storedIds(s"${tablePrefix}_shingles")),
+            Seq(idCol), "left_anti")
+        else docs
+      val sh = shingleTable(freshUnion, idCol, textCol, shingleN,
+          tokensCol = tokensCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def freshFor(frame: DataFrame, table: String): DataFrame =
+        if (idempotent)
+          frame.join(storedIds(table), Seq(idCol), "left_anti")
+        else frame
+      lshBands(signaturesFrom(freshFor(sh, s"${tablePrefix}_bands"),
+          idCol, k), idCol, bands, rowsPer(k, bands))
+        .select(bandJoinKey.as("bk"), col(idCol))
+        .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
+        .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+      freshFor(sh, s"${tablePrefix}_shingles")
+        .write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
+        .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+      sh.unpersist(blocking = false)
+    }
   }
 
   /** Per-bucket doc counts over the store's band table — groupBy on the
@@ -2301,13 +2318,17 @@ object Dedup {
     // already the store's own size, so no expansion
     val nb = if (nBuckets > 0) nBuckets
       else suggestedStoreBuckets(h, expansion = 1.0)
-    imageBandRows(h, idCol)
-      .write.mode("overwrite").option("path", s"$path/ibands")
-      .bucketBy(nb, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
-    h.write.mode("overwrite").option("path", s"$path/ihashes")
-      .bucketBy(nb, idCol).sortBy(idCol)
-      .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+    StoreLease.withLease(df.sparkSession,
+      StoreLease.forTable(df.sparkSession, tablePrefix),
+      "writeImageSignatureStore") { _ =>
+      imageBandRows(h, idCol)
+        .write.mode("overwrite").option("path", s"$path/ibands")
+        .bucketBy(nb, "bk").sortBy("bk")
+        .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
+      h.write.mode("overwrite").option("path", s"$path/ihashes")
+        .bucketBy(nb, idCol).sortBy(idCol)
+        .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+    }
   }
 
   /** Per-bucket counts over the image store's band table — bucket-local
@@ -2401,12 +2422,16 @@ object Dedup {
     def hashes(d: DataFrame): DataFrame = d
       .filter(col(hashCol).isNotNull)
       .select(col(idCol), col(hashCol).cast("long").as("__ph"))
-    imageBandRows(hashes(freshFor(s"${tablePrefix}_ibands")), idCol)
-      .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
-    hashes(freshFor(s"${tablePrefix}_ihashes"))
-      .write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
-      .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+    // single writer enforced — see absorbIntoSignatureStore
+    StoreLease.withLease(spark, StoreLease.forTable(spark, tablePrefix),
+      "absorbIntoImageSignatureStore") { _ =>
+      imageBandRows(hashes(freshFor(s"${tablePrefix}_ibands")), idCol)
+        .write.mode("append").bucketBy(nBuckets, "bk").sortBy("bk")
+        .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
+      hashes(freshFor(s"${tablePrefix}_ihashes"))
+        .write.mode("append").bucketBy(nBuckets, idCol).sortBy(idCol)
+        .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+    }
   }
 
   /** Recall-loss report for the incremental image store's combined

@@ -3,6 +3,8 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.StoreLease
+
 /** Similarity search over embedding columns (north-star extension).
   *
   * Embeddings are `array<float>`; all math is done in DOUBLE with a fixed
@@ -86,26 +88,52 @@ object Ann {
     * that touches cells — serving, absorb, stats, compaction itself —
     * reads through here, so recovery never waits for the next
     * compaction call (the existence probe is one FS metadata op per
-    * call, free next to the read it fronts). */
+    * call, free next to the read it fronts).
+    *
+    * `own` is the caller's writer lease when the caller IS the
+    * writer; without it, healing defers to [[healCells]]'s live-lease
+    * check so a serving read can never race a healthy compaction's
+    * swap window (see there). */
   private def openCells(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame = {
-    healCells(spark, path)
+                        path: String,
+                        own: Option[StoreLease.Lease] = None): DataFrame = {
+    healCells(spark, path, own)
     spark.read.parquet(s"$path/cells")
   }
 
   /** The restore step of [[openCells]] alone — for the one write-only
     * path ([[absorbIvfIndex]] with `idempotent = false`), where an
     * unhealed append would CREATE a fresh live table holding only the
-    * batch and silently shadow the backup forever. */
+    * batch and silently shadow the backup forever.
+    *
+    * LEASE-GUARDED: a HEALTHY compaction's swap window (between
+    * rename(live→bak) and rename(tmp→live)) looks exactly like the
+    * crash it exists to repair, and a read that healed inside that
+    * window would rename the backup back under the compactor's feet
+    * and corrupt the swap. The compactor holds the writer lease across
+    * the whole swap, so: heal-needed + FOREIGN fresh lease = a
+    * compaction is in flight — fail with a retryable error instead of
+    * racing it; heal-needed + no/stale lease = a crashed swap — safe
+    * to restore. Writers pass their own lease (`own`) so their
+    * recovery path is never blocked by the lease they themselves
+    * hold. */
   private def healCells(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit = {
+                        path: String,
+                        own: Option[StoreLease.Lease] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/cells")
     val bak = new Path(s"$path/cells__precompact")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(bak))
+    if (!fs.exists(live) && fs.exists(bak)) {
+      if (own.isEmpty &&
+          StoreLease.heldFresh(spark, StoreLease.forDir(path)))
+        throw new IllegalStateException(
+          s"cells at $path are mid-swap under a live writer lease — a " +
+            "compaction is in flight; retry after it completes " +
+            "(healing now would race its rename and corrupt the swap)")
       require(fs.rename(bak, live), s"crash recovery: rename $bak -> " +
         s"$live failed — restore the cells table manually")
+    }
   }
 
   /** Brute-force top-k by cosine against one query vector (an in-plan
@@ -358,13 +386,15 @@ object Ann {
     * deterministic ([[ivfCentroids]]), so index results are exactly
     * [[ivfTopK]]'s at the same parameters (shared oracle, n8 vs n3). */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    nCentroids: Int, path: String): Unit = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids)
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssignTo(corpus, idCol, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$path/cells")
-  }
+                    nCentroids: Int, path: String): Unit =
+    StoreLease.withLease(corpus.sparkSession, StoreLease.forDir(path),
+      "writeIvfIndex") { _ =>
+      val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      ivfAssignTo(corpus, idCol, vecCol, centroids)
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/cells")
+    }
 
   /** IVF top-k against a [[writeIvfIndex]] index: centroids load once
     * (kilobytes), the probe cells are chosen DRIVER-SIDE so the cell
@@ -428,8 +458,10 @@ object Ann {
     * those `cid=…` directories (the n8 probe property). The touched-cid
     * collect is bounded by the centroid count (kilobytes). Ids must be
     * disjoint across DISTINCT batches (caller contract, as in the dedup
-    * stores); single writer assumed (check-then-append does not
-    * serialize concurrent absorbs). Dimension is the family parameter:
+    * stores); single writer ENFORCED by [[graft.util.StoreLease]]
+    * (check-then-append cannot serialize concurrent absorbs, so an
+    * overlapping absorb/compaction refuses loudly instead of losing a
+    * delta). Dimension is the family parameter:
     * EVERY row is checked (the jlProject per-row guard, not a sampled
     * row — a mixed batch would otherwise null its bad rows' cosines
     * against every centroid and silently assign them to the lowest
@@ -447,23 +479,28 @@ object Ann {
                      idempotent: Boolean = true): Unit = {
     val (centroids, dim) = indexCentroids(spark, path)
     if (batch.isEmpty) return // empty batch: a no-op, not an error
-    healCells(spark, path) // before the append, even when idempotent=false
-    val guarded = guardVecDim(batch, vecCol, dim, s"index at $path")
-    val assigned = ivfAssignTo(guarded, idCol, vecCol, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val fresh =
-        if (idempotent) {
-          // bounded by the centroid count — cells form the cid domain
-          val touched = assigned.select("cid").distinct().collect()
-            .map(_.get(0))
-          val existing = openCells(spark, path)
-            .filter(col("cid").isin(touched: _*)).select(col(idCol))
-          assigned.join(existing, Seq(idCol), "left_anti")
-        } else assigned
-      fresh.write.mode("append").partitionBy("cid")
-        .parquet(s"$path/cells")
-    } finally assigned.unpersist(blocking = false)
+    StoreLease.withLease(spark, StoreLease.forDir(path),
+      "absorbIvfIndex") { lease =>
+      // before the append, even when idempotent=false; our own lease
+      // lets recovery proceed (it is foreign leases that block a heal)
+      healCells(spark, path, Some(lease))
+      val guarded = guardVecDim(batch, vecCol, dim, s"index at $path")
+      val assigned = ivfAssignTo(guarded, idCol, vecCol, centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val fresh =
+          if (idempotent) {
+            // bounded by the centroid count — cells form the cid domain
+            val touched = assigned.select("cid").distinct().collect()
+              .map(_.get(0))
+            val existing = openCells(spark, path, Some(lease))
+              .filter(col("cid").isin(touched: _*)).select(col(idCol))
+            assigned.join(existing, Seq(idCol), "left_anti")
+          } else assigned
+        fresh.write.mode("append").partitionBy("cid")
+          .parquet(s"$path/cells")
+      } finally assigned.unpersist(blocking = false)
+    }
   }
 
   /** Per-query IVF top-k for a BATCH of query vectors — the keyed,
@@ -581,19 +618,27 @@ object Ann {
     * renaming the backup back before proceeding ([[openCells]] — the
     * serving and absorb paths recover immediately, not at the next
     * compaction; same at-least-once posture as absorb's anti-join).
-    * Single writer assumed, like every store: don't compact under a
-    * live absorb. */
+    * Single writer ENFORCED ([[graft.util.StoreLease]]): a compaction
+    * under a live absorb — or vice versa — refuses loudly, and the
+    * lease held across the swap is what tells a concurrent READ's
+    * heal probe "in flight, retry" apart from "crashed, restore"
+    * (see [[healCells]] — without it a read healing inside a healthy
+    * swap window would rename the backup back under the compactor
+    * and corrupt the swap). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, idCol: String,
                       filesPerCell: Int = 1): Unit = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1: $filesPerCell")
     import org.apache.hadoop.fs.Path
+    StoreLease.withLease(spark, StoreLease.forDir(path),
+      "compactIvfIndex") { lease =>
     val live = new Path(s"$path/cells")
     val bak = new Path(s"$path/cells__precompact")
     val tmp = new Path(s"$path/cells__compacting")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true) // leftover of an interrupted write, never live
-    val cells = openCells(spark, path) // self-heals a crashed prior swap
+    // self-heals a crashed prior swap (own lease: heal never blocked)
+    val cells = openCells(spark, path, Some(lease))
     // the salt column is NAMED by the caller, never inferred by
     // position — a reordered or widened cells schema must refuse, not
     // silently salt on the vector column and tie file placement to
@@ -621,6 +666,7 @@ object Ann {
       s"compaction swap: rename $tmp -> $live failed — the previous " +
         s"table is intact at $bak; the next call self-heals")
     fs.delete(bak, true)
+    }
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.enrich.CaptionStats
+import graft.util.StoreLease
 
 /** Training-data text analysis (north-star extensions beyond the reference
   * surface; BASELINE.json): language ID, quality scoring, token counting,
@@ -405,14 +406,18 @@ object TextAnalysis {
     * so there is deliberately no absorb that would silently change
     * cnt values under a fixed bucket layout. */
   def writeLmStore(df: DataFrame, textCol: String, table: String,
-                   path: String, nBuckets: Int = 8): Unit = {
-    df.select(explode(CaptionStats.tokens(lower(col(textCol))))
-        .as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").option("path", path)
-      .bucketBy(nBuckets, "tok").sortBy("tok")
-      .format("parquet").saveAsTable(table)
-  }
+                   path: String, nBuckets: Int = 8): Unit =
+    // single writer enforced: the refresh path is a full rewrite, and
+    // two concurrent rewrites race the overwrite commit (StoreLease)
+    StoreLease.withLease(df.sparkSession,
+      StoreLease.forTable(df.sparkSession, table), "writeLmStore") { _ =>
+      df.select(explode(CaptionStats.tokens(lower(col(textCol))))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").option("path", path)
+        .bucketBy(nBuckets, "tok").sortBy("tok")
+        .format("parquet").saveAsTable(table)
+    }
 
   /** Score a NEW shard against a persisted [[writeLmStore]] table:
     * t11's integer-exact surprisal where counts come from the store,

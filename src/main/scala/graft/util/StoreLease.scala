@@ -1,0 +1,184 @@
+package graft.util
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Exclusive-writer lease for the persisted incremental stores (the
+  * dedup signature/substring/image stores, the KMV/quantile/LM sketch
+  * stores, the IVF index). Every store's absorb is a
+  * read-merge-rewrite (or check-then-append) cycle, so two CONCURRENT
+  * writers can silently lose one side's delta; until now the contract
+  * was advisory scaladoc ("single writer — serialize in the
+  * orchestrator"). This makes it ENFORCED: every write verb runs under
+  * [[StoreLease.withLease]], which refuses loudly when another writer
+  * holds a live lease instead of corrupting state.
+  *
+  * Mechanics: one marker file per store — `__writer.lease` inside a
+  * path-based store's directory, `<warehouse>/__graft_leases/<name>
+  * .lease` for catalog-table stores (one lease per table FAMILY
+  * prefix, so the paired tables a crash-consistent absorb must move
+  * together — `_bands`+`_shingles` — are guarded as a unit). Acquire
+  * is `FileSystem.create(overwrite = false)` — atomic on HDFS;
+  * check-then-create on local FS and object stores, a microsecond
+  * race window that still deterministically catches the real failure
+  * mode (orchestrator bugs overlapping absorbs that run for seconds
+  * to minutes). On a store backed by an object store with a
+  * conditional-put primitive, mount that instead.
+  *
+  * Crash posture: a writer that dies leaves its lease behind; a lease
+  * older than `spark.graft.store.leaseTtlMs` (default 30 min) is
+  * STALE and the next writer breaks it with a loud log — so a crashed
+  * absorb blocks the store for at most the TTL, never forever. Size
+  * the TTL above the longest expected absorb at your scale: breaking
+  * a lease whose writer is merely slow re-creates exactly the
+  * concurrent-writer hazard the lease exists to prevent.
+  *
+  * Release verifies the lease file still carries this writer's token:
+  * if another writer broke the lease mid-flight (TTL set too low),
+  * release refuses loudly — the two writers' changes may have
+  * interleaved and the store needs an audit, which must not be
+  * silent. Release runs in `finally`, so a FAILED absorb frees the
+  * store immediately (every store's crash posture is already
+  * self-healing: idempotent re-absorb, `openCells` swap recovery);
+  * only a writer that loses its JVM leaves the lease to the TTL. */
+object StoreLease {
+
+  /** Session conf key for the stale-lease TTL in milliseconds. */
+  val TtlConf = "spark.graft.store.leaseTtlMs"
+  val DefaultTtlMs: Long = 30L * 60 * 1000
+
+  /** An acquired lease: the marker path plus this writer's token. */
+  final case class Lease(path: Path, token: String)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.lease")
+
+  private def ttlMs(spark: SparkSession): Long =
+    spark.conf.get(TtlConf, DefaultTtlMs.toString).toLong
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Lease path for a PATH-BASED store (IVF index, KMV store): a
+    * SIBLING of the store directory (`<dir>__writer.lease`), never
+    * inside it — an overwrite-mode rewrite deletes the store dir
+    * wholesale, and the lease must survive the very write it guards. */
+  def forDir(storeDir: String): Path = {
+    val p = new Path(storeDir)
+    new Path(p.getParent, p.getName + "__writer.lease")
+  }
+
+  /** Lease path for a CATALOG-TABLE store: `name` is the table name or
+    * the family prefix (one lease guards every table of the family —
+    * paired tables move together or not at all). */
+  def forTable(spark: SparkSession, name: String): Path = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    new Path(new Path(warehouse), s"__graft_leases/$name.lease")
+  }
+
+  /** True iff a lease file exists and is younger than the TTL — the
+    * read-side probe ([[graft.similarity.Ann]]'s `healCells` uses it
+    * to distinguish "compaction in flight, retry" from "crashed swap,
+    * safe to heal"). */
+  def heldFresh(spark: SparkSession, leasePath: Path): Boolean = {
+    val fs = fsOf(spark, leasePath)
+    try {
+      val st = fs.getFileStatus(leasePath)
+      System.currentTimeMillis() - st.getModificationTime <= ttlMs(spark)
+    } catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  private def readHolder(fs: FileSystem, leasePath: Path): String =
+    try {
+      val in = fs.open(leasePath)
+      try {
+        val buf = new Array[Byte](4096)
+        val n = math.max(0, in.read(buf))
+        new String(buf, 0, n, UTF_8).trim
+      } finally in.close()
+    } catch { case _: java.io.IOException => "<unreadable>" }
+
+  private def tryCreate(fs: FileSystem, leasePath: Path,
+                        content: String): Boolean =
+    try {
+      val out = fs.create(leasePath, false)
+      out.write(content.getBytes(UTF_8)); out.close(); true
+    } catch {
+      case _: java.io.IOException =>
+        // create(overwrite=false) signals "already exists" as an
+        // IOException subtype that varies by FS; a genuine IO failure
+        // with no lease present re-throws from the caller's retry
+        false
+    }
+
+  /** Acquire the exclusive writer lease or refuse loudly. A stale
+    * lease (older than the TTL — a crashed writer) is broken with a
+    * loud log and re-acquired. */
+  def acquire(spark: SparkSession, leasePath: Path,
+              verb: String): Lease = {
+    val fs = fsOf(spark, leasePath)
+    val token = java.util.UUID.randomUUID().toString
+    val content = s"verb=$verb token=$token " +
+      s"epochMs=${System.currentTimeMillis()}"
+    def refuse(): Nothing = throw new IllegalStateException(
+      s"$verb: another writer holds the store lease at $leasePath " +
+        s"(${readHolder(fs, leasePath)}) — the store contract is " +
+        "SINGLE WRITER; serialize absorbs/compactions in the " +
+        "orchestrator. A crashed writer's lease expires after " +
+        s"$TtlConf=${ttlMs(spark)} ms.")
+    if (!tryCreate(fs, leasePath, content)) {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(leasePath).getModificationTime > ttlMs(spark)
+        catch { case _: java.io.FileNotFoundException => true }
+      if (!stale) refuse()
+      log.warn(
+        s"$verb: BREAKING stale writer lease at $leasePath " +
+          s"(${readHolder(fs, leasePath)}) — older than " +
+          s"${ttlMs(spark)} ms; its writer is presumed crashed. If it " +
+          "was merely slow, raise " + TtlConf + ".")
+      fs.delete(leasePath, false)
+      if (!tryCreate(fs, leasePath, content)) refuse()
+    }
+    Lease(leasePath, token)
+  }
+
+  /** Release an acquired lease; refuses loudly if the file no longer
+    * carries this writer's token (a concurrent writer broke the lease
+    * mid-flight — the store may hold interleaved writes and needs an
+    * audit, which must not be silent). */
+  def release(spark: SparkSession, lease: Lease): Unit = {
+    val fs = fsOf(spark, lease.path)
+    val holder =
+      try Some(readHolder(fs, lease.path))
+      catch { case _: java.io.FileNotFoundException => None }
+    holder match {
+      case Some(h) if h.contains(s"token=${lease.token}") =>
+        fs.delete(lease.path, false)
+      case other => throw new IllegalStateException(
+        s"store lease at ${lease.path} was broken while this writer " +
+          s"held it (now: ${other.getOrElse("<missing>")}) — another " +
+          "writer may have interleaved with this one; audit the " +
+          s"store. Raise $TtlConf above the longest expected write.")
+    }
+  }
+
+  /** Run `f` under the exclusive writer lease: refuse loudly if held,
+    * release in `finally` (a failed write frees the store for the
+    * retry; only a lost JVM leaves the lease to the TTL). */
+  def withLease[T](spark: SparkSession, leasePath: Path, verb: String)
+                  (f: Lease => T): T = {
+    val lease = acquire(spark, leasePath, verb)
+    var thrown: Throwable = null
+    try f(lease)
+    catch { case t: Throwable => thrown = t; throw t }
+    finally {
+      try release(spark, lease)
+      catch {
+        case t: Throwable =>
+          if (thrown != null) thrown.addSuppressed(t) else throw t
+      }
+    }
+  }
+}
