@@ -81,47 +81,56 @@ object ImageOps {
       } catch { case _: Exception => None }
     }
 
-  /** I3: WebP re-encode — a real, spec-valid VP8L lossless bitstream
-    * ([[WebpCodec]]; reference `webp_transformation.py:7-24`, PIL
-    * `save(lossless=…, quality=…, method=…)`).
+  /** I3: WebP re-encode — matches the reference's format semantics on
+    * BOTH settings of the knob (reference `webp_transformation.py:7-24`,
+    * PIL `save(lossless=…, quality=…, method=…)`).
     *
-    * `lossless=true` (the reference's default) round-trips pixels
-    * exactly. `lossless=false` maps the quality knob onto a
-    * deterministic channel quantization (keep the top 8−shift bits,
-    * shift = (100−quality)/20, capped at 5) before the same lossless
-    * encode — the r5-accepted stand-in contract, kept as the default
-    * for its pointwise error bounds (PropertySpec pins them). Two
-    * further lossy forms exist: [[webpEncodeDct]] (RFC 6386 integer
-    * DCT pair + DC/AC quantization inside a lossless container —
-    * chain param `mode=vp8dct`) and [[webpEncodeLossy]] (chain param
-    * `mode=vp8`): the COMPLETE real VP8 keyframe bitstream —
-    * boolean-coded headers, token-tree coefficients, the normative
-    * probability tables — whose output libwebp decodes pixel-exactly
-    * (golden-fixture-pinned, Vp8GoldenSpec). `method` (an encoder
-    * effort knob in libwebp) has no analogue here and is ignored. */
+    * `lossless=true` (the reference's default): a real, spec-valid
+    * VP8L lossless bitstream ([[WebpCodec]]) — round-trips pixels
+    * exactly. `lossless=false`: the REAL VP8 lossy keyframe encoder
+    * ([[webpEncodeLossy]]) — exactly what PIL/libwebp emits for
+    * `lossless=False`, alpha preserved via an ALPH chunk. (Until the
+    * full VP8 entropy layer existed this defaulted to a
+    * channel-quantization stand-in; that stand-in remains available
+    * as [[webpEncodeQuantized]] / chain param `mode=quantize` for its
+    * pointwise error bounds, but the DEFAULT now matches the
+    * reference's actual output format.) A third tier,
+    * [[webpEncodeDct]] (chain param `mode=vp8dct`), keeps the RFC
+    * 6386 DCT+quantization inside a lossless container. `method` (an
+    * encoder effort knob in libwebp) has no analogue here and is
+    * ignored. */
   def webpEncode(bytes: Array[Byte], lossless: Boolean = true,
                  quality: Int = 50): Option[Array[Byte]] =
+    if (lossless) decode(bytes).flatMap(WebpCodec.encodeLossless)
+    else webpEncodeLossy(bytes, quality)
+
+  /** The r5-era lossy STAND-IN (chain param `mode=quantize`): map the
+    * quality knob onto a deterministic channel quantization (keep the
+    * top 8−shift bits, shift = (100−quality)/20, capped at 5) before
+    * a VP8L lossless encode. Kept for its exact pointwise error
+    * bounds — error < 2^shift per channel, monotone in quality,
+    * q ≥ 81 bit-identical to the lossless path (PropertySpec pins all
+    * three) — properties the real DCT path cannot promise pointwise.
+    * No longer the `lossless=false` default ([[webpEncode]] now
+    * routes to the real VP8 encoder). */
+  def webpEncodeQuantized(bytes: Array[Byte],
+                          quality: Int = 50): Option[Array[Byte]] =
     decode(bytes).flatMap { img =>
-      val src =
-        if (lossless) img
-        else {
-          val shift = math.min(5, math.max(0, (100 - quality) / 20))
-          val mask = (0xff << shift) & 0xff
-          val q = new BufferedImage(img.getWidth, img.getHeight,
-            BufferedImage.TYPE_INT_ARGB)
-          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
-            img.getWidth)
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            px(i) = (p & 0xff000000) | (((p >>> 16) & mask) << 16) |
-              (((p >>> 8) & mask) << 8) | (p & mask)
-            i += 1
-          }
-          q.setRGB(0, 0, img.getWidth, img.getHeight, px, 0, img.getWidth)
-          q
-        }
-      WebpCodec.encodeLossless(src)
+      val shift = math.min(5, math.max(0, (100 - quality) / 20))
+      val mask = (0xff << shift) & 0xff
+      val q = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_INT_ARGB)
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+        img.getWidth)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        px(i) = (p & 0xff000000) | (((p >>> 16) & mask) << 16) |
+          (((p >>> 8) & mask) << 8) | (p & mask)
+        i += 1
+      }
+      q.setRGB(0, 0, img.getWidth, img.getHeight, px, 0, img.getWidth)
+      WebpCodec.encodeLossless(q)
     }
 
   /** I3, VP8-TRANSFORM lossy mode: the REAL RFC 6386 DCT layer
@@ -165,12 +174,16 @@ object ImageOps {
   /** I3, REAL lossy WebP: the full RFC 6386 VP8 keyframe pipeline —
     * [[Vp8Encoder]] (DC_PRED macroblocks, Y2 Walsh–Hadamard, DCT
     * residuals, token-tree entropy coding with the normative tables)
-    * in a RIFF "VP8 " container that ANY conforming WebP decoder
-    * reads; libwebp reproduces the encoder's own reconstruction
-    * pixel-exactly (Vp8GoldenSpec). Quality 0..100 maps linearly onto
-    * the frame quantizer index (qindex 127..0). Alpha is dropped
-    * (real lossy WebP carries alpha as a separate lossless chunk —
-    * out of scope; use `lossless` when alpha matters). */
+    * in a RIFF container that ANY conforming WebP decoder reads;
+    * libwebp reproduces the encoder's own reconstruction pixel-exactly
+    * (Vp8GoldenSpec, Vp8ConformanceSpec). Quality 0..100 maps linearly
+    * onto the frame quantizer index (qindex 127..0). Alpha: an image
+    * with any non-opaque pixel emits the EXTENDED container — lossy
+    * VP8 color + the alpha plane byte-exact in an uncompressed ALPH
+    * chunk ([[Vp8Encoder.encodeArgbAlpha]]) — matching the reference's
+    * PIL/libwebp behavior of preserving transparency under
+    * `lossless=False`; a fully-opaque image emits the simple "VP8 "
+    * container. */
   def webpEncodeLossy(bytes: Array[Byte], quality: Int = 50)
       : Option[Array[Byte]] =
     decode(bytes).flatMap { img =>
@@ -183,7 +196,12 @@ object ImageOps {
       if (w >= 16384 || h >= 16384) None
       else scala.util.Try {
         val px = img.getRGB(0, 0, w, h, null, 0, w)
-        Vp8Encoder.encodeArgb(px, w, h, qindex).webp
+        var i = 0; var opaque = true
+        while (opaque && i < px.length) {
+          opaque = (px(i) >>> 24) == 0xff; i += 1
+        }
+        if (opaque) Vp8Encoder.encodeArgb(px, w, h, qindex).webp
+        else Vp8Encoder.encodeArgbAlpha(px, w, h, qindex).webp
       }.toOption
     }
 
@@ -200,12 +218,15 @@ object ImageOps {
             t.params.getOrElse("max_height", "640").toInt)
           case "compress" => compressBytes(b,
             t.params.getOrElse("quality", "0.8").toFloat)
-          // Option.contains is exact equality, so the two webp modes
-          // are mutually exclusive without extra guards
+          // Option.contains is exact equality, so the webp modes are
+          // mutually exclusive without extra guards
           case "webp" if t.params.get("mode").contains("vp8") =>
             webpEncodeLossy(b, t.params.getOrElse("quality", "50").toInt)
           case "webp" if t.params.get("mode").contains("vp8dct") =>
             webpEncodeDct(b, t.params.getOrElse("quality", "50").toInt)
+          case "webp" if t.params.get("mode").contains("quantize") =>
+            webpEncodeQuantized(b,
+              t.params.getOrElse("quality", "50").toInt)
           case "webp" => webpEncode(b,
             t.params.getOrElse("lossless", "true").toBoolean,
             t.params.getOrElse("quality", "50").toInt)

@@ -381,6 +381,76 @@ object Vp8Encoder {
     o.toByteArray
   }
 
+  /** EXTENDED WebP container carrying a raw VP8 keyframe plus an
+    * UNCOMPRESSED alpha plane — how real lossy WebP preserves
+    * transparency (the color channels are lossy VP8; alpha rides in a
+    * separate ALPH chunk; WebP container spec "Extended File Format").
+    * Chunks: `VP8X` (10-byte payload: flag byte with the alpha bit
+    * 0x10 — libwebp's `ALPHA_FLAG` — then 3 reserved zero bytes, then
+    * canvas width−1 and height−1 as 24-bit little-endian), `ALPH`
+    * (1-byte header `Rsv|P|F|C` all zero = no pre-processing, no
+    * filter, no compression, then exactly w×h raw alpha bytes
+    * row-major), then the `VP8 ` chunk. Every chunk pads to even
+    * length per RIFF. Uncompressed alpha trades bytes for zero new
+    * entropy-coder surface; the VP8L-compressed variant (C=1) is a
+    * rate optimization, not a capability gap. */
+  private def riffVp8x(frame: Array[Byte], alpha: Array[Byte],
+                       w: Int, h: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    def u24(v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+    }
+    def chunk(fourcc: String, write: () => Unit, len: Int): Unit = {
+      o.write(fourcc.getBytes, 0, 4); u32(len); write()
+      if (len % 2 == 1) o.write(0)
+    }
+    def even(n: Int) = n + (n % 2)
+    val alphLen = 1 + alpha.length
+    val total = 4 + // "WEBP"
+      8 + 10 + // VP8X
+      8 + even(alphLen) + // ALPH
+      8 + even(frame.length) // VP8
+    o.write("RIFF".getBytes, 0, 4); u32(total)
+    o.write("WEBP".getBytes, 0, 4)
+    chunk("VP8X", () => {
+      o.write(0x10) // alpha flag; no ICC/EXIF/XMP/animation
+      o.write(0); o.write(0); o.write(0)
+      u24(w - 1); u24(h - 1)
+    }, 10)
+    chunk("ALPH", () => {
+      o.write(0) // no pre-processing, no filter, compression=0 (raw)
+      o.write(alpha, 0, alpha.length)
+    }, alphLen)
+    chunk("VP8 ", () => o.write(frame, 0, frame.length), frame.length)
+    o.toByteArray
+  }
+
+  /** [[encodeArgb]] with the alpha channel PRESERVED: color encodes
+    * through the identical lossy VP8 path (same reconstruction
+    * witness), alpha losslessly via [[riffVp8x]]'s uncompressed ALPH
+    * chunk. Conforming decoders (libwebp `WebPDecodeRGBA`) return the
+    * alpha plane byte-exactly. */
+  def encodeArgbAlpha(argb: Array[Int], w: Int, h: Int,
+                      qindex: Int): Encoded = {
+    val base = encodeArgb(argb, w, h, qindex)
+    // the raw VP8 frame sits at offset 20 of the simple container
+    // (RIFF+size+WEBP+fourcc+len), length in the u32 at offset 16
+    val b = base.webp
+    val frameLen = (b(16) & 0xff) | ((b(17) & 0xff) << 8) |
+      ((b(18) & 0xff) << 16) | ((b(19) & 0xff) << 24)
+    val frame = java.util.Arrays.copyOfRange(b, 20, 20 + frameLen)
+    val alpha = new Array[Byte](w * h)
+    var i = 0
+    while (i < alpha.length) {
+      alpha(i) = ((argb(i) >>> 24) & 0xff).toByte; i += 1
+    }
+    base.copy(webp = riffVp8x(frame, alpha, w, h))
+  }
+
   /** BT.601 studio-swing RGB→YUV420 (the WebP/JPEG convention) +
     * encode. `argb` row-major w×h packed ARGB (alpha ignored — real
     * lossy WebP carries alpha in a separate lossless chunk). */

@@ -178,9 +178,11 @@ class PropertySpec extends SparkSpec {
     got shouldBe expected
   }
 
-  test("lossy webp contract: quality is a monotone rate knob") {
-    // The engine's DEFINED lossy semantics (README §images): quality maps
-    // to a channel bit-quantization (shift = min(5, (100−q)/20)) before a
+  test("quantize-mode webp contract: quality is a monotone rate knob") {
+    // The STAND-IN lossy tier (webpEncodeQuantized / chain
+    // mode=quantize — no longer the lossless=false default, which now
+    // routes to the real VP8 encoder): quality maps to a channel
+    // bit-quantization (shift = min(5, (100−q)/20)) before a
     // lossless VP8L encode. Contract, checked here:
     //  (1) error(q) is non-increasing in q — pointwise, because the
     //      quantization residue v mod 2^s1 always dominates v mod 2^s2
@@ -197,8 +199,7 @@ class PropertySpec extends SparkSpec {
     val png = bos.toByteArray
     val orig = img.getRGB(0, 0, w, h, null, 0, w)
     def decodeAt(q: Int): Array[Int] = {
-      val webp = graft.images.ImageOps
-        .webpEncode(png, lossless = false, quality = q).get
+      val webp = graft.images.ImageOps.webpEncodeQuantized(png, q).get
       graft.images.WebpCodec.decode(webp).getRGB(0, 0, w, h, null, 0, w)
     }
     def stats(px: Array[Int]): (Double, Int, Boolean) = {
@@ -222,7 +223,7 @@ class PropertySpec extends SparkSpec {
     results.map(_._1).sliding(2).foreach { case Seq(lo, hi) =>
       assert(lo >= hi, "error must not increase with quality") }
     // top bucket: bit-identical to the lossless path
-    graft.images.ImageOps.webpEncode(png, lossless = false, quality = 95)
+    graft.images.ImageOps.webpEncodeQuantized(png, 95)
       .get shouldBe graft.images.ImageOps.webpEncode(png,
       lossless = true).get
   }

@@ -70,9 +70,10 @@ class ImageOpsSpec extends SparkSpec {
       decoded.getRGB(x, y) shouldBe img.getRGB(x, y)
   }
 
-  test("I3 webp lossy: quality quantizes deterministically, still decodable") {
+  test("I3 webp quantize tier: quality quantizes deterministically, " +
+    "still decodable") {
     val src = Fixtures.png(8, 8)
-    val out = ImageOps.webpEncode(src, lossless = false, quality = 50).get
+    val out = ImageOps.webpEncodeQuantized(src, 50).get
     val decoded = WebpCodec.decode(out)
     val orig = ImageIO.read(new java.io.ByteArrayInputStream(src))
     val mask = 0xfc // shift (100-50)/20 = 2
@@ -82,6 +83,58 @@ class ImageOpsSpec extends SparkSpec {
         (((o >>> 8) & mask) << 8) | (o & mask)
       decoded.getRGB(x, y) shouldBe expected
     }
+  }
+
+  test("I3 webp lossy DEFAULT: lossless=false routes to the real VP8 " +
+    "encoder (reference format parity), deterministically") {
+    val src = Fixtures.png(20, 12)
+    val out = ImageOps.webpEncode(src, lossless = false, quality = 50).get
+    new String(out, 12, 4, "ASCII") shouldBe "VP8 " // real lossy stream
+    out.toSeq shouldBe ImageOps.webpEncodeLossy(src, 50).get.toSeq
+    out.toSeq shouldBe
+      ImageOps.webpEncode(src, lossless = false, quality = 50).get.toSeq
+  }
+
+  test("I3 webp lossy alpha: a translucent image emits the EXTENDED " +
+    "container (VP8X + ALPH) with the alpha plane byte-exact") {
+    val (w, h) = (13, 9) // odd dims: exercises chunk even-padding
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((17 * x + 29 * y) % 256) << 24 |
+        (x * 19 + y * 7) % 256 << 16 | 0x3040 + x)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val out = ImageOps.webpEncode(bos.toByteArray,
+      lossless = false, quality = 60).get
+    new String(out, 12, 4, "ASCII") shouldBe "VP8X"
+    (out(20) & 0x10) shouldBe 0x10 // alpha flag set
+    // canvas size in VP8X: 24-bit little-endian width-1 / height-1
+    ((out(24) & 0xff) | ((out(25) & 0xff) << 8) |
+      ((out(26) & 0xff) << 16)) shouldBe w - 1
+    ((out(27) & 0xff) | ((out(28) & 0xff) << 8) |
+      ((out(29) & 0xff) << 16)) shouldBe h - 1
+    // walk the chunks to the ALPH payload and compare planes
+    def u32(p: Int) = (out(p) & 0xff) | ((out(p + 1) & 0xff) << 8) |
+      ((out(p + 2) & 0xff) << 16) | ((out(p + 3) & 0xff) << 24)
+    var p = 12; var alph = -1; var vp8 = -1
+    while (p + 8 <= out.length) {
+      val fourcc = new String(out, p, 4, "ASCII")
+      val len = u32(p + 4)
+      if (fourcc == "ALPH") alph = p
+      if (fourcc == "VP8 ") vp8 = p
+      p += 8 + len + (len % 2)
+    }
+    alph should be > 0
+    vp8 should be > 0 // the color stream is still a real VP8 frame
+    u32(alph + 4) shouldBe 1 + w * h // header byte + raw plane
+    out(alph + 8) shouldBe 0 // no preprocessing/filter/compression
+    for (y <- 0 until h; x <- 0 until w)
+      (out(alph + 9 + y * w + x) & 0xff) shouldBe
+        (img.getRGB(x, y) >>> 24)
+    // a fully-opaque image keeps the simple container (no dead chunks)
+    val opaque = ImageOps.webpEncode(Fixtures.png(13, 9),
+      lossless = false, quality = 60).get
+    new String(opaque, 12, 4, "ASCII") shouldBe "VP8 "
   }
 
   test("I4 chain: fold order, corrupt input fails without throwing") {
