@@ -16,6 +16,10 @@ object Verify {
       // long, normalized in Queries.events (floor to µs — matches DuckDB).
       // Newer generations are µs NTZ; the conf is then inert.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pin EXACT quantiles: the oracle gate must never let the
+      // size-estimate auto-switch (Quantiles.AutoGkThresholdConf)
+      // silently trade the accuracy contract the DuckDB compare hashes
+      .config("spark.graft.quantiles.autoGkThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

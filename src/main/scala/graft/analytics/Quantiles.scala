@@ -217,6 +217,42 @@ object Quantiles {
           "sketch; needs spark.graft.quantiles.sketchKey)")
     }
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.quantiles")
+
+  /** Auto-switch ceiling for the EXACT path, in estimated melted
+    * VALUES (rows × requested columns): above it the dispatcher
+    * swaps to Greenwald–Khanna with a loud log instead of paying the
+    * exact path's full range-partition sort (and its all-values
+    * shuffle) on a corpus nobody wants it on. `0` (or negative)
+    * disables the switch entirely — what [[graft.Verify]] pins, so
+    * the oracle gate can NEVER silently change accuracy contracts no
+    * matter what the size estimate says. Estimates come from
+    * Catalyst (`optimizedPlan.stats` on the pruned projection:
+    * rowCount when CBO has one, else sizeInBytes over an 8-byte/value
+    * floor) — order-of-magnitude is all the switch needs. */
+  val AutoGkThresholdConf = "spark.graft.quantiles.autoGkThreshold"
+  val DefaultAutoGkThreshold: Long = 2_000_000_000L
+
+  /** Which backend the last [[quantiles]] call dispatched to —
+    * "exact" | "gk" | "gk-auto" | "sketch". A telemetry/test seam:
+    * the auto-switch must be PROVABLY firing (SummarySpec), and a log
+    * line is not assertable without appender surgery. */
+  @volatile private[analytics] var lastDispatch: String = ""
+
+  /** Estimated melted value count of `cols` in `df`, from Catalyst's
+    * planning-time stats on the pruned projection (no job runs). */
+  private def estimatedValueCount(df: DataFrame,
+                                  cols: Seq[String]): Long = {
+    val stats = df.select(cols.map(col): _*)
+      .queryExecution.optimizedPlan.stats
+    val rows = stats.rowCount.map(_.toLong).getOrElse(
+      (stats.sizeInBytes / math.max(1, 8L * cols.length))
+        .min(Long.MaxValue).toLong)
+    math.min(Long.MaxValue / math.max(1, cols.length),
+      rows) * cols.length
+  }
+
   def quantiles(df: DataFrame, cols: Seq[String],
                 ps: Seq[Double]): Map[(String, Double), Double] = {
     val conf = df.sparkSession.conf
@@ -229,14 +265,34 @@ object Quantiles {
             "sketch samples rows by key hash and cannot pick a key " +
             "itself (a non-unique fallback would silently bias the " +
             "sample)")
+        lastDispatch = "sketch"
         globalQuantilesSketch(df,
           keyConf.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           cols, ps,
           conf.get("spark.graft.quantiles.sketchK", "8192").toInt)
       case "gk" =>
+        lastDispatch = "gk"
         globalQuantilesApprox(df, cols, ps,
           conf.get("spark.graft.quantiles.accuracy", "10000").toInt)
-      case _ => globalQuantiles(df, cols, ps)
+      case _ =>
+        val thr = conf.get(AutoGkThresholdConf,
+          DefaultAutoGkThreshold.toString).toLong
+        val est = if (thr > 0) estimatedValueCount(df, cols) else -1L
+        if (thr > 0 && est > thr) {
+          val accuracy =
+            conf.get("spark.graft.quantiles.accuracy", "10000").toInt
+          log.warn(s"Quantiles.quantiles: estimated value count $est " +
+            s"(${cols.length} col(s)) exceeds $AutoGkThresholdConf=" +
+            s"$thr — AUTO-SWITCHING from the exact distributed " +
+            "selection to percentile_approx (Greenwald-Khanna, rank " +
+            s"error ≤ n/$accuracy). Set $AutoGkThresholdConf=0 to " +
+            "force exact at any size.")
+          lastDispatch = "gk-auto"
+          globalQuantilesApprox(df, cols, ps, accuracy)
+        } else {
+          lastDispatch = "exact"
+          globalQuantiles(df, cols, ps)
+        }
     }
   }
 

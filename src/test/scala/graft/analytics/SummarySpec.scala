@@ -93,6 +93,34 @@ class SummarySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.quantiles.approx")
   }
 
+  test("auto-GK memory-ceiling switch: fires above the estimated-value " +
+    "threshold with correct results, stays exact below it, and 0 " +
+    "disables it at any size (the Verify pin)") {
+    val df = Seq.tabulate(1000)(i => i.toDouble).toDF("x")
+    val exact = Quantiles.quantiles(df, Seq("x"), Seq(0.5))(("x", 0.5))
+    Quantiles.lastDispatch shouldBe "exact" // default threshold: 2e9 ≫ 1k
+    spark.conf.set(Quantiles.AutoGkThresholdConf, "10")
+    try {
+      // 1000 estimated values > 10 → the dispatcher must swap to GK
+      // loudly instead of paying the exact sort on an oversized column
+      val auto = Quantiles.quantiles(df, Seq("x"), Seq(0.5))(("x", 0.5))
+      Quantiles.lastDispatch shouldBe "gk-auto"
+      math.abs(auto - exact) should be <= 1.0 // one rank step (no interp)
+      // 0 disables: exact at ANY size — what graft.Verify pins so the
+      // oracle gate can never silently change accuracy contracts
+      spark.conf.set(Quantiles.AutoGkThresholdConf, "0")
+      Quantiles.quantiles(df, Seq("x"), Seq(0.5))(("x", 0.5)) shouldBe exact
+      Quantiles.lastDispatch shouldBe "exact"
+      // an EXPLICIT approx=true is honored as plain gk, not gk-auto
+      spark.conf.set("spark.graft.quantiles.approx", "true")
+      Quantiles.quantiles(df, Seq("x"), Seq(0.5))
+      Quantiles.lastDispatch shouldBe "gk"
+    } finally {
+      spark.conf.unset(Quantiles.AutoGkThresholdConf)
+      spark.conf.unset("spark.graft.quantiles.approx")
+    }
+  }
+
   test("weighted sample: exactly n rows when no weight exceeds total/n, " +
     "and heavy rows are always included") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
