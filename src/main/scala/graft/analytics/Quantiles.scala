@@ -230,27 +230,46 @@ object Quantiles {
     * matter what the size estimate says. Estimates come from
     * Catalyst (`optimizedPlan.stats` on the pruned projection:
     * rowCount when CBO has one, else sizeInBytes over an 8-byte/value
-    * floor) — order-of-magnitude is all the switch needs. */
+    * floor) — order-of-magnitude is all the switch needs. A frame
+    * whose size Catalyst does NOT know (the Long.MaxValue
+    * `defaultSizeInBytes` sentinel — e.g. RDD-backed frames) never
+    * switches: changing the accuracy contract on unknown data would
+    * be a guess, and a 100-row local frame is the common case there. */
   val AutoGkThresholdConf = "spark.graft.quantiles.autoGkThreshold"
   val DefaultAutoGkThreshold: Long = 2_000_000_000L
 
-  /** Which backend the last [[quantiles]] call dispatched to —
-    * "exact" | "gk" | "gk-auto" | "sketch". A telemetry/test seam:
-    * the auto-switch must be PROVABLY firing (SummarySpec), and a log
-    * line is not assertable without appender surgery. */
-  @volatile private[analytics] var lastDispatch: String = ""
+  /** Which backend the last [[quantiles]] call dispatched to ON THIS
+    * THREAD — "exact" | "gk" | "gk-auto" | "sketch". A telemetry/test
+    * seam: the auto-switch must be PROVABLY firing (SummarySpec), and
+    * a log line is not assertable without appender surgery.
+    * Thread-local so concurrent jobs can't clobber each other's
+    * reading. */
+  private val _lastDispatch = new ThreadLocal[String] {
+    override def initialValue(): String = ""
+  }
+  private[analytics] def lastDispatch: String = _lastDispatch.get
+  private def dispatched(which: String): Unit = _lastDispatch.set(which)
 
   /** Estimated melted value count of `cols` in `df`, from Catalyst's
-    * planning-time stats on the pruned projection (no job runs). */
+    * planning-time stats on the pruned projection (no job runs).
+    * Column names are backtick-quoted like every backend's stackExpr,
+    * so a dotted column name dispatches the same way it computes.
+    * Returns None when the estimate is the UNKNOWN sentinel
+    * (stats-less leaves like LogicalRDD report
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue): an accuracy
+    * contract must never silently change on data whose size Catalyst
+    * simply doesn't know. */
   private def estimatedValueCount(df: DataFrame,
-                                  cols: Seq[String]): Long = {
-    val stats = df.select(cols.map(col): _*)
+                                  cols: Seq[String]): Option[Long] = {
+    val stats = df.select(cols.map(c => col(s"`$c`")): _*)
       .queryExecution.optimizedPlan.stats
-    val rows = stats.rowCount.map(_.toLong).getOrElse(
-      (stats.sizeInBytes / math.max(1, 8L * cols.length))
+    val rows = stats.rowCount.map(_.toLong).orElse {
+      if (stats.sizeInBytes >= BigInt(Long.MaxValue)) None
+      else Some((stats.sizeInBytes / math.max(1, 8L * cols.length))
         .min(Long.MaxValue).toLong)
-    math.min(Long.MaxValue / math.max(1, cols.length),
-      rows) * cols.length
+    }
+    rows.map(r => math.min(Long.MaxValue / math.max(1, cols.length), r) *
+      cols.length)
   }
 
   def quantiles(df: DataFrame, cols: Seq[String],
@@ -265,32 +284,33 @@ object Quantiles {
             "sketch samples rows by key hash and cannot pick a key " +
             "itself (a non-unique fallback would silently bias the " +
             "sample)")
-        lastDispatch = "sketch"
+        dispatched("sketch")
         globalQuantilesSketch(df,
           keyConf.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           cols, ps,
           conf.get("spark.graft.quantiles.sketchK", "8192").toInt)
       case "gk" =>
-        lastDispatch = "gk"
+        dispatched("gk")
         globalQuantilesApprox(df, cols, ps,
           conf.get("spark.graft.quantiles.accuracy", "10000").toInt)
       case _ =>
         val thr = conf.get(AutoGkThresholdConf,
           DefaultAutoGkThreshold.toString).toLong
-        val est = if (thr > 0) estimatedValueCount(df, cols) else -1L
-        if (thr > 0 && est > thr) {
+        val est =
+          if (thr > 0) estimatedValueCount(df, cols) else None
+        if (est.exists(_ > thr)) {
           val accuracy =
             conf.get("spark.graft.quantiles.accuracy", "10000").toInt
-          log.warn(s"Quantiles.quantiles: estimated value count $est " +
-            s"(${cols.length} col(s)) exceeds $AutoGkThresholdConf=" +
-            s"$thr — AUTO-SWITCHING from the exact distributed " +
-            "selection to percentile_approx (Greenwald-Khanna, rank " +
-            s"error ≤ n/$accuracy). Set $AutoGkThresholdConf=0 to " +
-            "force exact at any size.")
-          lastDispatch = "gk-auto"
+          log.warn(s"Quantiles.quantiles: estimated value count " +
+            s"${est.get} (${cols.length} col(s)) exceeds " +
+            s"$AutoGkThresholdConf=$thr — AUTO-SWITCHING from the " +
+            "exact distributed selection to percentile_approx " +
+            s"(Greenwald-Khanna, rank error ≤ n/$accuracy). Set " +
+            s"$AutoGkThresholdConf=0 to force exact at any size.")
+          dispatched("gk-auto")
           globalQuantilesApprox(df, cols, ps, accuracy)
         } else {
-          lastDispatch = "exact"
+          dispatched("exact")
           globalQuantiles(df, cols, ps)
         }
     }

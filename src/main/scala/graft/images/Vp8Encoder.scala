@@ -39,11 +39,15 @@ object Vp8Encoder {
   /** Encoder output plus the bit-exact reconstruction the decoder is
     * guaranteed to produce (the conformance witness the spec checks
     * against libwebp's YUV dump). Planes are padded to the macroblock
-    * grid; `w`/`h` give the visible size. */
+    * grid; `w`/`h` give the visible size. `frame` is the raw VP8
+    * keyframe before container wrapping — what [[encodeArgbAlpha]]
+    * re-wraps into the extended (ALPH) container without re-parsing
+    * the simple one. */
   final case class Encoded(webp: Array[Byte],
                            yRec: Array[Int], uRec: Array[Int],
                            vRec: Array[Int], w: Int, h: Int,
-                           padW: Int, padH: Int)
+                           padW: Int, padH: Int,
+                           frame: Array[Byte])
 
   private def padPlane(src: Array[Int], w: Int, h: Int,
                        pw: Int, ph: Int): Array[Int] = {
@@ -325,7 +329,7 @@ object Vp8Encoder {
     out.write(part1, 0, part1.length)
     out.write(part2, 0, part2.length)
     val frame = out.toByteArray
-    Encoded(riffVp8(frame), yR, uR, vR, w, h, pw, ph)
+    Encoded(riffVp8(frame), yR, uR, vR, w, h, pw, ph, frame)
   }
 
   /** Forward 4×4 Walsh–Hadamard (§14.3's inverse pair partner): packs
@@ -437,18 +441,12 @@ object Vp8Encoder {
   def encodeArgbAlpha(argb: Array[Int], w: Int, h: Int,
                       qindex: Int): Encoded = {
     val base = encodeArgb(argb, w, h, qindex)
-    // the raw VP8 frame sits at offset 20 of the simple container
-    // (RIFF+size+WEBP+fourcc+len), length in the u32 at offset 16
-    val b = base.webp
-    val frameLen = (b(16) & 0xff) | ((b(17) & 0xff) << 8) |
-      ((b(18) & 0xff) << 16) | ((b(19) & 0xff) << 24)
-    val frame = java.util.Arrays.copyOfRange(b, 20, 20 + frameLen)
     val alpha = new Array[Byte](w * h)
     var i = 0
     while (i < alpha.length) {
       alpha(i) = ((argb(i) >>> 24) & 0xff).toByte; i += 1
     }
-    base.copy(webp = riffVp8x(frame, alpha, w, h))
+    base.copy(webp = riffVp8x(base.frame, alpha, w, h))
   }
 
   /** BT.601 studio-swing RGB→YUV420 (the WebP/JPEG convention) +

@@ -105,11 +105,13 @@ object StoreLease {
       val out = fs.create(leasePath, false)
       out.write(content.getBytes(UTF_8)); out.close(); true
     } catch {
-      case _: java.io.IOException =>
+      case e: java.io.IOException =>
         // create(overwrite=false) signals "already exists" as an
-        // IOException subtype that varies by FS; a genuine IO failure
-        // with no lease present re-throws from the caller's retry
-        false
+        // IOException subtype that varies by FS — but ONLY that case
+        // means "held". A failure with no lease file present is a
+        // genuine IO problem (permissions, quota, dead FS) and must
+        // surface as itself, not as a phantom concurrent writer.
+        if (fs.exists(leasePath)) false else throw e
     }
 
   /** Acquire the exclusive writer lease or refuse loudly. A stale
@@ -128,19 +130,36 @@ object StoreLease {
         "orchestrator. A crashed writer's lease expires after " +
         s"$TtlConf=${ttlMs(spark)} ms.")
     if (!tryCreate(fs, leasePath, content)) {
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(leasePath).getModificationTime > ttlMs(spark)
-        catch { case _: java.io.FileNotFoundException => true }
-      if (!stale) refuse()
+      val staleMtime =
+        try {
+          val m = fs.getFileStatus(leasePath).getModificationTime
+          if (System.currentTimeMillis() - m > ttlMs(spark)) Some(m)
+          else None
+        } catch { case _: java.io.FileNotFoundException => Some(-1L) }
+      if (staleMtime.isEmpty) refuse()
       log.warn(
         s"$verb: BREAKING stale writer lease at $leasePath " +
           s"(${readHolder(fs, leasePath)}) — older than " +
           s"${ttlMs(spark)} ms; its writer is presumed crashed. If it " +
           "was merely slow, raise " + TtlConf + ".")
+      // guarded break: two writers can both judge the same lease stale,
+      // and the slower one's delete must not remove the faster one's
+      // FRESH lease — delete only while the file is still the exact
+      // stale one we judged (same mtime); anything else = lost the race
+      val unchanged =
+        try staleMtime.contains(-1L) ||
+          fs.getFileStatus(leasePath).getModificationTime ==
+            staleMtime.get
+        catch { case _: java.io.FileNotFoundException => true }
+      if (!unchanged) refuse()
       fs.delete(leasePath, false)
       if (!tryCreate(fs, leasePath, content)) refuse()
     }
+    // read-back guard: if a racing breaker slipped between our create
+    // and here (deleted our file, wrote its own), the file no longer
+    // carries OUR token — refuse instead of running as a double writer.
+    // Under any interleaving at most one acquirer sees its own token.
+    if (!readHolder(fs, leasePath).contains(s"token=$token")) refuse()
     Lease(leasePath, token)
   }
 
@@ -150,11 +169,18 @@ object StoreLease {
     * audit, which must not be silent). */
   def release(spark: SparkSession, lease: Lease): Unit = {
     val fs = fsOf(spark, lease.path)
-    val holder =
-      try Some(readHolder(fs, lease.path))
-      catch { case _: java.io.FileNotFoundException => None }
-    holder match {
-      case Some(h) if h.contains(s"token=${lease.token}") =>
+    // a transient read hiccup must not masquerade as a broken lease
+    // (that exception tells the caller to AUDIT THE STORE) — probe
+    // existence separately and give an unreadable-but-present file one
+    // more read before concluding anything
+    def holder(): Option[String] =
+      if (!fs.exists(lease.path)) None else Some(readHolder(fs, lease.path))
+    val h = holder() match {
+      case Some("<unreadable>") => holder()
+      case other => other
+    }
+    h match {
+      case Some(s) if s.contains(s"token=${lease.token}") =>
         fs.delete(lease.path, false)
       case other => throw new IllegalStateException(
         s"store lease at ${lease.path} was broken while this writer " +

@@ -84,8 +84,17 @@ class Vp8ConformanceSpec extends AnyFunSuite with Matchers {
           new java.io.File(dir, s"$name.alpha").toPath,
           argb.map(p => ((p >>> 24) & 0xff).toByte))
     }
-    val tool = new java.io.File("tools/vp8_conformance_check.py")
-    require(tool.exists, s"missing ${tool.getAbsolutePath}")
+    // resolve the checker from the repo root, not the JVM's CWD alone —
+    // a forked test JVM may start in a subdirectory; walk up to the
+    // first ancestor that carries it (build.sbt's sibling)
+    val tool = Iterator.iterate(
+        new java.io.File(sys.props("user.dir")).getAbsoluteFile)(_
+        .getParentFile)
+      .takeWhile(_ != null).take(4)
+      .map(d => new java.io.File(d, "tools/vp8_conformance_check.py"))
+      .find(_.exists)
+      .getOrElse(fail("tools/vp8_conformance_check.py not found in " +
+        s"${sys.props("user.dir")} or its ancestors"))
     val out = new StringBuilder
     val rc = scala.sys.process.Process(
       Seq("python3", tool.getAbsolutePath, dir.getAbsolutePath))
