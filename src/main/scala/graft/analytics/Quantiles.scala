@@ -254,21 +254,31 @@ object Quantiles {
     * planning-time stats on the pruned projection (no job runs).
     * Column names are backtick-quoted like every backend's stackExpr,
     * so a dotted column name dispatches the same way it computes.
-    * Returns None when the estimate is the UNKNOWN sentinel
-    * (stats-less leaves like LogicalRDD report
-    * `spark.sql.defaultSizeInBytes` = Long.MaxValue): an accuracy
-    * contract must never silently change on data whose size Catalyst
-    * simply doesn't know. */
+    *
+    * Returns None when any LEAF of the plan reports the UNKNOWN
+    * sentinel (`spark.sql.defaultSizeInBytes`, Long.MaxValue by
+    * default — what stats-less relations like LogicalRDD return): an
+    * accuracy contract must never silently change on data whose size
+    * Catalyst simply doesn't know. The sentinel test is at the
+    * LEAVES, not the projected top — Project scaling multiplies the
+    * child estimate by outputRowSize/childRowSize, so a projected
+    * sentinel sails under any top-level Long.MaxValue check while
+    * still being pure fiction. Conversely a HUGE estimate computed
+    * from KNOWN leaves (a join-product blow-up) is exactly when the
+    * memory-ceiling switch matters most, so it estimates normally. */
   private def estimatedValueCount(df: DataFrame,
                                   cols: Seq[String]): Option[Long] = {
-    val stats = df.select(cols.map(c => col(s"`$c`")): _*)
-      .queryExecution.optimizedPlan.stats
-    val rows = stats.rowCount.map(_.toLong).orElse {
-      if (stats.sizeInBytes >= BigInt(Long.MaxValue)) None
-      else Some((stats.sizeInBytes / math.max(1, 8L * cols.length))
+    val plan = df.select(cols.map(c => col(s"`$c`")): _*)
+      .queryExecution.optimizedPlan
+    val sentinel = BigInt(df.sparkSession.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    if (plan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel))
+      return None
+    val stats = plan.stats
+    val rows = stats.rowCount.map(_.toLong).getOrElse(
+      (stats.sizeInBytes / math.max(1, 8L * cols.length))
         .min(Long.MaxValue).toLong)
-    }
-    rows.map(r => math.min(Long.MaxValue / math.max(1, cols.length), r) *
+    Some(math.min(Long.MaxValue / math.max(1, cols.length), rows) *
       cols.length)
   }
 

@@ -100,23 +100,53 @@ object StoreLease {
     } catch { case _: java.io.IOException => "<unreadable>" }
 
   private def tryCreate(fs: FileSystem, leasePath: Path,
-                        content: String): Boolean =
-    try {
-      val out = fs.create(leasePath, false)
-      out.write(content.getBytes(UTF_8)); out.close(); true
-    } catch {
+                        content: String): Boolean = {
+    // phase 1 — the atomic claim. create(overwrite=false) signals
+    // "already exists" as an IOException subtype that varies by FS;
+    // only THAT means "held". A failure with no lease file present is
+    // a genuine IO problem (permissions, quota, dead FS) and must
+    // surface as itself, not as a phantom concurrent writer.
+    val out =
+      try fs.create(leasePath, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => return false
+        case e: java.io.IOException =>
+          val msg = Option(e.getMessage).getOrElse("").toLowerCase
+          if (msg.contains("exist") || fs.exists(leasePath)) return false
+          else throw e
+      }
+    // phase 2 — the payload. A write/close failure here is OURS (we
+    // hold the just-created file): leaving a partial lease behind
+    // would block every writer for the TTL on a phantom holder, so
+    // clean up and surface the real IO error.
+    try { out.write(content.getBytes(UTF_8)); out.close(); true }
+    catch {
       case e: java.io.IOException =>
-        // create(overwrite=false) signals "already exists" as an
-        // IOException subtype that varies by FS — but ONLY that case
-        // means "held". A failure with no lease file present is a
-        // genuine IO problem (permissions, quota, dead FS) and must
-        // surface as itself, not as a phantom concurrent writer.
-        if (fs.exists(leasePath)) false else throw e
+        try fs.delete(leasePath, false) catch {
+          case t: java.io.IOException => e.addSuppressed(t)
+        }
+        throw e
     }
+  }
 
   /** Acquire the exclusive writer lease or refuse loudly. A stale
     * lease (older than the TTL — a crashed writer) is broken with a
-    * loud log and re-acquired. */
+    * loud log and re-acquired.
+    *
+    * Break protocol (no delete of live state, ever): the breaker
+    * RENAMES the stale file to a private tombstone — so a racing
+    * breaker's rename fails (source gone) instead of deleting the
+    * winner's fresh lease — then verifies by the moved file's AGE
+    * (rename preserves mtime) that what it moved really was the stale
+    * file; a fresh victim (the losing side of a rename race) is
+    * renamed straight back and the breaker refuses. This closes every
+    * delete-a-fresh-lease path; the residual TOCTOU (two breakers
+    * interleaving stat/rename at sub-millisecond gaps) is narrowed to
+    * the rename itself and detected by the age check + each
+    * acquirer's read-back below.
+    * On a store backed by a filesystem with compare-and-swap, mount
+    * that instead (object-store note in the class doc). */
   def acquire(spark: SparkSession, leasePath: Path,
               verb: String): Lease = {
     val fs = fsOf(spark, leasePath)
@@ -130,37 +160,62 @@ object StoreLease {
         "orchestrator. A crashed writer's lease expires after " +
         s"$TtlConf=${ttlMs(spark)} ms.")
     if (!tryCreate(fs, leasePath, content)) {
-      val staleMtime =
-        try {
-          val m = fs.getFileStatus(leasePath).getModificationTime
-          if (System.currentTimeMillis() - m > ttlMs(spark)) Some(m)
-          else None
-        } catch { case _: java.io.FileNotFoundException => Some(-1L) }
-      if (staleMtime.isEmpty) refuse()
+      val ttl = ttlMs(spark)
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(leasePath).getModificationTime > ttl
+        catch { case _: java.io.FileNotFoundException => true }
+      if (!stale) refuse()
       log.warn(
         s"$verb: BREAKING stale writer lease at $leasePath " +
           s"(${readHolder(fs, leasePath)}) — older than " +
-          s"${ttlMs(spark)} ms; its writer is presumed crashed. If it " +
+          s"$ttl ms; its writer is presumed crashed. If it " +
           "was merely slow, raise " + TtlConf + ".")
-      // guarded break: two writers can both judge the same lease stale,
-      // and the slower one's delete must not remove the faster one's
-      // FRESH lease — delete only while the file is still the exact
-      // stale one we judged (same mtime); anything else = lost the race
-      val unchanged =
-        try staleMtime.contains(-1L) ||
-          fs.getFileStatus(leasePath).getModificationTime ==
-            staleMtime.get
-        catch { case _: java.io.FileNotFoundException => true }
-      if (!unchanged) refuse()
-      fs.delete(leasePath, false)
+      val tomb = new Path(leasePath.getParent,
+        s"${leasePath.getName}.broken.$token")
+      val renamed =
+        try fs.rename(leasePath, tomb)
+        catch { case _: java.io.IOException => false }
+      if (renamed) {
+        // age check on what we MOVED (rename preserves file mtime on
+        // POSIX and HDFS — the same clock the staleness judgment
+        // used): did we move the STALE file, or a racer's fresh lease
+        // that replaced it between our stat and rename?
+        val victimFresh =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(tomb).getModificationTime <= ttl
+          catch { case _: java.io.IOException => true }
+        if (victimFresh) {
+          // fail-safe: fresh or unstat-able → restore and step back
+          try fs.rename(tomb, leasePath)
+          catch { case _: java.io.IOException => () }
+          refuse()
+        }
+        fs.delete(tomb, false)
+      }
+      // slot may now be free (our break, a racer's break, or a clean
+      // release) — claim it the atomic way; losing the create = refuse
       if (!tryCreate(fs, leasePath, content)) refuse()
     }
-    // read-back guard: if a racing breaker slipped between our create
-    // and here (deleted our file, wrote its own), the file no longer
-    // carries OUR token — refuse instead of running as a double writer.
-    // Under any interleaving at most one acquirer sees its own token.
-    if (!readHolder(fs, leasePath).contains(s"token=$token")) refuse()
-    Lease(leasePath, token)
+    // read-back guard: if a racing breaker moved our just-created
+    // lease aside in the interim, the live file no longer carries OUR
+    // token — refuse instead of running as a double writer. One retry
+    // for a transient read hiccup; if the file is persistently
+    // unreadable it can only be our own just-created one (a breaker
+    // never moves a fresh lease, and ours is milliseconds old), so
+    // remove it rather than strand a phantom holder for the TTL.
+    val own = Iterator.continually(readHolder(fs, leasePath)).take(2)
+      .find(_ != "<unreadable>")
+    own match {
+      case Some(h) if h.contains(s"token=$token") => Lease(leasePath, token)
+      case Some(_) => refuse()
+      case None =>
+        try fs.delete(leasePath, false)
+        catch { case _: java.io.IOException => () }
+        throw new IllegalStateException(
+          s"$verb: transient read failures verifying the fresh lease " +
+            s"at $leasePath — removed it; retry the write")
+    }
   }
 
   /** Release an acquired lease; refuses loudly if the file no longer

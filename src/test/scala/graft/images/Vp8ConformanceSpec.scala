@@ -84,17 +84,20 @@ class Vp8ConformanceSpec extends AnyFunSuite with Matchers {
           new java.io.File(dir, s"$name.alpha").toPath,
           argb.map(p => ((p >>> 24) & 0xff).toByte))
     }
-    // resolve the checker from the repo root, not the JVM's CWD alone —
-    // a forked test JVM may start in a subdirectory; walk up to the
-    // first ancestor that carries it (build.sbt's sibling)
+    // resolve the checker from the REPO ROOT (first ancestor carrying
+    // build.sbt), not the JVM's CWD — a forked test JVM may start
+    // arbitrarily deep, and matching on the build marker (rather than
+    // the first tools/ found) can't be shadowed by a stray copy in an
+    // unrelated ancestor directory
     val tool = Iterator.iterate(
         new java.io.File(sys.props("user.dir")).getAbsoluteFile)(_
         .getParentFile)
-      .takeWhile(_ != null).take(4)
+      .takeWhile(_ != null)
+      .find(d => new java.io.File(d, "build.sbt").exists)
       .map(d => new java.io.File(d, "tools/vp8_conformance_check.py"))
-      .find(_.exists)
-      .getOrElse(fail("tools/vp8_conformance_check.py not found in " +
-        s"${sys.props("user.dir")} or its ancestors"))
+      .filter(_.exists)
+      .getOrElse(fail("tools/vp8_conformance_check.py not found under " +
+        s"the repo root above ${sys.props("user.dir")}"))
     val out = new StringBuilder
     val rc = scala.sys.process.Process(
       Seq("python3", tool.getAbsolutePath, dir.getAbsolutePath))
