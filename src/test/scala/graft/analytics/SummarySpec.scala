@@ -121,6 +121,33 @@ class SummarySpec extends SparkSpec {
     }
   }
 
+  test("auto-GK never fires on a frame whose size Catalyst doesn't " +
+    "know: RDD-backed leaves report the defaultSizeInBytes sentinel " +
+    "and must stay exact even with a tiny threshold") {
+    // LogicalRDD's computeStats is spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) — and Project SCALING would shrink a top-level
+    // estimate below MaxValue whenever cols ⊂ schema, so this pins the
+    // leaf-level sentinel test with exactly that shape: 3 columns,
+    // quantiles on 1
+    val rows = spark.sparkContext.parallelize(
+      Seq.tabulate(100)(i => org.apache.spark.sql.Row(
+        i.toDouble, i.toLong, s"r$i")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val rdd = spark.createDataFrame(rows, schema)
+    spark.conf.set(Quantiles.AutoGkThresholdConf, "1")
+    try {
+      val m = Quantiles.quantiles(rdd, Seq("x"), Seq(0.5))(("x", 0.5))
+      Quantiles.lastDispatch shouldBe "exact" // unknown size: no switch
+      m shouldBe 49.5 // and the exact interpolated median
+    } finally spark.conf.unset(Quantiles.AutoGkThresholdConf)
+  }
+
   test("weighted sample: exactly n rows when no weight exceeds total/n, " +
     "and heavy rows are always included") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
