@@ -160,6 +160,15 @@ class ImageOpsSpec extends SparkSpec {
     // a corrupt payload through the lossy route drops, never crashes
     ImageOps.applyChain(Fixtures.corrupt, Seq(TransformCfg("webp",
       Map("mode" -> "vp8")))) shouldBe None
+    // mode=quantize routes to the r5 stand-in tier
+    ImageOps.applyChain(png, Seq(TransformCfg("webp",
+      Map("mode" -> "quantize", "quality" -> "40")))).get.toSeq shouldBe
+      ImageOps.webpEncodeQuantized(png, 40).get.toSeq
+    // and a plain webp step with lossless:false follows the r20
+    // default — the REAL VP8 encoder, identical to the mode=vp8 route
+    ImageOps.applyChain(png, Seq(TransformCfg("webp",
+      Map("lossless" -> "false", "quality" -> "60")))).get.toSeq shouldBe
+      ImageOps.webpEncodeLossy(png, 60).get.toSeq
   }
 
   test("binary-column transform keeps plumbing: schema + fail flag (F4)") {
