@@ -77,17 +77,31 @@ object StoreLease {
     new Path(new Path(warehouse), s"__graft_leases/$name.lease")
   }
 
+  /** Age of the lease at `path` in ms, None if absent. The WRITER's
+    * `epochMs=` stamp in the file content is authoritative — it is
+    * rename-invariant (an object store's copy-based rename refreshes
+    * mtime, which would make a tombstoned stale lease look fresh and
+    * brick the break path forever) — with FS mtime as the fallback
+    * for an unreadable/unparseable file. Writer clocks must be sane
+    * within the TTL (the standard lease assumption). */
+  private def leaseAgeMs(fs: FileSystem, path: Path): Option[Long] = {
+    val mtime =
+      try Some(fs.getFileStatus(path).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    mtime.map { m =>
+      val epoch = "epochMs=(\\d+)".r
+        .findFirstMatchIn(readHolder(fs, path)).map(_.group(1).toLong)
+      System.currentTimeMillis() - epoch.getOrElse(m)
+    }
+  }
+
   /** True iff a lease file exists and is younger than the TTL — the
     * read-side probe ([[graft.similarity.Ann]]'s `healCells` uses it
     * to distinguish "compaction in flight, retry" from "crashed swap,
     * safe to heal"). */
-  def heldFresh(spark: SparkSession, leasePath: Path): Boolean = {
-    val fs = fsOf(spark, leasePath)
-    try {
-      val st = fs.getFileStatus(leasePath)
-      System.currentTimeMillis() - st.getModificationTime <= ttlMs(spark)
-    } catch { case _: java.io.FileNotFoundException => false }
-  }
+  def heldFresh(spark: SparkSession, leasePath: Path): Boolean =
+    leaseAgeMs(fsOf(spark, leasePath), leasePath)
+      .exists(_ <= ttlMs(spark))
 
   private def readHolder(fs: FileSystem, leasePath: Path): String =
     try {
@@ -112,8 +126,13 @@ object StoreLease {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.nio.file.FileAlreadyExistsException => return false
         case e: java.io.IOException =>
+          // typed exceptions above cover HDFS/local; for FSes that
+          // throw generic IOException, the narrow "already exists"
+          // message (NOT a broad "exist" match — "Mkdirs failed
+          // (exists=false)" is a PERMISSIONS error) or a probe decides
           val msg = Option(e.getMessage).getOrElse("").toLowerCase
-          if (msg.contains("exist") || fs.exists(leasePath)) return false
+          if (msg.contains("already exists") || fs.exists(leasePath))
+            return false
           else throw e
       }
     // phase 2 — the payload. A write/close failure here is OURS (we
@@ -138,14 +157,18 @@ object StoreLease {
     * RENAMES the stale file to a private tombstone — so a racing
     * breaker's rename fails (source gone) instead of deleting the
     * winner's fresh lease — then verifies by the moved file's AGE
-    * (rename preserves mtime) that what it moved really was the stale
-    * file; a fresh victim (the losing side of a rename race) is
-    * renamed straight back and the breaker refuses. This closes every
-    * delete-a-fresh-lease path; the residual TOCTOU (two breakers
-    * interleaving stat/rename at sub-millisecond gaps) is narrowed to
-    * the rename itself and detected by the age check + each
-    * acquirer's read-back below.
-    * On a store backed by a filesystem with compare-and-swap, mount
+    * ([[leaseAgeMs]]: the content's writer-stamped epoch, which
+    * renames cannot refresh even on copy-based object-store renames)
+    * that what it moved really was the stale file; a fresh victim
+    * (the losing side of a rename race) is renamed straight back —
+    * only into an EMPTY slot, never over a newer lease — and the
+    * breaker refuses, naming the tombstone if the restore could not
+    * land. This NARROWS (it cannot close — these FS primitives have
+    * no compare-and-swap) the double-writer window to breakers
+    * interleaving stat/rename within milliseconds on the same
+    * TTL-expired lease; the age check, each acquirer's read-back
+    * below, and release's token audit detect what slips through. On
+    * a store backed by a filesystem with conditional puts, mount
     * that instead (object-store note in the class doc). */
   def acquire(spark: SparkSession, leasePath: Path,
               verb: String): Lease = {
@@ -161,34 +184,45 @@ object StoreLease {
         s"$TtlConf=${ttlMs(spark)} ms.")
     if (!tryCreate(fs, leasePath, content)) {
       val ttl = ttlMs(spark)
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(leasePath).getModificationTime > ttl
-        catch { case _: java.io.FileNotFoundException => true }
-      if (!stale) refuse()
+      if (leaseAgeMs(fs, leasePath).exists(_ <= ttl)) refuse()
       log.warn(
         s"$verb: BREAKING stale writer lease at $leasePath " +
           s"(${readHolder(fs, leasePath)}) — older than " +
           s"$ttl ms; its writer is presumed crashed. If it " +
           "was merely slow, raise " + TtlConf + ".")
+      // opportunistic sweep: tombstones of breakers that died between
+      // their rename and delete would otherwise accumulate forever
+      try fs.listStatus(leasePath.getParent)
+        .filter(_.getPath.getName.startsWith(s"${leasePath.getName}" +
+          ".broken."))
+        .filter(s => System.currentTimeMillis() -
+          s.getModificationTime > ttl)
+        .foreach(s => fs.delete(s.getPath, false))
+      catch { case _: java.io.IOException => () }
       val tomb = new Path(leasePath.getParent,
         s"${leasePath.getName}.broken.$token")
       val renamed =
         try fs.rename(leasePath, tomb)
         catch { case _: java.io.IOException => false }
       if (renamed) {
-        // age check on what we MOVED (rename preserves file mtime on
-        // POSIX and HDFS — the same clock the staleness judgment
-        // used): did we move the STALE file, or a racer's fresh lease
-        // that replaced it between our stat and rename?
-        val victimFresh =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(tomb).getModificationTime <= ttl
-          catch { case _: java.io.IOException => true }
+        // age check on what we MOVED (writer-epoch clock — see
+        // leaseAgeMs): did we move the STALE file, or a racer's fresh
+        // lease that replaced it between our stat and rename?
+        val victimFresh = leaseAgeMs(fs, tomb).forall(_ <= ttl)
         if (victimFresh) {
-          // fail-safe: fresh or unstat-able → restore and step back
-          try fs.rename(tomb, leasePath)
-          catch { case _: java.io.IOException => () }
+          // fail-safe: fresh or unreadable → put it back and step
+          // aside. Restore ONLY into an empty slot — a POSIX rename
+          // overwrites its destination, and a third writer may have
+          // claimed the path while the victim sat in our tombstone.
+          val restored = !fs.exists(leasePath) &&
+            (try fs.rename(tomb, leasePath)
+             catch { case _: java.io.IOException => false })
+          if (!restored) throw new IllegalStateException(
+            s"$verb: lease break at $leasePath raced a live writer " +
+              s"whose fresh lease is now parked at $tomb and could " +
+              "not be restored (the slot was re-taken). That writer " +
+              "will fail its release audit; restore or remove the " +
+              "tombstone after auditing the store.")
           refuse()
         }
         fs.delete(tomb, false)

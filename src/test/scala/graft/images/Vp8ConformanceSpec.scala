@@ -84,32 +84,17 @@ class Vp8ConformanceSpec extends AnyFunSuite with Matchers {
           new java.io.File(dir, s"$name.alpha").toPath,
           argb.map(p => ((p >>> 24) & 0xff).toByte))
     }
-    // resolve the checker from the REPO ROOT (first ancestor carrying
-    // build.sbt), not the JVM's CWD — a forked test JVM may start
-    // arbitrarily deep, and matching on the build marker (rather than
-    // the first tools/ found) can't be shadowed by a stray copy in an
-    // unrelated ancestor directory
-    val tool = Iterator.iterate(
-        new java.io.File(sys.props("user.dir")).getAbsoluteFile)(_
-        .getParentFile)
-      .takeWhile(_ != null)
-      .find(d => new java.io.File(d, "build.sbt").exists)
-      .map(d => new java.io.File(d, "tools/vp8_conformance_check.py"))
-      .filter(_.exists)
-      .getOrElse(fail("tools/vp8_conformance_check.py not found under " +
-        s"the repo root above ${sys.props("user.dir")}"))
-    val out = new StringBuilder
-    val rc = scala.sys.process.Process(
-      Seq("python3", tool.getAbsolutePath, dir.getAbsolutePath))
-      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
+    val tool = PyTools.repoTool("vp8_conformance_check.py")
+      .fold(fail(_), identity)
+    val (rc, out) = PyTools.runPython(tool, dir.getAbsolutePath)
     if (rc == 42)
       cancel("SKIPPED LOUDLY: libwebp.so.7 not available on this box — " +
         "the randomized VP8 conformance sweep needs the canonical C " +
         "decoder as its oracle (the committed goldens still gate the " +
         "fixed fixtures in Vp8GoldenSpec)")
-    withClue(out.toString) {
+    withClue(out) {
       rc shouldBe 0
-      out.toString should include(s"== $N pass, 0 fail ==")
+      out should include(s"== $N pass, 0 fail ==")
     }
     dir.listFiles.foreach(_.delete()); dir.delete()
   }

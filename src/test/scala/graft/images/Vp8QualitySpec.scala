@@ -21,31 +21,25 @@ class Vp8QualitySpec extends AnyFunSuite with Matchers {
 
   test("rate gap to the system encoder at matched PSNR stays under " +
     "the 2x investment bar (geometric mean over the golden fixtures)") {
-    val tool = Iterator.iterate(
-        new java.io.File(sys.props("user.dir")).getAbsoluteFile)(_
-        .getParentFile)
-      .takeWhile(_ != null)
-      .find(d => new java.io.File(d, "build.sbt").exists)
-      .map(d => new java.io.File(d, "tools/vp8_quality_report.py"))
-      .filter(_.exists)
-      .getOrElse(fail("tools/vp8_quality_report.py not found under " +
-        s"the repo root above ${sys.props("user.dir")}"))
-    val out = new StringBuilder
-    val rc = scala.sys.process.Process(
-      Seq("python3", tool.getAbsolutePath))
-      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
+    val tool = PyTools.repoTool("vp8_quality_report.py")
+      .fold(fail(_), identity)
+    val (rc, out) = PyTools.runPython(tool)
     if (rc == 42)
       cancel("SKIPPED LOUDLY: libwebp.so.7 not available — the " +
         "rate-distortion comparison needs the system encoder/decoder")
-    withClue(out.toString) {
+    withClue(out) {
       rc shouldBe 0
       val gm = "geometric-mean size ratio[^:]*: ([0-9.]+)x".r
-        .findFirstMatchIn(out.toString)
+        .findFirstMatchIn(out)
         .getOrElse(fail("report printed no geometric-mean line"))
         .group(1).toDouble
       // the r19 verdict's bar: >2x at matched PSNR = invest in
       // B_PRED/loop-filter. Measured 1.57x in r20; a crossing means
-      // the documented-carry ruling needs re-adjudication.
+      // the documented-carry ruling needs re-adjudication. The report
+      // excludes any unmatched (q=100 fallback) fixture from the
+      // geomean, so a crossing is a real rate regression, not a
+      // denominator artifact; all 4 fixtures must have matched.
+      out should include("4/4 matched")
       gm should be < 2.0
     }
   }

@@ -46,9 +46,19 @@ class StoreLeaseSpec extends SparkSpec {
     val b = StoreLease.acquire(spark, lp, "writerB")
     StoreLease.heldFresh(spark, lp) shouldBe true
     // age B's lease past the TTL: a crashed writer's lease must not
-    // block the store forever — the next writer breaks it loudly
-    fs(lp).setTimes(lp, System.currentTimeMillis() -
-      StoreLease.DefaultTtlMs - 1000, -1)
+    // block the store forever — the next writer breaks it loudly.
+    // Staleness reads the WRITER-STAMPED epoch in the content (the
+    // clock a copy-based object-store rename cannot refresh), so age
+    // the stamp itself; mtime is only the unreadable-file fallback.
+    val old = System.currentTimeMillis() - StoreLease.DefaultTtlMs - 1000
+    val fsys = fs(lp)
+    val aged = {
+      val in = fsys.open(lp)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      s.replaceAll("epochMs=\\d+", s"epochMs=$old")
+    }
+    val out = fsys.create(lp, true)
+    out.write(aged.getBytes("UTF-8")); out.close()
     StoreLease.heldFresh(spark, lp) shouldBe false
     val c = StoreLease.acquire(spark, lp, "writerC")
     // B's handle is now invalid: release must refuse, not delete C's
@@ -210,8 +220,11 @@ class StoreLeaseSpec extends SparkSpec {
           try { Ann.absorbIvfIndex(spark, path, b, "vec_id", "embedding")
                 done = true }
           catch {
+            // both of acquire's deliberate retryable outcomes: a held
+            // lease, and the transient-read self-cleanup path
             case e: IllegalStateException
-              if e.getMessage.contains("SINGLE WRITER") =>
+              if e.getMessage.contains("SINGLE WRITER") ||
+                 e.getMessage.contains("retry the write") =>
                 refusals.incrementAndGet(); Thread.sleep(50)
           }
         }

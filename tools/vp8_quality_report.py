@@ -116,12 +116,22 @@ def main():
         q, size, p = best
         lw_bpp = 8.0 * size / (w * h)
         ratio = len(ours) / size
-        ratios.append(ratio)
+        # a q=100 fallback that still did NOT reach our PSNR is not a
+        # matched comparison — flag it and keep it OUT of the headline
+        # geomean rather than silently blending an unmatched ratio in
+        matched = p >= ours_psnr
+        if matched:
+            ratios.append(ratio)
         print(f"{name:28} {ours_bpp:9.3f} {ours_psnr:10.2f} "
-              f"{lw_bpp:14.3f} {p:8.2f} {ratio:10.2f}x  (lw q={q})")
+              f"{lw_bpp:14.3f} {p:8.2f} {ratio:10.2f}x  (lw q={q}"
+              f"{'' if matched else ' UNMATCHED: libwebp PSNR below ours even at q=100 — excluded from geomean'})")
+    if not ratios:
+        print("\nno fixture reached a matched-PSNR comparison")
+        return 0
     gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     print(f"\ngeometric-mean size ratio at matched-or-better libwebp "
-          f"PSNR: {gm:.2f}x")
+          f"PSNR: {gm:.2f}x over {len(ratios)}/{len(FIXTURES)} "
+          "matched fixtures")
     print("(>2x at matched PSNR was the verdict's bar for investing in "
           "B_PRED/loop-filter)")
     return 0
