@@ -81,17 +81,30 @@ object StoreLease {
     * `epochMs=` stamp in the file content is authoritative — it is
     * rename-invariant (an object store's copy-based rename refreshes
     * mtime, which would make a tombstoned stale lease look fresh and
-    * brick the break path forever) — with FS mtime as the fallback
-    * for an unreadable/unparseable file. Writer clocks must be sane
-    * within the TTL (the standard lease assumption). */
+    * brick the break path forever). READABLE content WITHOUT a
+    * parseable stamp judges infinitely stale: only a torn write
+    * (crash between create and payload) or corruption produces it,
+    * neither of which is a live writer worth blocking a store for —
+    * and mtime can't be trusted for it on copy-rename stores (every
+    * break attempt would refresh it and re-brick). FS mtime is the
+    * fallback ONLY for a transiently UNREADABLE file (an IO hiccup
+    * must not mass-judge live leases stale). Writer clocks must be
+    * sane within the TTL (the standard lease assumption). */
   private def leaseAgeMs(fs: FileSystem, path: Path): Option[Long] = {
     val mtime =
       try Some(fs.getFileStatus(path).getModificationTime)
       catch { case _: java.io.FileNotFoundException => None }
     mtime.map { m =>
-      val epoch = "epochMs=(\\d+)".r
-        .findFirstMatchIn(readHolder(fs, path)).map(_.group(1).toLong)
-      System.currentTimeMillis() - epoch.getOrElse(m)
+      readHolder(fs, path) match {
+        case "<unreadable>" => System.currentTimeMillis() - m
+        case content =>
+          // bounded digit run + Try: corrupt content must never throw
+          // out of heldFresh (a serving-read probe), just judge stale
+          "epochMs=(\\d{1,18})".r.findFirstMatchIn(content)
+            .flatMap(g => scala.util.Try(g.group(1).toLong).toOption)
+            .map(System.currentTimeMillis() - _)
+            .getOrElse(Long.MaxValue)
+      }
     }
   }
 
@@ -107,9 +120,16 @@ object StoreLease {
     try {
       val in = fs.open(leasePath)
       try {
+        // read to EOF — a single read() may legally return a prefix,
+        // and a truncated trailing "epochMs=<digits>" would parse as
+        // a tiny epoch and judge a LIVE lease stale (double-writer)
+        val bos = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](4096)
-        val n = math.max(0, in.read(buf))
-        new String(buf, 0, n, UTF_8).trim
+        var n = in.read(buf)
+        while (n >= 0 && bos.size() < (1 << 20)) {
+          bos.write(buf, 0, n); n = in.read(buf)
+        }
+        new String(bos.toByteArray, UTF_8).trim
       } finally in.close()
     } catch { case _: java.io.IOException => "<unreadable>" }
 
@@ -208,24 +228,34 @@ object StoreLease {
         // age check on what we MOVED (writer-epoch clock — see
         // leaseAgeMs): did we move the STALE file, or a racer's fresh
         // lease that replaced it between our stat and rename?
-        val victimFresh = leaseAgeMs(fs, tomb).forall(_ <= ttl)
-        if (victimFresh) {
-          // fail-safe: fresh or unreadable → put it back and step
-          // aside. Restore ONLY into an empty slot — a POSIX rename
-          // overwrites its destination, and a third writer may have
-          // claimed the path while the victim sat in our tombstone.
-          val restored = !fs.exists(leasePath) &&
-            (try fs.rename(tomb, leasePath)
-             catch { case _: java.io.IOException => false })
-          if (!restored) throw new IllegalStateException(
-            s"$verb: lease break at $leasePath raced a live writer " +
-              s"whose fresh lease is now parked at $tomb and could " +
-              "not be restored (the slot was re-taken). That writer " +
-              "will fail its release audit; restore or remove the " +
-              "tombstone after auditing the store.")
-          refuse()
+        leaseAgeMs(fs, tomb) match {
+          case None =>
+            // tombstone vanished: a racing breaker's sweep collected
+            // it (a stale lease's tombstone inherits the stale age
+            // and is immediately sweep-eligible) — we lost a benign
+            // race; nothing to clean up, just retry via refuse
+            refuse()
+          case Some(age) if age <= ttl =>
+            // fresh victim: put it back and step aside. Restore ONLY
+            // into a currently-empty slot; the exists-then-rename
+            // pair is NOT atomic (POSIX rename overwrites), so a
+            // third writer claiming the slot inside that window is
+            // evicted undetected here — its release audit catches it.
+            val restored = !fs.exists(leasePath) &&
+              (try fs.rename(tomb, leasePath)
+               catch { case _: java.io.IOException => false })
+            if (!restored && fs.exists(tomb))
+              throw new IllegalStateException(
+                s"$verb: lease break at $leasePath raced a live " +
+                  s"writer whose fresh lease is now parked at $tomb " +
+                  "and could not be restored (the slot was " +
+                  "re-taken). That writer will fail its release " +
+                  "audit; restore or remove the tombstone after " +
+                  "auditing the store.")
+            refuse()
+          case Some(_) =>
+            fs.delete(tomb, false) // confirmed stale: discard
         }
-        fs.delete(tomb, false)
       }
       // slot may now be free (our break, a racer's break, or a clean
       // release) — claim it the atomic way; losing the create = refuse
