@@ -98,10 +98,17 @@ object StoreLease {
       readHolder(fs, path) match {
         case "<unreadable>" => System.currentTimeMillis() - m
         case content =>
-          // bounded digit run + Try: corrupt content must never throw
-          // out of heldFresh (a serving-read probe), just judge stale
-          "epochMs=(\\d{1,18})".r.findFirstMatchIn(content)
+          // bounded digit run WITH a trailing boundary (a 19+-digit
+          // corrupt run must not truncate to a far-future epoch that
+          // reads fresh-forever and bricks the break path) + Try +
+          // future-clamp (an epoch beyond any sane clock skew is
+          // corruption, not a writer): corrupt content must never
+          // throw out of heldFresh (a serving-read probe) and must
+          // always judge STALE, never fresh
+          "epochMs=(\\d{1,18})(?!\\d)".r.findFirstMatchIn(content)
             .flatMap(g => scala.util.Try(g.group(1).toLong).toOption)
+            .filter(_ <= System.currentTimeMillis() +
+              7L * 24 * 3600 * 1000)
             .map(System.currentTimeMillis() - _)
             .getOrElse(Long.MaxValue)
       }
@@ -155,14 +162,25 @@ object StoreLease {
             return false
           else throw e
       }
-    // phase 2 — the payload. A write/close failure here is OURS (we
-    // hold the just-created file): leaving a partial lease behind
-    // would block every writer for the TTL on a phantom holder, so
-    // clean up and surface the real IO error.
+    // phase 2 — the payload. A write/close failure here is normally
+    // OURS (we hold the just-created file): leaving a partial lease
+    // behind would block every writer for the TTL on a phantom
+    // holder, so clean up and surface the real IO error. BUT our torn
+    // (still-empty) file reads as infinitely stale, so a racing
+    // breaker may have already tombstoned it and claimed the path —
+    // deleting then would remove the USURPER'S live lease and mint a
+    // free slot under a live writer. Delete only while the path does
+    // not hold a foreign token.
     try { out.write(content.getBytes(UTF_8)); out.close(); true }
     catch {
       case e: java.io.IOException =>
-        try fs.delete(leasePath, false) catch {
+        val ours = "token=([0-9a-f-]+)".r.findFirstMatchIn(content)
+          .map(m => s"token=${m.group(1)}")
+        try {
+          val cur = readHolder(fs, leasePath)
+          if (!cur.contains("token=") || ours.exists(cur.contains))
+            fs.delete(leasePath, false)
+        } catch {
           case t: java.io.IOException => e.addSuppressed(t)
         }
         throw e
@@ -232,9 +250,11 @@ object StoreLease {
           case None =>
             // tombstone vanished: a racing breaker's sweep collected
             // it (a stale lease's tombstone inherits the stale age
-            // and is immediately sweep-eligible) — we lost a benign
-            // race; nothing to clean up, just retry via refuse
-            refuse()
+            // and is immediately sweep-eligible) — benign; nothing to
+            // clean up, FALL THROUGH to the claim attempt below (the
+            // slot may be free right now, and refuse() here would
+            // hard-fail a write that the atomic create can simply win)
+            ()
           case Some(age) if age <= ttl =>
             // fresh victim: put it back and step aside. Restore ONLY
             // into a currently-empty slot; the exists-then-rename
