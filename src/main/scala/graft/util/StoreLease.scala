@@ -141,7 +141,7 @@ object StoreLease {
     } catch { case _: java.io.IOException => "<unreadable>" }
 
   private def tryCreate(fs: FileSystem, leasePath: Path,
-                        content: String): Boolean = {
+                        content: String, token: String): Boolean = {
     // phase 1 — the atomic claim. create(overwrite=false) signals
     // "already exists" as an IOException subtype that varies by FS;
     // only THAT means "held". A failure with no lease file present is
@@ -169,16 +169,25 @@ object StoreLease {
     // (still-empty) file reads as infinitely stale, so a racing
     // breaker may have already tombstoned it and claimed the path —
     // deleting then would remove the USURPER'S live lease and mint a
-    // free slot under a live writer. Delete only while the path does
-    // not hold a foreign token.
+    // free slot under a live writer. The guard below NARROWS that
+    // hazard (the read-then-delete pair has no atomic form on these
+    // primitives; a breaker landing inside it is caught by its own
+    // release audit): delete only a PRESENT, READABLE file that
+    // carries no foreign token, after closing our stream (an open
+    // handle makes both the read and the delete FS-dependent), and
+    // leave a persistently-unreadable file to the TTL — an
+    // availability delay, never a live-lease deletion.
     try { out.write(content.getBytes(UTF_8)); out.close(); true }
     catch {
       case e: java.io.IOException =>
-        val ours = "token=([0-9a-f-]+)".r.findFirstMatchIn(content)
-          .map(m => s"token=${m.group(1)}")
+        try out.close()
+        catch { case t: java.io.IOException => e.addSuppressed(t) }
         try {
-          val cur = readHolder(fs, leasePath)
-          if (!cur.contains("token=") || ours.exists(cur.contains))
+          val cur = Iterator.continually(readHolder(fs, leasePath))
+            .take(2).find(_ != "<unreadable>")
+          val foreign = cur.exists(c =>
+            c.contains("token=") && !c.contains(s"token=$token"))
+          if (cur.isDefined && !foreign && fs.exists(leasePath))
             fs.delete(leasePath, false)
         } catch {
           case t: java.io.IOException => e.addSuppressed(t)
@@ -220,7 +229,7 @@ object StoreLease {
         "SINGLE WRITER; serialize absorbs/compactions in the " +
         "orchestrator. A crashed writer's lease expires after " +
         s"$TtlConf=${ttlMs(spark)} ms.")
-    if (!tryCreate(fs, leasePath, content)) {
+    if (!tryCreate(fs, leasePath, content, token)) {
       val ttl = ttlMs(spark)
       if (leaseAgeMs(fs, leasePath).exists(_ <= ttl)) refuse()
       log.warn(
@@ -279,7 +288,7 @@ object StoreLease {
       }
       // slot may now be free (our break, a racer's break, or a clean
       // release) — claim it the atomic way; losing the create = refuse
-      if (!tryCreate(fs, leasePath, content)) refuse()
+      if (!tryCreate(fs, leasePath, content, token)) refuse()
     }
     // read-back guard: if a racing breaker moved our just-created
     // lease aside in the interim, the live file no longer carries OUR
