@@ -71,10 +71,25 @@ object StoreLease {
 
   /** Lease path for a CATALOG-TABLE store: `name` is the table name or
     * the family prefix (one lease guards every table of the family —
-    * paired tables move together or not at all). */
+    * paired tables move together or not at all).
+    *
+    * The name is CANONICALIZED before keying the lease path: Spark
+    * catalog identifiers are case-insensitive and may be
+    * db-qualified, so 'MyStore', 'mystore' and 'default.mystore'
+    * must all map to ONE lease file — distinct paths would let two
+    * writers of the same store proceed concurrently, silently
+    * bypassing the single-writer enforcement. Canonical form:
+    * lowercase, qualified with the session's current database when
+    * the caller passed a bare name. */
   def forTable(spark: SparkSession, name: String): Path = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    new Path(new Path(warehouse), s"__graft_leases/$name.lease")
+    val lc = name.toLowerCase(java.util.Locale.ROOT)
+    val parts = lc.split('.').filter(_.nonEmpty)
+    val canonical =
+      if (parts.length >= 2) parts.takeRight(2).mkString(".")
+      else spark.catalog.currentDatabase
+        .toLowerCase(java.util.Locale.ROOT) + "." + lc
+    new Path(new Path(warehouse), s"__graft_leases/$canonical.lease")
   }
 
   /** Age of the lease at `path` in ms, None if absent. The WRITER's
@@ -231,6 +246,16 @@ object StoreLease {
         s"$TtlConf=${ttlMs(spark)} ms.")
     if (!tryCreate(fs, leasePath, content, token)) {
       val ttl = ttlMs(spark)
+      // a JUST-created lease is briefly empty (tryCreate's
+      // create→payload gap) and empty content judges infinitely
+      // stale — give an empty-but-present file ONE short grace
+      // re-probe so a probe landing in that instant degrades to a
+      // plain refuse (availability) instead of entering the break
+      // path against a live writer
+      if (readHolder(fs, leasePath).isEmpty &&
+          leaseAgeMs(fs, leasePath).isDefined) {
+        Thread.sleep(200)
+      }
       if (leaseAgeMs(fs, leasePath).exists(_ <= ttl)) refuse()
       log.warn(
         s"$verb: BREAKING stale writer lease at $leasePath " +
