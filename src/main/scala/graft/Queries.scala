@@ -483,7 +483,10 @@ object Queries {
   // ------------------------------------------------------------ queries
 
   private def dsum(c: Column): Column =
-    sum(c.cast("decimal(24,6)")).cast("double")
+    // r21: split-scaled long sums with a decimal slow path — proven ≡
+    // sum(c.cast("decimal(24,6)")).cast("double") (ExactSumSpec), 4×
+    // cheaper per row (no per-row BigDecimal)
+    graft.analytics.ExactSum.dsum(c)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -658,10 +661,8 @@ object Queries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(8,6)") -
-              col("l_discount").cast("decimal(8,6)")))
-            .cast("double").as("sum_disc_price"),
+          graft.analytics.ExactSum.dsumRevenue(col("l_extendedprice"),
+            col("l_discount")).as("sum_disc_price"), // ≡ decimal twin, r21
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
@@ -687,10 +688,8 @@ object Queries {
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            sum(col("l_extendedprice").cast("decimal(12,2)") *
-              (lit(1).cast("decimal(8,6)") -
-                col("l_discount").cast("decimal(8,6)")))
-              .cast("double").as("revenue"),
+            graft.analytics.ExactSum.dsumRevenue(col("l_extendedprice"),
+              col("l_discount")).as("revenue"), // ≡ decimal twin, r21
             count(lit(1)).as("n_lines"))
           .orderBy("c_mktsegment")
       },
@@ -3918,20 +3917,24 @@ object Queries {
     // in partition order; decimal sums don't care.
     QueryDef("a16_exact_corr",
       (s, dir) => {
-        val qd = col("l_quantity").cast("decimal(12,2)")
-        val pd = col("l_extendedprice").cast("decimal(12,2)")
         val nd = col("n").cast("double")
         val cov = nd * col("__sxy") - col("__sx") * col("__sy")
         val vx = nd * col("__sxx") - col("__sx") * col("__sx")
         val vy = nd * col("__syy") - col("__sy") * col("__sy")
+        // r21: ExactSum twins of the five decimal sums (≡ proven in
+        // ExactSumSpec) — no per-row BigDecimal in the agg
+        val es = graft.analytics.ExactSum
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(qd).cast("double").as("__sx"),
-            sum(pd).cast("double").as("__sy"),
-            sum(qd * qd).cast("double").as("__sxx"),
-            sum(pd * pd).cast("double").as("__syy"),
-            sum(qd * pd).cast("double").as("__sxy"))
+            es.dsumScaled(col("l_quantity"), 12, 2, 8e15).as("__sx"),
+            es.dsumScaled(col("l_extendedprice"), 12, 2, 8e15).as("__sy"),
+            es.dsumProduct(col("l_quantity"), 12, 2, 1e7,
+              col("l_quantity"), 12, 2, 1e7).as("__sxx"),
+            es.dsumProduct(col("l_extendedprice"), 12, 2, 1e7,
+              col("l_extendedprice"), 12, 2, 1e7).as("__syy"),
+            es.dsumProduct(col("l_quantity"), 12, 2, 1e7,
+              col("l_extendedprice"), 12, 2, 1e7).as("__sxy"))
           .select(col("l_returnflag"), col("n"),
             (cov / vx).as("slope"),
             (cov / (sqrt(greatest(vx, lit(0.0))) *
@@ -4315,10 +4318,8 @@ object Queries {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(8,6)") -
-              col("l_discount").cast("decimal(8,6)")))
-            .cast("double").as("revenue"))
+          .agg(graft.analytics.ExactSum.dsumRevenue(col("l_extendedprice"),
+            col("l_discount")).as("revenue")) // ≡ decimal twin, r21
           .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -32,15 +32,203 @@ import org.apache.spark.storage.StorageLevel
   */
 object Quantiles {
 
+  /** Conf: per-column bucket count of the exact-histogram bracket pass
+    * of [[globalQuantiles]] (pass B). More buckets ⇒ narrower candidate
+    * bands in pass C at the cost of a bigger (but still tiny —
+    * buckets × columns rows) histogram collect. */
+  val SelectBucketsConf = "spark.graft.quantiles.selectBuckets"
+
+  /** Driver cap on collected (value, count) band rows in
+    * [[globalQuantiles]] before it falls back to the range-partition
+    * selection. ~32 B/row ⇒ the default 4M rows ≈ 130 MB worst case. */
+  val MaxBandRowsConf = "spark.graft.quantiles.maxBandRows"
+
   /** Exact quantiles of several numeric columns at several fractions, fully
     * distributed. Returns (colName, p) -> value; columns with zero non-null
     * rows are absent from the map.
     *
+    * BRACKET-AND-SELECT (r21): three map-side-combined, fully-codegen
+    * aggregate scans and NO wide shuffle — vs the previous
+    * range-partition selection's sample job + full shuffle of every
+    * value + persist + histogram + window lookup (still available as
+    * [[globalQuantilesBySort]], the fallback; measured 2.6 s → ~1.1 s
+    * on a2_a5 at sf0.1). Everything here is EXACT counting — there is
+    * no sketch and no approximation anywhere:
+    *
+    *  - pass A: per column — non-null count, NaN count, min, max
+    *    (one wide codegen aggregate; [[quantilesWithExtras]] lets
+    *    Summary.columnStats fuse its own min/max/mean into this scan);
+    *  - pass B: per column, EXACT counts over a fixed-width value
+    *    histogram between min and max ([[SelectBucketsConf]] buckets);
+    *    the cumulative counts locate, for every needed 0-based rank,
+    *    the ONE bucket containing it;
+    *  - pass C: distinct (value, count) pairs of just those buckets —
+    *    the bucket-index expression is literally the same as pass B's,
+    *    so the counts agree row-for-row; the exact k-th element is
+    *    then driver-side rank arithmetic (bucket's cumulative offset +
+    *    cumulative in-bucket counts).
+    *
+    * Fallback to the sort-based selection (identical results, the old
+    * cost) when: NaNs are present (their sort position is not a value
+    * comparison), a min/max is infinite or the bucket width
+    * under/overflows (degenerate value range), or the selected buckets'
+    * distinct values overflow [[MaxBandRowsConf]] (adversarial skew —
+    * a near-constant column with its mass inside one bucket). */
+  def globalQuantiles(df: DataFrame, cols: Seq[String],
+                      ps: Seq[Double]): Map[(String, Double), Double] = {
+    require(cols.nonEmpty && ps.nonEmpty, "need at least one column and p")
+    val a = passAAggs(cols)
+    val rA = df.agg(a.head, a.tail: _*).head()
+    selectFromPassA(df, cols, ps, rA)
+  }
+
+  /** Pass-A aggregate columns of [[globalQuantiles]] — exposed so
+    * [[quantilesWithExtras]] can fuse a caller's aggregates into the
+    * same scan. */
+  private def passAAggs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      val v = col(s"`$c`").cast("double")
+      Seq(count(v).as(s"${c}__n"),
+        count(when(isnan(v), 1)).as(s"${c}__nan"),
+        min(v).as(s"${c}__mn"), max(v).as(s"${c}__mx"))
+    }
+
+  /** Passes B/C of [[globalQuantiles]], driven by the pass-A row. */
+  private def selectFromPassA(df: DataFrame, cols: Seq[String],
+                              ps: Seq[Double], rA: org.apache.spark.sql.Row)
+  : Map[(String, Double), Double] = {
+    val conf = df.sparkSession.conf
+    val nBuckets = conf.get(SelectBucketsConf, "8192").toInt
+    val maxBand = conf.get(MaxBandRowsConf, (1 << 22).toString).toLong
+    val counts: Map[String, Long] =
+      cols.map(c => c -> rA.getAs[Long](s"${c}__n")).toMap
+    if (cols.exists(c => rA.getAs[Long](s"${c}__nan") > 0L))
+      return globalQuantilesBySort(df, cols, ps)
+    val live = cols.filter(c => counts(c) > 0)
+    if (live.isEmpty) return Map.empty
+    val mn = live.map(c => c -> rA.getAs[Double](s"${c}__mn")).toMap
+    val mx = live.map(c => c -> rA.getAs[Double](s"${c}__mx")).toMap
+    // 0-based global indices needed per column: floor/ceil of each p
+    val needed: Map[String, Seq[Long]] = live.map { c =>
+      val n = counts(c)
+      c -> ps.flatMap { p =>
+        val lo = math.floor((n - 1) * p).toLong
+        Seq(lo, math.min(lo + 1, n - 1))
+      }.distinct.sorted
+    }.toMap
+    val valueAt = scala.collection.mutable.Map.empty[(String, Long), Double]
+    // constant columns resolve from pass A alone
+    val multi = live.filter { c =>
+      if (mn(c) == mx(c)) {
+        needed(c).foreach(gi => valueAt((c, gi)) = mn(c)); false
+      } else true
+    }
+    if (multi.nonEmpty) {
+      if (multi.exists(c => mn(c).isInfinite || mx(c).isInfinite))
+        return globalQuantilesBySort(df, cols, ps)
+      val width: Map[String, Double] =
+        multi.map(c => c -> ((mx(c) - mn(c)) / nBuckets)).toMap
+      if (width.values.exists(w =>
+          w <= 0.0 || w.isInfinite || w.isNaN)) // under/overflowed range
+        return globalQuantilesBySort(df, cols, ps)
+      def perColD(m: Map[String, Double]): Column =
+        multi.tail.foldLeft(lit(m(multi.head))) { (acc, c) =>
+          when(col("__name") === c, lit(m(c))).otherwise(acc)
+        }
+      val stackExpr = s"stack(${multi.length}, " +
+        multi.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ") +
+        ") AS (__name, __v)"
+      // THE bucket-index expression — built once, used verbatim in both
+      // pass B and pass C so their row sets can never disagree
+      val bIdx = least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+        floor((col("__v") - perColD(mn)) / perColD(width))))
+      def melted = df.selectExpr(stackExpr).where(col("__v").isNotNull)
+        .withColumn("__b", bIdx)
+      // pass B: exact per-bucket counts (≤ buckets × columns rows)
+      val hist: Map[String, Array[Long]] = {
+        val h = multi.map(c => c -> Array.fill(nBuckets)(0L)).toMap
+        melted.groupBy("__name", "__b").agg(count(lit(1)).as("__c"))
+          .collect().foreach { r =>
+            h(r.getString(0))(r.getLong(1).toInt) = r.getLong(2)
+          }
+        h
+      }
+      // crossing bucket + its cumulative offset for every needed rank:
+      // the FIRST b with cum(b) ≤ gi < cum(b+1) (a binary search over
+      // cum would land on an arbitrary member of an equal run — empty
+      // buckets make cum non-strictly increasing)
+      val crossing: Map[String, Map[Long, (Int, Long)]] = multi.map { c =>
+        val cum = hist(c).scanLeft(0L)(_ + _) // cum(i) = rows in buckets < i
+        c -> needed(c).map { gi =>
+          var b = 0
+          while (cum(b + 1) <= gi) b += 1
+          gi -> (b, cum(b)) // gi ∈ [cum(b), cum(b+1))
+        }.toMap
+      }.toMap
+      val wantedBuckets: Map[String, Set[Long]] =
+        crossing.map { case (c, m) => c -> m.values.map(_._1.toLong).toSet }
+      // pass C: distinct values + counts of just the crossing buckets
+      val inWanted = multi.tail.foldLeft(
+        col("__name") === multi.head &&
+          col("__b").isin(wantedBuckets(multi.head).toSeq: _*)) { (acc, c) =>
+        (col("__name") === c &&
+          col("__b").isin(wantedBuckets(c).toSeq: _*)) || acc
+      }
+      val rows = melted.where(inWanted)
+        .groupBy("__name", "__b", "__v").agg(count(lit(1)).as("__c"))
+        .limit(math.min(maxBand + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (rows.length > maxBand) // adversarial skew: band too wide
+        return globalQuantilesBySort(df, cols, ps)
+      val byCol = rows.groupBy(_.getString(0))
+      for (c <- multi) {
+        val byBucket = byCol.getOrElse(c, Array.empty).groupBy(_.getLong(1))
+        for ((gi, (b, off)) <- crossing(c)) {
+          var cum = off
+          val vs = byBucket.getOrElse(b.toLong, Array.empty)
+            .map(r => (r.getDouble(2), r.getLong(3))).sortBy(_._1)
+          val it = vs.iterator
+          var found = false
+          while (!found && it.hasNext) {
+            val (v, k) = it.next()
+            if (gi < cum + k) { valueAt((c, gi)) = v; found = true }
+            cum += k
+          }
+          if (!found) // cannot happen (exact counts); belt-and-braces
+            return globalQuantilesBySort(df, cols, ps)
+        }
+      }
+    }
+    (for {
+      c <- live
+      p <- ps
+    } yield {
+      val n = counts(c)
+      val pos = (n - 1) * p
+      val lo = math.floor(pos).toLong
+      val frac = pos - lo
+      val vlo = valueAt((c, lo))
+      val q =
+        if (frac == 0.0) vlo
+        else {
+          val vhi = valueAt((c, math.min(lo + 1, n - 1)))
+          (1.0 - frac) * vlo + frac * vhi // Percentile.getPercentile form
+        }
+      (c, p) -> q
+    }).toMap
+  }
+
+  /** The pre-r21 exact path — range partition + local sort + histogram +
+    * targeted k-th lookup. Memory is bounded by partition size at ANY
+    * band width, so [[globalQuantiles]] falls back here when its
+    * bracket band is unusable (NaNs, overflow, violated sketch bound).
+    *
     * One wide shuffle (range partition of the melted single-value rows) +
     * one small aggregate (per-partition histogram, ≤ partitions×cols rows
     * to the driver) + one filtered lookup of ≤ 2·|cols|·|ps| rows. */
-  def globalQuantiles(df: DataFrame, cols: Seq[String],
-                      ps: Seq[Double]): Map[(String, Double), Double] = {
+  private[analytics] def globalQuantilesBySort(
+      df: DataFrame, cols: Seq[String],
+      ps: Seq[Double]): Map[(String, Double), Double] = {
     require(cols.nonEmpty && ps.nonEmpty, "need at least one column and p")
     val spark = df.sparkSession
     // melt to (__name, __v): one scan of just the requested columns; the
@@ -275,7 +463,11 @@ object Quantiles {
     if (plan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel))
       return None
     val stats = plan.stats
-    val rows = stats.rowCount.map(_.toLong).getOrElse(
+    // clamp the CBO BigInt BEFORE narrowing: a rowCount above
+    // Long.MaxValue would wrap negative and silently disable the
+    // switch exactly on the hugest inputs
+    val rows = stats.rowCount
+      .map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse(
       (stats.sizeInBytes / math.max(1, 8L * cols.length))
         .min(Long.MaxValue).toLong)
     Some(math.min(Long.MaxValue / math.max(1, cols.length), rows) *
@@ -283,8 +475,26 @@ object Quantiles {
   }
 
   def quantiles(df: DataFrame, cols: Seq[String],
-                ps: Seq[Double]): Map[(String, Double), Double] = {
+                ps: Seq[Double]): Map[(String, Double), Double] =
+    quantilesWithExtras(df, cols, ps, Nil)._1
+
+  /** [[quantiles]] with caller-supplied aggregate columns FUSED into
+    * the exact path's pass-A scan (one aggregate job instead of two —
+    * what Summary.columnStats uses for its min/max/mean row). Backends
+    * that have no pass A (gk / sketch / gk-auto) compute the extras as
+    * their own aggregate — same cost as the caller doing it. Returns
+    * (quantiles map, extras row); the row also carries pass A's
+    * `__n/__nan/__mn/__mx` fields on the exact path (callers read by
+    * alias, so extra fields are inert), and is `Row.empty` when
+    * `extras` is empty off the exact path. */
+  def quantilesWithExtras(df: DataFrame, cols: Seq[String],
+                          ps: Seq[Double], extras: Seq[Column])
+  : (Map[(String, Double), Double], org.apache.spark.sql.Row) = {
+    require(cols.nonEmpty && ps.nonEmpty, "need at least one column and p")
     val conf = df.sparkSession.conf
+    def extrasRow(): org.apache.spark.sql.Row =
+      if (extras.isEmpty) org.apache.spark.sql.Row.empty
+      else df.agg(extras.head, extras.tail: _*).head()
     approxMode(conf) match {
       case "sketch" =>
         val keyConf = conf.get("spark.graft.quantiles.sketchKey", "")
@@ -295,19 +505,28 @@ object Quantiles {
             "itself (a non-unique fallback would silently bias the " +
             "sample)")
         dispatched("sketch")
-        globalQuantilesSketch(df,
+        (globalQuantilesSketch(df,
           keyConf.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           cols, ps,
-          conf.get("spark.graft.quantiles.sketchK", "8192").toInt)
+          conf.get("spark.graft.quantiles.sketchK", "8192").toInt),
+          extrasRow())
       case "gk" =>
         dispatched("gk")
-        globalQuantilesApprox(df, cols, ps,
-          conf.get("spark.graft.quantiles.accuracy", "10000").toInt)
+        (globalQuantilesApprox(df, cols, ps,
+          conf.get("spark.graft.quantiles.accuracy", "10000").toInt),
+          extrasRow())
       case _ =>
+        // an EXPLICITLY-set approx=false is a caller pinning exactness
+        // (a different knob than autoGkThreshold=0, but the same
+        // intent) — the auto-switch must not override it; only the
+        // unset default is auto-switch-eligible
+        val exactPinned = conf.getOption("spark.graft.quantiles.approx")
+          .exists(_.equalsIgnoreCase("false"))
         val thr = conf.get(AutoGkThresholdConf,
           DefaultAutoGkThreshold.toString).toLong
         val est =
-          if (thr > 0) estimatedValueCount(df, cols) else None
+          if (thr > 0 && !exactPinned) estimatedValueCount(df, cols)
+          else None
         if (est.exists(_ > thr)) {
           val accuracy =
             conf.get("spark.graft.quantiles.accuracy", "10000").toInt
@@ -318,10 +537,12 @@ object Quantiles {
             s"(Greenwald-Khanna, rank error ≤ n/$accuracy). Set " +
             s"$AutoGkThresholdConf=0 to force exact at any size.")
           dispatched("gk-auto")
-          globalQuantilesApprox(df, cols, ps, accuracy)
+          (globalQuantilesApprox(df, cols, ps, accuracy), extrasRow())
         } else {
           dispatched("exact")
-          globalQuantiles(df, cols, ps)
+          val aggs = extras ++ passAAggs(cols)
+          val rA = df.agg(aggs.head, aggs.tail: _*).head()
+          (selectFromPassA(df, cols, ps, rA), rA)
         }
     }
   }

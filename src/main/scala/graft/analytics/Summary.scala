@@ -21,7 +21,9 @@ object Summary {
     * SQL oracle bit-for-bit, unlike avg() over doubles whose partial-sum
     * order is engine- and run-dependent. */
   private def exactMean(c: String): Column =
-    sum(col(c).cast("decimal(24,6)")).cast("double") / count(col(c))
+    // r21: ExactSum.dsum ≡ sum(cast(c as decimal(24,6))).cast(double)
+    // (ExactSumSpec) without the per-row BigDecimal tax
+    ExactSum.dsum(col(c)) / count(col(c))
 
   /** A2–A5: one row per input column with min/max/mean/median.
     * Emitted long-form (stat matrix), mirroring the notebook's compare table
@@ -46,8 +48,11 @@ object Summary {
         max(col(c)).cast("double").as(s"${c}__max"),
         exactMean(c).as(s"${c}__mean"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*).head()
-    val medians = Quantiles.quantiles(df, cols, Seq(0.5))
+    // min/max/mean FUSE into the exact-quantile pass-A scan (one
+    // aggregate job instead of two; r21); non-exact backends compute
+    // the same aggs as their own job — the pre-r21 cost
+    val (medians, wide) =
+      Quantiles.quantilesWithExtras(df, cols, Seq(0.5), aggs)
     // driver-side round(x, 4), same semantics as Spark's round (shortest-
     // repr BigDecimal, HALF_UP) — keeps parity with the DuckDB oracle's
     // round(quantile_cont(...), 4) exactly as the old percentile path did

@@ -17,6 +17,35 @@ class SummarySpec extends SparkSpec {
     r.getAs[Double]("median_v") shouldBe 2.5 // interpolated
   }
 
+  test("bracket-and-select exact quantiles ≡ sort-based selection " +
+    "(r21 rewrite): identical on real data, heavy ties, and a " +
+    "sub-accuracy frame; NaN and a 1-row band cap route to the " +
+    "sort fallback with identical results") {
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    // real data: two lineitem columns at sf0.001
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    Quantiles.globalQuantiles(li, cols, ps) shouldBe
+      Quantiles.globalQuantilesBySort(li, cols, ps)
+    // heavy ties at the median: 90% of values equal — the band
+    // collapses duplicates, ranks stay exact
+    val ties = (Seq.fill(900)(5.0) ++ (1 to 100).map(_.toDouble))
+      .toDF("x")
+    Quantiles.globalQuantiles(ties, Seq("x"), ps) shouldBe
+      Quantiles.globalQuantilesBySort(ties, Seq("x"), ps)
+    // a NaN forces the fallback (GK's NaN ordering ≠ sort order), and
+    // the result still matches the sort path run on the same frame
+    val withNan = (Seq(Double.NaN) ++ (1 to 99).map(_.toDouble)).toDF("x")
+    Quantiles.globalQuantiles(withNan, Seq("x"), Seq(0.5)) shouldBe
+      Quantiles.globalQuantilesBySort(withNan, Seq("x"), Seq(0.5))
+    // band-cap overflow forces the fallback: cap of 1 row cannot hold
+    // any band, results must still be exact
+    spark.conf.set(Quantiles.MaxBandRowsConf, "1")
+    try Quantiles.globalQuantiles(ties, Seq("x"), ps) shouldBe
+      Quantiles.globalQuantilesBySort(ties, Seq("x"), ps)
+    finally spark.conf.unset(Quantiles.MaxBandRowsConf)
+  }
+
   test("boxplot stats: quartiles of 1..5 per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0))
       .toDF("g", "v")
