@@ -738,10 +738,16 @@ object Queries {
 
     // ---- §2.8 enrichment: caption stats (scalar block) --------------
     QueryDef("e1_caption_stats",
+      // r21: SORT FIRST, enrich after — orderBy's range-partitioner
+      // sampling pass executes the sort's whole child plan, so with the
+      // sort on top the 22-stat projection ran TWICE (measured 2×0.8 s
+      // jobs at sf0.1); projections preserve ordering, so enriching
+      // above the sort computes the stats once and samples only the
+      // narrow (doc_id, text) scan. Same rows, same total order.
       (s, dir) => CaptionStats.enrich(
-        t(s, dir, "documents").select("doc_id", "text"), "text")
-        .drop("text", "ne_texts", "ne_types")
-        .orderBy("doc_id"),
+        t(s, dir, "documents").select("doc_id", "text")
+          .orderBy("doc_id"), "text")
+        .drop("text", "ne_texts", "ne_types"),
       Some(s"""WITH base AS (
           SELECT doc_id, ${toksSql("text")} AS toks,
             ${sentsSql("text")} AS sents
@@ -817,14 +823,15 @@ object Queries {
         // NE array materialized ONCE (multi-use non-cheap alias survives
         // CollapseProject) — inlining neTexts into all three outputs would
         // re-run the tokenize+filter HOF tree per column (no CSE in lambdas)
-        t(s, dir, "documents")
+        // r21 sort-first (see e1): the orderBy sampling pass would run
+        // the NE projection twice; map-only projections preserve order
+        t(s, dir, "documents").orderBy("doc_id")
           .withColumn("__ne", CaptionStats.neTexts(cap))
           .select(col("doc_id"),
             array_join(col("__ne"), "|").as("ne_texts"),
             array_join(CaptionStats.neTypesFrom(col("__ne")), "|")
               .as("ne_types"),
             size(col("__ne")).as("num_ne"))
-          .orderBy("doc_id")
       },
       Some {
         val cap = "upper(substr(text, 1, 1)) || substr(text, 2, 1000000)"
@@ -843,9 +850,8 @@ object Queries {
 
     // ---- T1: language ID --------------------------------------------
     QueryDef("t1_langid",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
-        .orderBy("doc_id"),
+      (s, dir) => t(s, dir, "documents").orderBy("doc_id") // r21 sort-first
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang")),
       Some {
         val toks = toksSql("lower(text)")
         def hits(lang: String) =
@@ -866,10 +872,9 @@ object Queries {
 
     // ---- T2: quality score ------------------------------------------
     QueryDef("t2_quality_score",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => t(s, dir, "documents").orderBy("doc_id") // r21 sort-first
         .select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
       Some {
         val toks = toksSql("lower(text)")
         val allStops = sqlList(
@@ -899,11 +904,10 @@ object Queries {
 
     // ---- T3: token counting (whitespace + BPE-ish) ------------------
     QueryDef("t3_token_counts",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => t(s, dir, "documents").orderBy("doc_id") // r21 sort-first
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
-        .orderBy("doc_id"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords")),
       Some(raw"""SELECT doc_id,
           CAST(len(${toksSql("text")}) AS INTEGER) AS n_tokens,
           CAST(len(regexp_extract_all(lower(text),
@@ -912,10 +916,9 @@ object Queries {
 
     // ---- T4: document fingerprint -----------------------------------
     QueryDef("t4_fingerprint",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => t(s, dir, "documents").orderBy("doc_id") // r21 sort-first
         .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint")),
       Some(raw"""SELECT doc_id,
           md5(regexp_replace(trim(lower(nfc_normalize(text))),
             '\s+', ' ', 'g')) AS fingerprint
@@ -926,15 +929,14 @@ object Queries {
     // shaped spans — the standard pre-training scrub, as codegen'd
     // replaces (map-only at scale).
     QueryDef("t6_redact",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => t(s, dir, "documents").orderBy("doc_id") // r21 sort-first
         .select(col("doc_id"),
           regexp_replace(
             regexp_replace(
               regexp_replace(col("text"),
                 "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
               "https?://[^\\s]+", "<URL>"),
-            "[0-9]{6,}", "<NUM>").as("clean_text"))
-        .orderBy("doc_id"),
+            "[0-9]{6,}", "<NUM>").as("clean_text")),
       Some(raw"""SELECT doc_id,
           regexp_replace(regexp_replace(regexp_replace(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
@@ -947,10 +949,9 @@ object Queries {
     // word n-grams): exact int arithmetic, engine-portable, map-only.
     QueryDef("t7_repetition",
       (s, dir) => graft.text.TextAnalysis.repetitionSignals(
-        t(s, dir, "documents"), "text")
+        t(s, dir, "documents").orderBy("doc_id"), "text") // r21 sort-first
         .select("doc_id", "n_sent", "dup_sent_frac", "dup_2gram_frac",
-          "dup_3gram_frac")
-        .orderBy("doc_id"),
+          "dup_3gram_frac"),
       Some {
         val two = """list_distinct(CASE WHEN len(toks) < 2 THEN []
           ELSE list_transform(range(1, len(toks)),
@@ -1042,10 +1043,10 @@ object Queries {
     // set (terminal punctuation, markers, multi-line rebuild) is
     // spec-pinned on constructed fixtures (TextAnalysisSpec).
     QueryDef("t12_c4_line_filters",
-      (s, dir) => TextAnalysis.c4LineFilters(t(s, dir, "documents"),
+      (s, dir) => TextAnalysis.c4LineFilters(
+        t(s, dir, "documents").orderBy("doc_id"), // r21 sort-first
         "doc_id", "text", minWordsPerLine = 55,
-        requireTerminalPunct = false)
-        .orderBy("doc_id"),
+        requireTerminalPunct = false),
       Some(raw"""WITH lf AS (
           SELECT doc_id, list_filter(string_split(text, chr(10)),
             l -> len(list_filter(string_split_regex(l, '\s+'),
@@ -1092,11 +1093,11 @@ object Queries {
     // production defaults (50/2) are the paper's.
     QueryDef("t14_gopher_quality",
       (s, dir) => TextAnalysis.gopherQualitySignals(
-        t(s, dir, "documents"), "doc_id", "text")
+        t(s, dir, "documents").orderBy("doc_id"), // r21 sort-first
+        "doc_id", "text")
         .withColumn("keep",
           TextAnalysis.gopherKeep(minWords = 20L, minStopHits = 1L)
-            .cast("long"))
-        .orderBy("doc_id"),
+            .cast("long")),
       Some {
         val stops = sqlList(TextAnalysis.gopherStopwords)
         raw"""WITH m AS (
@@ -1146,8 +1147,8 @@ object Queries {
     // stays as the spec-pinned parity witness.
     QueryDef("t15_gopher_repetition",
       (s, dir) => TextAnalysis.gopherRepetitionStats(
-        t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
+        t(s, dir, "documents").orderBy("doc_id"), // r21 sort-first
+        "doc_id", "text"),
       Some {
         val dupSents = "list_filter(sents, s -> " +
           "len(list_filter(sents, x -> x = s)) > 1)"
@@ -1483,6 +1484,9 @@ object Queries {
     // identically-parenthesized IEEE expression in both engines.
     QueryDef("m18_kmv_overlap",
       (s, dir) => {
+        // (r21: a spread() before the shingle explode was A/B-measured
+        // SLOWER — 1.86→2.05 s — and reverted; the KMV bottom-k agg
+        // isn't map-compute-bound here)
         val items = t(s, dir, "documents").select(col("source"),
           explode(Dedup.shingles(col("text"), 5)).as("sh"))
         // The sketch IS the compressed artifact (k rows per source) —
@@ -1656,14 +1660,20 @@ object Queries {
           buildQ6Stores(s, dir)
         // stage boundary truncates lineage (the q4 discipline): the
         // dedup internals reference their input repeatedly, which
-        // would re-run the gopher gram shuffle per reference
-        // tokenize once after the map-only Gopher gate (the q4
-        // discipline): the array rides both checkpoints, LSH shingles
-        // and store-surprisal consume it via tokensCol
-        val clean = TextAnalysis.gopherFilter(shard, "doc_id", "text",
-          minWords = 20L, minStopHits = 1L)
+        // would re-run the gopher gram shuffle per reference.
+        // r21: the Gopher keep verdict is evaluated as a PROJECTION
+        // above a spread, not a bare filter — filter pushdown would
+        // sink the expensive natives below the repartition onto the
+        // single-partition scan (measured: one 1.8 s one-core job at
+        // sf0.1); as a projected column it materializes 32-way in the
+        // same checkpoint that tokenizes (the filter on the flag then
+        // reads checkpointed booleans). Same rows, same columns.
+        val flagged = graft.util.Partitioning.spread(shard)
+          .withColumn("__keep", TextAnalysis.gopherKeepColumn(
+            col("text"), minWords = 20L, minStopHits = 1L))
           .withColumn("__toks", CaptionStats.tokens(col("text")))
           .localCheckpoint()
+        val clean = flagged.filter(col("__keep")).drop("__keep")
         val unique = Dedup.dedupShardAgainst(clean, "doc_id", "text",
           "graft_q6sig", threshold = 0.5, tokensCol = Some("__toks"))
           .localCheckpoint()
@@ -2174,9 +2184,8 @@ object Queries {
 
     // ---- D5: SimHash-16 ---------------------------------------------
     QueryDef("d5_simhash",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
-        .orderBy("doc_id"),
+      (s, dir) => t(s, dir, "documents").orderBy("doc_id") // r21 sort-first
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash")),
       Some {
         val dtoks = s"list_distinct(${toksSql("lower(text)")})"
         val bits = (0 until 16).map { i =>
@@ -2998,11 +3007,12 @@ object Queries {
     QueryDef("m2_kmeans_assign",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Clustering.assign(e, "vec_id", "embedding",
+        // r21 sort-first on the vecs side only (the centroid collect
+        // must not pay the sort)
+        Clustering.assign(e.orderBy("vec_id"), "vec_id", "embedding",
           e.filter(col("vec_id") < 8)
             .select(col("vec_id").as("cid"), col("embedding").as("ce")),
           "cid", "ce")
-          .orderBy("vec_id")
       },
       Some(s"""WITH c AS (
           SELECT vec_id AS cid, embedding AS ce
@@ -3337,12 +3347,11 @@ object Queries {
     // doubles (t2/t7 both hash-match), so the kept row SET matches.
     QueryDef("f6_quality_filter",
       (s, dir) => TextAnalysis.repetitionSignals(
-        t(s, dir, "documents"), "text")
+        t(s, dir, "documents").orderBy("doc_id"), "text") // r21 sort-first
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 1.0 &&
           col("dup_2gram_frac") <= 0.04 && col("dup_sent_frac") <= 0.5)
-        .select("doc_id", "quality", "dup_sent_frac", "dup_2gram_frac")
-        .orderBy("doc_id"),
+        .select("doc_id", "quality", "dup_sent_frac", "dup_2gram_frac"),
       Some {
         val toks = toksSql("lower(text)")
         val allStops = sqlList(
@@ -5900,10 +5909,9 @@ object Queries {
           lit(" &amp;lt; tail &#39;q&#39;&nbsp;end</p>"),
           lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
           lit("<!-- hidden --><style>p { color: red }</style></div>"))
-        t(s, dir, "documents")
+        t(s, dir, "documents").orderBy("doc_id") // r21 sort-first
           .select(col("doc_id"),
             graft.functions.TextFunctions.stripHtml(html).as("clean"))
-          .orderBy("doc_id")
       },
       Some(raw"""WITH h AS (
           SELECT doc_id,

@@ -48,7 +48,11 @@ object Dsir {
     * and are dropped from scoring (documented contract). */
   def features(df: DataFrame, idCol: String, textCol: String,
                buckets: Int): DataFrame = {
-    val base = df.filter(col(textCol).rlike("\\S"))
+    // spread (r21): the md5-per-bigram map stage otherwise runs on a
+    // single-partition small-file scan; the downstream aggregate keys
+    // are doc-scoped, so repartitioning multiplies no partials
+    val base = graft.util.Partitioning.spread(df)
+      .filter(col(textCol).rlike("\\S"))
       .select(col(idCol),
         CaptionStats.tokens(lower(col(textCol))).as("__toks"))
       .filter(size(col("__toks")) >= 2)

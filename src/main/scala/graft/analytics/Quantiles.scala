@@ -218,6 +218,151 @@ object Quantiles {
     }).toMap
   }
 
+  /** Exact PER-GROUP quantiles via the same bracket-and-select as
+    * [[globalQuantiles]] (r21) — for a BOUNDED group count, this
+    * replaces the per-group Window sort (one reducer per group: a
+    * 3-group boxplot over a 600k-row column sorted on 3 tasks) with
+    * three map-side-combined codegen aggregates keyed by group.
+    * `extras` fuse into pass A exactly as in [[quantilesWithExtras]].
+    *
+    * Returns one (passA row, p → exact value) pair per group with ≥ 1
+    * non-null value (groups of only nulls are absent — the Window
+    * form's na.drop semantics), or None when the shape is unusable and
+    * the caller should run its Window/sort form instead: more than
+    * `maxGroups` groups (the when-chain literals and the histogram
+    * collect are sized by it), NaNs present, infinite/degenerate
+    * ranges, or a band over [[MaxBandRowsConf]]. */
+  private[analytics] def groupedQuantilesWithExtras(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      ps: Seq[Double], extras: Seq[Column], maxGroups: Int = 64)
+  : Option[Seq[(org.apache.spark.sql.Row, Map[Double, Double])]] = {
+    require(groupCols.nonEmpty && ps.nonEmpty, "need groups and ps")
+    val conf = df.sparkSession.conf
+    val nBuckets = conf.get(SelectBucketsConf, "8192").toInt
+    val maxBand = conf.get(MaxBandRowsConf, (1 << 22).toString).toLong
+    val v = col(s"`$valueCol`").cast("double")
+    val aggsA = extras ++ Seq(count(v).as("__qn"),
+      count(when(isnan(v), 1)).as("__qnan"),
+      min(v).as("__qmn"), max(v).as("__qmx"))
+    val rowsA = df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(aggsA.head, aggsA.tail: _*)
+      .limit(maxGroups + 1).collect()
+    if (rowsA.length > maxGroups) return None
+    if (rowsA.exists(_.getAs[Long]("__qnan") > 0L)) return None
+    // the Window form's na.drop: all-null groups are absent
+    val live = rowsA.filter(_.getAs[Long]("__qn") > 0L).toSeq
+    if (live.isEmpty) return Some(Seq.empty)
+    def key(r: org.apache.spark.sql.Row): Seq[Any] =
+      groupCols.indices.map(r.get)
+    val n: Map[Seq[Any], Long] =
+      live.map(r => key(r) -> r.getAs[Long]("__qn")).toMap
+    val mn: Map[Seq[Any], Double] =
+      live.map(r => key(r) -> r.getAs[Double]("__qmn")).toMap
+    val mx: Map[Seq[Any], Double] =
+      live.map(r => key(r) -> r.getAs[Double]("__qmx")).toMap
+    val needed: Map[Seq[Any], Seq[Long]] = live.map { r =>
+      val k = key(r); val nn = n(k)
+      k -> ps.flatMap { p =>
+        val lo = math.floor((nn - 1) * p).toLong
+        Seq(lo, math.min(lo + 1, nn - 1))
+      }.distinct.sorted
+    }.toMap
+    val valueAt =
+      scala.collection.mutable.Map.empty[(Seq[Any], Long), Double]
+    val multi = live.map(key).filter { k =>
+      if (mn(k) == mx(k)) {
+        needed(k).foreach(gi => valueAt((k, gi)) = mn(k)); false
+      } else true
+    }
+    if (multi.nonEmpty) {
+      if (multi.exists(k => mn(k).isInfinite || mx(k).isInfinite))
+        return None
+      val width: Map[Seq[Any], Double] =
+        multi.map(k => k -> ((mx(k) - mn(k)) / nBuckets)).toMap
+      if (width.values.exists(w => w <= 0.0 || w.isInfinite || w.isNaN))
+        return None
+      def isGroup(k: Seq[Any]): Column =
+        groupCols.zip(k).map { case (c, kv) =>
+          col(s"`$c`") <=> lit(kv) }.reduce(_ && _)
+      def perGroupD(m: Map[Seq[Any], Double]): Column =
+        multi.tail.foldLeft(lit(m(multi.head))) { (acc, k) =>
+          when(isGroup(k), lit(m(k))).otherwise(acc)
+        }
+      val inMulti = multi.map(isGroup).reduce(_ || _)
+      val bIdx = least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+        floor((v - perGroupD(mn)) / perGroupD(width))))
+      def melted = df.where(v.isNotNull && inMulti)
+        .select(groupCols.map(c => col(s"`$c`")) :+ v.as("__v") :+
+          bIdx.as("__b"): _*)
+      // pass B: exact per-(group, bucket) counts
+      val hist: Map[Seq[Any], Array[Long]] = {
+        val h = multi.map(k => k -> Array.fill(nBuckets)(0L)).toMap
+        melted.groupBy((groupCols.map(c => col(s"`$c`")) :+
+            col("__b")): _*)
+          .agg(count(lit(1)).as("__c"))
+          .collect().foreach { r =>
+            h(groupCols.indices.map(r.get))(
+              r.getAs[Long]("__b").toInt) = r.getAs[Long]("__c")
+          }
+        h
+      }
+      val crossing: Map[Seq[Any], Map[Long, (Int, Long)]] = multi.map { k =>
+        val cum = hist(k).scanLeft(0L)(_ + _)
+        k -> needed(k).map { gi =>
+          var b = 0
+          while (cum(b + 1) <= gi) b += 1
+          gi -> (b, cum(b))
+        }.toMap
+      }.toMap
+      val wantedBuckets: Map[Seq[Any], Set[Long]] =
+        crossing.map { case (k, m) => k -> m.values.map(_._1.toLong).toSet }
+      val inWanted = multi.map { k =>
+        isGroup(k) && col("__b").isin(wantedBuckets(k).toSeq: _*)
+      }.reduce(_ || _)
+      val rows = melted.where(inWanted)
+        .groupBy((groupCols.map(c => col(s"`$c`")) :+ col("__b") :+
+          col("__v")): _*)
+        .agg(count(lit(1)).as("__c"))
+        .limit(math.min(maxBand + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (rows.length > maxBand) return None
+      val byKey = rows.groupBy(r => groupCols.indices.map(r.get): Seq[Any])
+      for (k <- multi) {
+        val gi2 = groupCols.length
+        val byBucket = byKey.getOrElse(k, Array.empty)
+          .groupBy(_.getLong(gi2))
+        for ((gi, (b, off)) <- crossing(k)) {
+          var cum = off
+          val vs = byBucket.getOrElse(b.toLong, Array.empty)
+            .map(r => (r.getDouble(gi2 + 1), r.getLong(gi2 + 2)))
+            .sortBy(_._1)
+          val it = vs.iterator
+          var found = false
+          while (!found && it.hasNext) {
+            val (vv, c) = it.next()
+            if (gi < cum + c) { valueAt((k, gi)) = vv; found = true }
+            cum += c
+          }
+          if (!found) return None // cannot happen; belt-and-braces
+        }
+      }
+    }
+    Some(live.map { r =>
+      val k = key(r); val nn = n(k)
+      r -> ps.map { p =>
+        val pos = (nn - 1) * p
+        val lo = math.floor(pos).toLong
+        val frac = pos - lo
+        val vlo = valueAt((k, lo))
+        p -> (if (frac == 0.0) vlo
+              else {
+                val vhi = valueAt((k, math.min(lo + 1, nn - 1)))
+                (1.0 - frac) * vlo + frac * vhi
+              })
+      }.toMap
+    })
+  }
+
   /** The pre-r21 exact path — range partition + local sort + histogram +
     * targeted k-th lookup. Memory is bounded by partition size at ANY
     * band width, so [[globalQuantiles]] falls back here when its

@@ -1216,15 +1216,20 @@ object Dedup {
     * whitespace. */
   private def origAndNormToks(df: DataFrame, idCol: String,
                               textCol: String, nfc: Boolean,
-                              tokensCol: Option[String]): DataFrame =
+                              tokensCol: Option[String]): DataFrame = {
+    // spread: the NFC+tokenize (and every downstream seed-window md5)
+    // is per-row expensive; a small-file scan otherwise runs the whole
+    // map stage on ONE partition (r21; no-op for wide inputs)
+    val src = graft.util.Partitioning.spread(df)
     tokensCol match {
-      case Some(tc) => df.select(col(idCol),
+      case Some(tc) => src.select(col(idCol),
         col(tc).as("__ot"),
         transform(col(tc), t => lower(nfcKey(t, nfc))).as("__nt"))
-      case None => df.select(col(idCol),
+      case None => src.select(col(idCol),
         CaptionStats.tokens(col(textCol)).as("__ot"),
         CaptionStats.tokens(lower(nfcKey(col(textCol), nfc))).as("__nt"))
     }
+  }
 
   /** (id, `__p` 1-based start, `__h` md5 of the space-joined n-token
     * window of `__nt`) — THE window/seed occurrence frame, one

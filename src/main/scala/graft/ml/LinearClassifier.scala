@@ -53,7 +53,10 @@ object LinearClassifier {
     * Returns the 17 learned weights. */
   def trainPerceptron(df: DataFrame, textCol: String, labelCol: String,
                       rounds: Int): Seq[Long] = {
-    val feat = df.select(col(labelCol).cast("long").as("__y"),
+    // spread: the md5-per-token feature pass is per-row expensive and a
+    // small-file scan otherwise runs it on ONE partition (r21)
+    val feat = graft.util.Partitioning.spread(df)
+      .select(col(labelCol).cast("long").as("__y"),
         hashedFeatures(col(textCol)).as("__x"))
       .persist()
     try {
@@ -90,7 +93,9 @@ object LinearClassifier {
     * q4 stage-boundary pattern). */
   def classify(df: DataFrame, idCol: String, textCol: String,
                labelCol: String, rounds: Int): DataFrame = {
-    val feat = df.select(col(idCol),
+    // spread before the checkpoint: see trainPerceptron (r21)
+    val feat = graft.util.Partitioning.spread(df)
+      .select(col(idCol),
         col(labelCol).cast("long").as("__y"),
         hashedFeatures(col(textCol)).as("__x"))
       .localCheckpoint()

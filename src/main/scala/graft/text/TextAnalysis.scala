@@ -315,11 +315,16 @@ object TextAnalysis {
                        tokensCol: Option[String] = None): DataFrame = {
     // tokensCol = tokenize-once threading (Dedup.shingleTable contract:
     // caller-supplied tokens(text)); per-token lower ≡ tokenizing
-    // lower(text) because lowercasing never creates/removes whitespace
+    // lower(text) because lowercasing never creates/removes whitespace.
+    // (r21 note: a spread() here was tried and REVERTED — the explode
+    // feeds a vocabulary-collapsing partial aggregate, so repartition
+    // multiplies the map-side partials by the partition count and the
+    // extra exchange costs more than the parallel tokenize saves.)
+    val src = df
     val tk = tokensCol match {
-      case Some(tc) => df.select(col(idCol), explode(col(tc)).as("__rt"))
+      case Some(tc) => src.select(col(idCol), explode(col(tc)).as("__rt"))
         .select(col(idCol), lower(col("__rt")).as("tok"))
-      case None => df.select(col(idCol),
+      case None => src.select(col(idCol),
         explode(CaptionStats.tokens(lower(col(textCol)))).as("tok"))
     }
     val tf = tk.groupBy(col(idCol), col("tok"))
@@ -479,7 +484,12 @@ object TextAnalysis {
     * Output: (idCol, n_toks, total_bits, mean_bits). */
   def bigramSurprisal(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val base = df.filter(col(textCol).rlike("\\S"))
+    // (r21 note: base feeds three subtrees that each re-tokenize; an
+    // eager localCheckpoint was tried and REVERTED — the redundant
+    // stages run concurrently on idle cores, so the boundary only
+    // serialized them: 1.8 s -> 2.0 s at sf0.1.)
+    val base = df // (r21: spread tried and reverted — see unigramSurprisal)
+      .filter(col(textCol).rlike("\\S"))
       .select(col(idCol),
         CaptionStats.tokens(lower(col(textCol))).as("__toks"))
     val tk = base.select(col(idCol), explode(col("__toks")).as("tok"))
@@ -831,10 +841,25 @@ object TextAnalysis {
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Long = 50L, maxWords: Long = 100000L,
                    minStopHits: Long = 2L): DataFrame =
-    df.filter(gopherKeepOver(
-        gopherSignalExprs(col(textCol)).toMap,
-        minWords, maxWords, minStopHits) &&
-      gopherRepetitionKeep(col(textCol)))
+    // (r21 note: a spread() here is useless — filter pushdown sinks
+    // the predicate below any repartition, back onto the narrow scan.
+    // Callers that need the expensive predicate parallelized off a
+    // small-file scan should project [[gopherKeepColumn]] above a
+    // materialization boundary instead — see q6_shard_ingest.)
+    df.filter(gopherKeepColumn(col(textCol), minWords, maxWords,
+      minStopHits))
+
+  /** The full Gopher keep verdict (format rules + repetition rules) as
+    * ONE boolean column — [[gopherFilter]]'s predicate, exposed so a
+    * caller can evaluate it as a PROJECTION above an exchange or
+    * checkpoint (a bare filter is pushed below both, serializing the
+    * expensive natives onto a single-partition scan; r21). */
+  def gopherKeepColumn(text: Column, minWords: Long = 50L,
+                       maxWords: Long = 100000L,
+                       minStopHits: Long = 2L): Column =
+    gopherKeepOver(gopherSignalExprs(text).toMap,
+      minWords, maxWords, minStopHits) &&
+      gopherRepetitionKeep(text)
 
   /** Per-source distribution DRIFT against the whole corpus, in
     * integer-exact bits — the data-mixture QA measurement: before

@@ -46,6 +46,32 @@ class SummarySpec extends SparkSpec {
     finally spark.conf.unset(Quantiles.MaxBandRowsConf)
   }
 
+  test("grouped bracket-select boxplot ≡ the Window-rank form " +
+    "(r21 rewrite): real data, ties, null values, all-null group, " +
+    "and the fallback cap") {
+    def eq(df: org.apache.spark.sql.DataFrame, v: String,
+           gs: Seq[String]): Unit = {
+      val a = Summary.boxplotStats(df, v, gs).collect().map(_.toSeq)
+      val b = Summary.boxplotStatsBySort(df, v, gs).collect().map(_.toSeq)
+      a shouldBe b
+    }
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    eq(li, "l_extendedprice", Seq("l_returnflag"))
+    eq(li, "l_quantity", Seq("l_returnflag", "l_linestatus"))
+    // ties + null values + one all-null group (must be ABSENT)
+    val synth = (Seq.fill(50)(("a", Some(5.0))) ++
+      (1 to 20).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("b", None), ("b", Some(2.0)), ("c", None), ("c", None)))
+      .toDF("g", "v")
+    eq(synth, "v", Seq("g"))
+    Summary.boxplotStats(synth, "v", Seq("g"))
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("a", "b")
+    // >maxGroups falls back to the Window form with identical output
+    val many = (1 to 200).flatMap(g => Seq((s"g$g", 1.0), (s"g$g", 2.0)))
+      .toDF("g", "v")
+    eq(many, "v", Seq("g"))
+  }
+
   test("boxplot stats: quartiles of 1..5 per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0))
       .toDF("g", "v")
