@@ -366,7 +366,13 @@ object Dedup {
     val sh = shingleTable(df, idCol, textCol, shingleN,
       tokensCol = tokensCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = pairsFromSignatures(signaturesFrom(sh, idCol, k), idCol,
+    // r21: the signature frame persists too (k short strings per doc —
+    // smaller than the shingle cache) so the cap report below reads
+    // CACHED signatures instead of re-running MinHashRot over the
+    // whole corpus as a second pass; released before return like sh
+    val sig = signaturesFrom(sh, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsFromSignatures(sig, idCol,
       bands, rowsPer(k, bands), maxBucket)
     val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
     val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
@@ -379,11 +385,12 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.count() // materialize while the shingle cache is alive
-    // recall-loss report while the shingle cache is alive: one small
-    // aggregate job over cached shingles (map-only minhash + band count)
+    // recall-loss report over the CACHED signatures: banding + one
+    // map-combined count, no minhash recompute
     Metrics.logDrops("nearDupPairs bucket cap", Metrics.capReport(
-      bandBucketSizes(signaturesFrom(sh, idCol, k), idCol, bands,
+      bandBucketSizes(sig, idCol, bands,
         rowsPer(k, bands)), "__bn", maxBucket))
+    sig.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     verified
   }
