@@ -1989,16 +1989,34 @@ object Dedup {
       "writeSignatureStore") { _ =>
       val sh = shingleTable(df, idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lshBands(signaturesFrom(sh, idCol, k), idCol, bands,
-          rowsPer(k, bands))
-        .select(bandJoinKey.as("bk"), col(idCol))
-        .write.mode("overwrite").option("path", s"$path/bands")
-        .bucketBy(nb, "bk").sortBy("bk")
-        .format("parquet").saveAsTable(s"${tablePrefix}_bands")
-      sh.write.mode("overwrite").option("path", s"$path/shingles")
-        .bucketBy(nb, idCol).sortBy(idCol)
-        .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
-      sh.unpersist(blocking = false)
+      sh.count() // materialize the shared cache ONCE, up front: both
+      // writers below read it, and racing its first materialization
+      // from two threads would duplicate the shingle compute
+      // r21 (guide §2.6): the two table writes are independent — one
+      // reads cached shingles, one derives signatures from the same
+      // cache — so they overlap from two driver threads; each write's
+      // tail backfills the other's idle executors. Either failure
+      // propagates (Await rethrows) and the lease still covers both.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bandsW = Future {
+        lshBands(signaturesFrom(sh, idCol, k), idCol, bands,
+            rowsPer(k, bands))
+          .select(bandJoinKey.as("bk"), col(idCol))
+          .write.mode("overwrite").option("path", s"$path/bands")
+          .bucketBy(nb, "bk").sortBy("bk")
+          .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+      }
+      val shinglesW = Future {
+        sh.write.mode("overwrite").option("path", s"$path/shingles")
+          .bucketBy(nb, idCol).sortBy(idCol)
+          .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+      }
+      try {
+        Await.result(bandsW, Duration.Inf)
+        Await.result(shinglesW, Duration.Inf)
+      } finally sh.unpersist(blocking = false)
     }
   }
 
@@ -2333,13 +2351,26 @@ object Dedup {
     StoreLease.withLease(df.sparkSession,
       StoreLease.forTable(df.sparkSession, tablePrefix),
       "writeImageSignatureStore") { _ =>
-      imageBandRows(h, idCol)
-        .write.mode("overwrite").option("path", s"$path/ibands")
-        .bucketBy(nb, "bk").sortBy("bk")
-        .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
-      h.write.mode("overwrite").option("path", s"$path/ihashes")
-        .bucketBy(nb, idCol).sortBy(idCol)
-        .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+      // r21 (guide §2.6): the two independent table writes overlap
+      // from two driver threads — the writeSignatureStore pattern;
+      // the hash frame is cheap expressions over a long column, so
+      // there is no shared cache to pre-materialize here
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bandsW = Future {
+        imageBandRows(h, idCol)
+          .write.mode("overwrite").option("path", s"$path/ibands")
+          .bucketBy(nb, "bk").sortBy("bk")
+          .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
+      }
+      val hashesW = Future {
+        h.write.mode("overwrite").option("path", s"$path/ihashes")
+          .bucketBy(nb, idCol).sortBy(idCol)
+          .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
+      }
+      Await.result(bandsW, Duration.Inf)
+      Await.result(hashesW, Duration.Inf)
     }
   }
 
