@@ -119,9 +119,11 @@ object Bpe {
       .select(spaced(col(wordCol)).as("s"),
         col(countCol).cast("long").as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
     // batching is sound only for non-negative weights (see scaladoc);
-    // a count-delta histogram falls back to one pair per round
+    // a count-delta histogram falls back to one pair per round.
+    // r21: this one aggregate ALSO materializes the cache (it reads
+    // through the persist) — the former separate cur.count() job is
+    // folded away
     val minRow = cur.agg(min(col("n"))).collect().head
     val prefetch =
       if (!minRow.isNullAt(0) && minRow.getLong(0) < 0L) 1
