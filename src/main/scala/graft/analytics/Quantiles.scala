@@ -249,6 +249,20 @@ object Quantiles {
       .limit(maxGroups + 1).collect()
     if (rowsA.length > maxGroups) return None
     if (rowsA.exists(_.getAs[Long]("__qnan") > 0L)) return None
+    // group-KEY values the driver-side Seq-equality lookups below
+    // cannot key correctly: NaN (Scala NaN != NaN, while Spark's
+    // grouping treats NaN = NaN) and binary arrays (reference
+    // equality). Bail to the Window form rather than risk a
+    // driver-side key miss.
+    val badKey = rowsA.exists(r => groupCols.indices.exists { i =>
+      r.get(i) match {
+        case d: java.lang.Double => d.isNaN
+        case f: java.lang.Float => f.isNaN
+        case _: Array[_] => true
+        case _ => false
+      }
+    })
+    if (badKey) return None
     // the Window form's na.drop: all-null groups are absent
     val live = rowsA.filter(_.getAs[Long]("__qn") > 0L).toSeq
     if (live.isEmpty) return Some(Seq.empty)

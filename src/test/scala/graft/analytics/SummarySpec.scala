@@ -51,9 +51,12 @@ class SummarySpec extends SparkSpec {
     "and the fallback cap") {
     def eq(df: org.apache.spark.sql.DataFrame, v: String,
            gs: Seq[String]): Unit = {
-      val a = Summary.boxplotStats(df, v, gs).collect().map(_.toSeq)
-      val b = Summary.boxplotStatsBySort(df, v, gs).collect().map(_.toSeq)
-      a shouldBe b
+      // stringified cells: Seq equality would fail on NaN keys even
+      // when the frames agree (Scala NaN != NaN)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      rows(Summary.boxplotStats(df, v, gs)) shouldBe
+        rows(Summary.boxplotStatsBySort(df, v, gs))
     }
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     eq(li, "l_extendedprice", Seq("l_returnflag"))
@@ -70,6 +73,11 @@ class SummarySpec extends SparkSpec {
     val many = (1 to 200).flatMap(g => Seq((s"g$g", 1.0), (s"g$g", 2.0)))
       .toDF("g", "v")
     eq(many, "v", Seq("g"))
+    // NaN GROUP-KEY values fall back too (Spark groups NaN = NaN but
+    // driver-side Scala Seq equality would not), with identical output
+    val nanKey = Seq((Double.NaN, 1.0), (Double.NaN, 3.0), (2.0, 5.0))
+      .toDF("g", "v")
+    eq(nanKey, "v", Seq("g"))
   }
 
   test("boxplot stats: quartiles of 1..5 per group") {
