@@ -1,0 +1,96 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query JOB profile (guide §1): run selected queries through the
+  * same noop-sink methodology as [[Bench]] and print, per query, the
+  * number of Spark jobs and each job's wall time + description. The
+  * local-mode composition floor is ~100 ms scheduling+codegen per job
+  * (AQE runs every exchange as its own job), so for multi-stage
+  * compositions the JOB COUNT is the optimization target the sf0.1
+  * seconds obscure — this makes it a first-class, committed
+  * measurement instead of r21's throwaway listener.
+  *
+  * Env contract mirrors Bench: `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_CPUS`,
+  * plus `SPARK_GRAFT_PROFILE_ONLY` (comma-separated query-name prefixes,
+  * required — profiling is per-query work, not a suite run). Each query
+  * runs twice; the FIRST run warms codegen/readers and the SECOND is
+  * the recorded one (matching Bench's warm-suite timing). Prints one
+  * human-readable block per query plus a trailing JSON line
+  * {"metric":"jobs","queries":{name:[count,sec],...}}. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_PROFILE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(sys.error("set SPARK_GRAFT_PROFILE_ONLY=q4,q8,..."))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("lineitem", "documents", "embeddings", "orders").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.exists(n.startsWith) }
+    // the bench's untimed store prebuilds (q6/n12 steady-state contract)
+    val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+      "q6_shard_ingest" -> Queries.buildQ6Stores _,
+      "n12_ivf_cell_stats" -> Queries.buildN12Index _)
+    prebuilds.foreach { case (q, build) =>
+      if (selected.contains(q)) {
+        build(spark, sfDir)
+        spark.conf.set("spark.graft.benchPrebuiltStores", "true")
+      }
+    }
+    final case class Job(id: Int, desc: String, start: Long,
+                         var end: Long = -1L)
+    val jobs = new ConcurrentLinkedQueue[Job]()
+    val byId = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        val j = Job(e.jobId, d, e.time)
+        jobs.add(j); byId.put(e.jobId, j)
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        val j = byId.get(e.jobId)
+        if (j != null) j.end = e.time
+      }
+    })
+    val summary = scala.collection.mutable.LinkedHashMap[String, (Int, Double)]()
+    selected.foreach { case (name, fn) =>
+      // warmup
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Thread.sleep(200) // let stray listener events drain
+      jobs.clear(); byId.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val js = jobs.toArray(Array.empty[Job]).sortBy(_.id)
+      println(s"== $name: ${js.length} jobs, " +
+        f"$sec%.2f s (recorded run)")
+      js.foreach { j =>
+        val ms = if (j.end >= 0) j.end - j.start else -1L
+        println(f"   job ${j.id}%4d  $ms%6d ms  ${j.desc.take(110)}")
+      }
+      summary(name) = (js.length, sec)
+    }
+    val qjson = summary.map { case (k, (n, s)) =>
+      "\"" + k + "\":[" + n + "," + f"$s%.2f" + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"jobs","queries":$qjson}""")
+    spark.stop()
+  }
+}

@@ -4241,26 +4241,21 @@ object Queries {
       (s, dir) => {
         val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}"
         // r21 (guide §2.6): the two independent bucketed writes overlap
-        // from two driver threads (the writeSignatureStore pattern)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val liW = Future {
+        // from two driver threads (the writeSignatureStore pattern);
+        // r22: Overlap.both settles both before proceeding
+        graft.util.Overlap.both(s) {
           t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
               col("l_quantity"))
             .write.mode("overwrite").option("path", s"$out/li_bucketed")
             .bucketBy(8, "suppkey").sortBy("suppkey")
             .format("parquet").saveAsTable("graft_li_bucketed")
-        }
-        val suppW = Future {
+        } {
           t(s, dir, "supplier").select(col("s_suppkey").as("suppkey"),
               col("s_name"))
             .write.mode("overwrite").option("path", s"$out/supp_bucketed")
             .bucketBy(8, "suppkey").sortBy("suppkey")
             .format("parquet").saveAsTable("graft_supp_bucketed")
         }
-        Await.result(liW, Duration.Inf)
-        Await.result(suppW, Duration.Inf)
         s.table("graft_li_bucketed").hint("merge")
           .join(s.table("graft_supp_bucketed"), "suppkey")
           .groupBy("s_name")

@@ -1995,27 +1995,21 @@ object Dedup {
       // r21 (guide §2.6): the two table writes are independent — one
       // reads cached shingles, one derives signatures from the same
       // cache — so they overlap from two driver threads; each write's
-      // tail backfills the other's idle executors. Either failure
-      // propagates (Await rethrows) and the lease still covers both.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val bandsW = Future {
+      // tail backfills the other's idle executors. Overlap.both
+      // settles BOTH writes before leaving the lease scope (r22: a
+      // first-await failure must not release the lease with the
+      // sibling's saveAsTable still running — single-writer hazard).
+      try graft.util.Overlap.both(df.sparkSession) {
         lshBands(signaturesFrom(sh, idCol, k), idCol, bands,
             rowsPer(k, bands))
           .select(bandJoinKey.as("bk"), col(idCol))
           .write.mode("overwrite").option("path", s"$path/bands")
           .bucketBy(nb, "bk").sortBy("bk")
           .format("parquet").saveAsTable(s"${tablePrefix}_bands")
-      }
-      val shinglesW = Future {
+      } {
         sh.write.mode("overwrite").option("path", s"$path/shingles")
           .bucketBy(nb, idCol).sortBy(idCol)
           .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
-      }
-      try {
-        Await.result(bandsW, Duration.Inf)
-        Await.result(shinglesW, Duration.Inf)
       } finally sh.unpersist(blocking = false)
     }
   }
@@ -2354,23 +2348,18 @@ object Dedup {
       // r21 (guide §2.6): the two independent table writes overlap
       // from two driver threads — the writeSignatureStore pattern;
       // the hash frame is cheap expressions over a long column, so
-      // there is no shared cache to pre-materialize here
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val bandsW = Future {
+      // there is no shared cache to pre-materialize here. Overlap.both
+      // settles BOTH writes before the lease scope ends (r22).
+      graft.util.Overlap.both(df.sparkSession) {
         imageBandRows(h, idCol)
           .write.mode("overwrite").option("path", s"$path/ibands")
           .bucketBy(nb, "bk").sortBy("bk")
           .format("parquet").saveAsTable(s"${tablePrefix}_ibands")
-      }
-      val hashesW = Future {
+      } {
         h.write.mode("overwrite").option("path", s"$path/ihashes")
           .bucketBy(nb, idCol).sortBy(idCol)
           .format("parquet").saveAsTable(s"${tablePrefix}_ihashes")
       }
-      Await.result(bandsW, Duration.Inf)
-      Await.result(hashesW, Duration.Inf)
     }
   }
 

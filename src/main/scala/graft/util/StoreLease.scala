@@ -49,6 +49,13 @@ object StoreLease {
   val TtlConf = "spark.graft.store.leaseTtlMs"
   val DefaultTtlMs: Long = 30L * 60 * 1000
 
+  /** Grace budget for an EMPTY-but-present lease file (a competing
+    * writer caught inside tryCreate's create→payload gap): probe for
+    * this long before judging it a torn write and entering the break
+    * path. A live writer stuck longer than this between creating the
+    * file and writing ~100 bytes is indistinguishable from a crash. */
+  private val EmptyGraceMs: Long = 10000L
+
   /** An acquired lease: the marker path plus this writer's token. */
   final case class Lease(path: Path, token: String)
 
@@ -248,13 +255,20 @@ object StoreLease {
       val ttl = ttlMs(spark)
       // a JUST-created lease is briefly empty (tryCreate's
       // create→payload gap) and empty content judges infinitely
-      // stale — give an empty-but-present file ONE short grace
-      // re-probe so a probe landing in that instant degrades to a
-      // plain refuse (availability) instead of entering the break
-      // path against a live writer
-      if (readHolder(fs, leasePath).isEmpty &&
-          leaseAgeMs(fs, leasePath).isDefined) {
-        Thread.sleep(200)
+      // stale — grace-probe an empty-but-present file until either
+      // the payload lands (→ the normal fresh check refuses) or the
+      // bounded budget runs out (→ it is a torn write from a crashed
+      // writer; the break path below heals it). r21 used one 200 ms
+      // probe; under a loaded JVM a GC pause can stretch the
+      // create→payload gap past that, sending a second writer into
+      // the break path against a LIVE writer (the r21 driver-run
+      // StoreLeaseSpec flake). The budget only burns when the file is
+      // actually empty, so healthy refusals pay nothing.
+      val graceDeadline = System.currentTimeMillis() + EmptyGraceMs
+      while (readHolder(fs, leasePath).isEmpty &&
+             leaseAgeMs(fs, leasePath).isDefined &&
+             System.currentTimeMillis() < graceDeadline) {
+        Thread.sleep(100)
       }
       if (leaseAgeMs(fs, leasePath).exists(_ <= ttl)) refuse()
       log.warn(
