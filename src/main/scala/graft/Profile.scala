@@ -57,10 +57,12 @@ object Profile {
     val byId = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val d = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .getOrElse("")
-        val j = Job(e.jobId, d, e.time)
+        val p = Option(e.properties)
+        def prop(k: String) = p.flatMap(x => Option(x.getProperty(k)))
+        val d = prop("spark.sql.execution.id").map(i => s"ex$i ").getOrElse("") +
+          prop("spark.job.description").orElse(prop("callSite.short"))
+            .getOrElse("")
+        val j = Job(e.jobId, s"[${e.stageInfos.size} st] $d", e.time)
         jobs.add(j); byId.put(e.jobId, j)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -81,9 +83,11 @@ object Profile {
       val js = jobs.toArray(Array.empty[Job]).sortBy(_.id)
       println(s"== $name: ${js.length} jobs, " +
         f"$sec%.2f s (recorded run)")
+      val base = js.headOption.map(_.start).getOrElse(0L)
       js.foreach { j =>
         val ms = if (j.end >= 0) j.end - j.start else -1L
-        println(f"   job ${j.id}%4d  $ms%6d ms  ${j.desc.take(110)}")
+        val off = j.start - base
+        println(f"   job ${j.id}%4d  +$off%6d  $ms%6d ms  ${j.desc.take(100)}")
       }
       summary(name) = (js.length, sec)
     }

@@ -2543,11 +2543,16 @@ object Queries {
         val e = t(s, dir, "embeddings")
         val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
           "/ivfinc"
+        val sc = s.sparkContext
+        sc.setJobDescription("n11: index build")
         Ann.writeIvfIndex(e.filter(col("vec_id") >= 100),
           "vec_id", "embedding", nCentroids = 8, out)
         val batch = e.filter(col("vec_id") < 100)
+        sc.setJobDescription("n11: absorb")
         Ann.absorbIvfIndex(s, out, batch, "vec_id", "embedding")
+        sc.setJobDescription("n11: absorb replay")
         Ann.absorbIvfIndex(s, out, batch, "vec_id", "embedding") // replay
+        sc.setJobDescription(null)
         Ann.ivfTopKFromIndex(s, out, "vec_id", "embedding",
           e.filter(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
           .orderBy(desc("cos_sim"), col("vec_id"))
@@ -3790,6 +3795,8 @@ object Queries {
     QueryDef("q8_targeted_build",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        val sc = s.sparkContext
+        sc.setJobDescription("q8: DSIR select checkpoint")
         val selected = Dsir.select(docs, "doc_id", "text", "source",
           targetSrc = "src0", buckets = 1024, k = 200)
           .select("doc_id").localCheckpoint() // 200 ids; see q4 on stages
@@ -3797,14 +3804,17 @@ object Queries {
         // and the manifest's n_toks both read the array
         val withToks = selected.join(docs, "doc_id")
           .withColumn("__toks", CaptionStats.tokens(col("text")))
+        sc.setJobDescription("q8: decontaminate + manifest")
         val clean = Dedup.decontaminate(withToks,
           docs.filter(col("source") === "src0"), "doc_id", "text",
           shingleN = 5, corpusTokensCol = Some("__toks"))
-        graft.analytics.Layout.shardManifest(
+        val out = graft.analytics.Layout.shardManifest(
           clean.select(col("doc_id"), col("text"),
             size(col("__toks")).cast("long").as("n_toks")),
           "doc_id", "text", "n_toks", nShards = 4)
           .orderBy("shard")
+        sc.setJobDescription(null)
+        out
       },
       Some {
         val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []
@@ -4449,9 +4459,14 @@ object Queries {
         // views, never a re-split. dropDupSpans re-emits the
         // POST-EXCISION array (keepToksCol), so stages after the
         // rebuild stay on the threaded contract too.
+        // stage labels (guide §1.5) so the UI/Profile attribute each
+        // checkpoint's jobs to its pipeline stage
+        val sc = s.sparkContext
+        sc.setJobDescription("q4: c4 + exact-dedup checkpoint")
         val exact = Dedup.dropExactDups(cleaned, "doc_id", "text")
           .withColumn("__toks", CaptionStats.tokens(col("text")))
           .localCheckpoint()
+        sc.setJobDescription("q4: near-dedup keep-best checkpoint")
         val near = Dedup.dropNearDupsKeepBest(
             exact.withColumn("__len", length(col("text"))),
             "doc_id", "text", "__len", threshold = 0.5,
@@ -4464,19 +4479,23 @@ object Queries {
           .select(col("doc_id"), col("text_kept").as("text"),
             col("__toks"))
           .join(near.select("doc_id", "source"), "doc_id")
+        sc.setJobDescription("q4: dup-spans + decontaminate checkpoint")
         val corpus = Dedup.decontaminate(spanned,
           d.filter(col("source") === "src0"), "doc_id", "text",
           corpusTokensCol = Some("__toks"))
           .localCheckpoint()
+        sc.setJobDescription("q4: surprisal + mixture")
         val scored = TextAnalysis.unigramSurprisal(corpus, "doc_id",
           "text", tokensCol = Some("__toks"))
         val withW = corpus.select("doc_id", "source")
           .join(scored.select("doc_id", "n_toks", "mean_bits"), "doc_id")
-        Mixture.mix(withW, "doc_id", "source", "n_toks",
+        val out = Mixture.mix(withW, "doc_id", "source", "n_toks",
           Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
           budget = 2000L)
           .select("doc_id", "source", "n_toks", "mean_bits")
           .orderBy("doc_id")
+        sc.setJobDescription(null)
+        out
       },
       Some {
         val five = """list_distinct(CASE WHEN len(toks) < 5 THEN []

@@ -334,24 +334,81 @@ object Ann {
 
   /** Assignment against a given (broadcast) centroid table. The corpus
     * vector's norm is computed once per row (not once per centroid), and
-    * the centroid norm rides in the broadcast — the cosine per
+    * the centroid norms ride in the broadcast — the cosine per
     * (row × centroid) is a single dot product. Same value as
-    * `cosine(vec, ce)`: identical dot order and `na * nb` grouping. */
+    * `cosine(vec, ce)`: identical dot order and `na * nb` grouping.
+    *
+    * MAP-ONLY (r22, guide §2.4): the centroid table (tiny by contract)
+    * is collected once and unrolled into per-centroid literal cosine
+    * expressions; each corpus row picks its argmax cell with a single
+    * codegen'd `array_max` over (cosine, reversed-position, cid)
+    * structs — no crossJoin row multiplication, no per-id Exchange,
+    * no Window. The pre-r22 shape shuffled corpus × nCentroids rows
+    * by id to run `row_number()` per doc; at 100 TB that was the only
+    * wide stage of the whole IVF family. The struct ordering mirrors
+    * the Window's exact order (`desc_nulls_last(__cs), asc(cid)`,
+    * keep-first-on-tie) including NaN-greatest and null-cosine-last,
+    * so assignment is bit-identical (AnnSpec pins argmax ≡ window on
+    * adversarial cosines). Note the centroid frame now executes (one
+    * bounded collect) at CALL time — the scoreAgainst/ivfTopKFromIndex
+    * eager-literal discipline. */
   def ivfAssignTo(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = graft.util.Partitioning.spread(corpus)
+    // centroid tables are tiny by contract (nCentroids rows) — fold
+    // them into the plan as literals (the m16/scoreAgainst literal-map
+    // discipline), cid-ascending so the tiebreak below is positional
+    val rows = centroids.select(col("cid"), col("__ce"), col("__cn"))
+      .orderBy(col("cid")).collect()
+    assignArgmax(corpus, idCol, vecCol, rows,
+      centroids.schema("cid").dataType, centroids.schema("__ce").dataType)
+  }
+
+  /** The literal-unrolled argmax over an already-collected,
+    * cid-ascending centroid row set — shared by [[ivfAssignTo]] and
+    * [[absorbIvfIndex]] (which collects the persisted centroid table
+    * once for both the dimension guard and the assignment). */
+  private def assignArgmax(corpus: DataFrame, idCol: String,
+                           vecCol: String,
+                           rows: Array[org.apache.spark.sql.Row],
+                           cidType: org.apache.spark.sql.types.DataType,
+                           ceType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.Bridge
+    val n = rows.length
+    if (n == 0) {
+      // the crossJoin+Window form emitted zero rows against an empty
+      // centroid table; preserve that (schema included)
+      return corpus
+        .select(col(idCol), col(vecCol),
+          Bridge.column(Literal.create(null, cidType)).as("cid"))
+        .where(lit(false))
+    }
+    val withN = graft.util.Partitioning.spread(corpus)
       .withColumn("__n", l2Norm(col(vecCol)))
-      .crossJoin(centroids)
-      .withColumn("__cs",
-        when(col("__n") === 0.0 || col("__cn") === 0.0, 0.0)
-          .otherwise(dot(col(vecCol), col("__ce")) /
-            (col("__n") * col("__cn"))))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(desc("__cs"), col("cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid"))
+    // one struct per centroid: (cosine, reversed position, cid). The
+    // Spark struct ordering of array_max reproduces the old Window
+    // order `desc_nulls_last(__cs), asc(cid)` exactly: greatest cosine
+    // wins with NaN greatest and null-cosine smallest, and on cosine
+    // ties the greatest REVERSED position = the smallest cid (`__ri`
+    // values are distinct, so the cid field is never consulted — it
+    // only rides along as the payload).
+    val entries = rows.zipWithIndex.map { case (r, i) =>
+      val ce = Bridge.column(Literal.create(r.get(1), ceType))
+      val cn = lit(r.getDouble(2))
+      val s = when(col("__n") === 0.0 || cn === 0.0, 0.0)
+        .otherwise(dot(col(vecCol), ce) / (col("__n") * cn))
+      struct(s.as("__cs"), lit(n - 1 - i).as("__ri"),
+        Bridge.column(Literal.create(r.get(0), cidType)).as("cid"))
+    }
+    // array_max of a non-empty array of non-null structs is total —
+    // no filter needed; everything codegens (the r22 rewrite of the
+    // crossJoin×Window shape, guide §2.4: assignment had the only
+    // per-id Exchange of the IVF family; an interpreted HOF fold was
+    // tried first and measured 10-25× slower than codegen — keep the
+    // argmax in codegen-able built-ins)
+    withN.withColumn("__best", array_max(array(entries: _*)))
+      .select(col(idCol), col(vecCol), col("__best.cid").as("cid"))
   }
 
   /** IVF top-k: probe the query's `nProbe` nearest cells, brute-force
@@ -477,28 +534,44 @@ object Ann {
                      path: String, batch: DataFrame,
                      idCol: String, vecCol: String,
                      idempotent: Boolean = true): Unit = {
-    val (centroids, dim) = indexCentroids(spark, path)
-    if (batch.isEmpty) return // empty batch: a no-op, not an error
+    // ONE bounded collect serves both the dimension guard and the
+    // literal-unrolled assignment (r22 — previously the dim check and
+    // the assignment materialized the same tiny table separately)
+    val cdf = spark.read.parquet(s"$path/centroids")
+    val rows = cdf.select(col("cid"), col("__ce"), col("__cn"))
+      .orderBy(col("cid")).collect()
+    val dims = rows.map(_.getAs[scala.collection.Seq[_]](1).size).distinct
+    require(dims.length == 1, s"$path/centroids is not a writeIvfIndex " +
+      s"centroid table (vector dims ${dims.mkString(",")})")
+    val dim = dims.head
     StoreLease.withLease(spark, StoreLease.forDir(path),
       "absorbIvfIndex") { lease =>
       // before the append, even when idempotent=false; our own lease
       // lets recovery proceed (it is foreign leases that block a heal)
       healCells(spark, path, Some(lease))
       val guarded = guardVecDim(batch, vecCol, dim, s"index at $path")
-      val assigned = ivfAssignTo(guarded, idCol, vecCol, centroids)
+      val assigned = assignArgmax(guarded, idCol, vecCol, rows,
+        cdf.schema("cid").dataType, cdf.schema("__ce").dataType)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val fresh =
+        val fresh: Option[DataFrame] =
           if (idempotent) {
-            // bounded by the centroid count — cells form the cid domain
+            // bounded by the centroid count — cells form the cid domain.
+            // This collect doubles as the emptiness probe (r22: the
+            // former separate batch.isEmpty job), so an empty batch is
+            // a no-op without its own driver job.
             val touched = assigned.select("cid").distinct().collect()
               .map(_.get(0))
-            val existing = openCells(spark, path, Some(lease))
-              .filter(col("cid").isin(touched: _*)).select(col(idCol))
-            assigned.join(existing, Seq(idCol), "left_anti")
-          } else assigned
-        fresh.write.mode("append").partitionBy("cid")
-          .parquet(s"$path/cells")
+            if (touched.isEmpty) None // empty batch: a no-op
+            else {
+              val existing = openCells(spark, path, Some(lease))
+                .filter(col("cid").isin(touched: _*)).select(col(idCol))
+              Some(assigned.join(existing, Seq(idCol), "left_anti"))
+            }
+          } else if (assigned.isEmpty) None // no-op, not an error
+          else Some(assigned)
+        fresh.foreach(_.write.mode("append").partitionBy("cid")
+          .parquet(s"$path/cells"))
       } finally assigned.unpersist(blocking = false)
     }
   }

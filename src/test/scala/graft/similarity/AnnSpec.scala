@@ -109,6 +109,55 @@ class AnnSpec extends SparkSpec {
       maxBucket = 5).count() shouldBe 0L
   }
 
+  test("ivfAssignTo map-only fold equals the window argmax on " +
+    "adversarial cosines: ties, zero norms, NaN, Inf, null vectors, " +
+    "plan is Exchange-free") {
+    import org.apache.spark.sql.expressions.Window
+    val nan = Float.NaN
+    val inf = Float.PositiveInfinity
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),           // plain: nearest = c0
+      (2L, Array(0f, 1f, 0f)),           // plain: nearest = c1
+      (3L, Array(1f, 1f, 0f)),           // between c0/c1
+      (4L, Array(0f, 0f, 0f)),           // zero norm: cs=0 everywhere, tie
+      (5L, Array(nan, 1f, 0f)),          // NaN cosine against every cell
+      (6L, Array(inf, 1f, 0f)),          // Inf arithmetic
+      (7L, null.asInstanceOf[Array[Float]]), // null vec (unguarded path)
+      (8L, Array(-1f, 0f, 0f))           // negative cosines only
+    ).toDF("vec_id", "embedding")
+    // duplicate centroids (10 ≡ 11) force exact cs ties; centroid 13
+    // carries a NaN component (NaN sorts GREATEST in the window order)
+    val cents = Seq(
+      (10L, Array(1f, 0f, 0f)), (11L, Array(1f, 0f, 0f)),
+      (12L, Array(0f, 1f, 0f)), (13L, Array(nan, 0f, 1f))
+    ).toDF("cid", "__ce").withColumn("__cn", Ann.l2Norm(col("__ce")))
+    def reference(): Array[(Long, Long)] = {
+      val scored = corpus
+        .withColumn("__n", Ann.l2Norm(col("embedding")))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cs",
+          when(col("__n") === 0.0 || col("__cn") === 0.0, 0.0)
+            .otherwise(Ann.dot(col("embedding"), col("__ce")) /
+              (col("__n") * col("__cn"))))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("__cs"), col("cid"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    val fold = Ann.ivfAssignTo(corpus, "vec_id", "embedding", cents)
+    fold.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe reference()
+    // the point of the rewrite: no Exchange anywhere in the assignment
+    assert(!fold.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    // empty centroid table assigns nothing (the crossJoin+Window
+    // behavior)
+    Ann.ivfAssignTo(corpus, "vec_id", "embedding",
+      cents.filter(col("cid") < 0)).count() shouldBe 0L
+  }
+
   test("IVF: probes restrict search, self always found, subset of brute") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)
