@@ -3797,20 +3797,36 @@ object Queries {
         val docs = t(s, dir, "documents")
         val sc = s.sparkContext
         sc.setJobDescription("q8: DSIR select checkpoint")
-        val selected = Dsir.select(docs, "doc_id", "text", "source",
-          targetSrc = "src0", buckets = 1024, k = 200)
-          .select("doc_id").localCheckpoint() // 200 ids; see q4 on stages
+        // r22 (guide §2.6): the decontamination benchmark side (src0
+        // shingles + driver Bloom) is independent of DSIR selection —
+        // build both concurrently; the bloom jobs backfill the DSIR
+        // stage's straggler tails
+        val (selected, bench) = graft.util.Overlap.both(s) {
+          Dsir.select(docs, "doc_id", "text", "source",
+            targetSrc = "src0", buckets = 1024, k = 200)
+            .select("doc_id").localCheckpoint() // 200 ids; see q4
+        } {
+          s.sparkContext.setJobDescription("q8: benchmark bloom build")
+          Dedup.prepareDecontamination(
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            shingleN = 5)
+        }
         // tokenize the 200 selected docs once; decontamination shingles
         // and the manifest's n_toks both read the array
         val withToks = selected.join(docs, "doc_id")
           .withColumn("__toks", CaptionStats.tokens(col("text")))
         sc.setJobDescription("q8: decontaminate + manifest")
-        val clean = Dedup.decontaminate(withToks,
-          docs.filter(col("source") === "src0"), "doc_id", "text",
-          shingleN = 5, corpusTokensCol = Some("__toks"))
-        val out = graft.analytics.Layout.shardManifest(
-          clean.select(col("doc_id"), col("text"),
-            size(col("__toks")).cast("long").as("n_toks")),
+        // checkpoint the manifest input: shardManifest's cumsum
+        // subtotal collect executes its input once for the offsets and
+        // the final plan once more — without the boundary the whole
+        // decontaminate chain ran twice (r22, guide §1.2; the q4
+        // mixture boundary, same reason)
+        val clean = Dedup.decontaminateWith(withToks, bench,
+          "doc_id", "text", corpusTokensCol = Some("__toks"))
+          .select(col("doc_id"), col("text"),
+            size(col("__toks")).cast("long").as("n_toks"))
+          .localCheckpoint()
+        val out = graft.analytics.Layout.shardManifest(clean,
           "doc_id", "text", "n_toks", nShards = 4)
           .orderBy("shard")
         sc.setJobDescription(null)
@@ -4467,12 +4483,23 @@ object Queries {
           .withColumn("__toks", CaptionStats.tokens(col("text")))
           .localCheckpoint()
         sc.setJobDescription("q4: near-dedup keep-best checkpoint")
-        val near = Dedup.dropNearDupsKeepBest(
-            exact.withColumn("__len", length(col("text"))),
-            "doc_id", "text", "__len", threshold = 0.5,
-            tokensCol = Some("__toks"))
-          .drop("__len")
-          .localCheckpoint()
+        // r22 (guide §2.6): the decontamination benchmark side (src0
+        // shingle distinct + driver Bloom build) is INDEPENDENT of the
+        // dedup chain — build it concurrently with the near-dedup
+        // checkpoint so its jobs backfill that stage's idle cores
+        // instead of serializing after the span pass
+        val (near, bench) = graft.util.Overlap.both(s) {
+          Dedup.dropNearDupsKeepBest(
+              exact.withColumn("__len", length(col("text"))),
+              "doc_id", "text", "__len", threshold = 0.5,
+              tokensCol = Some("__toks"))
+            .drop("__len")
+            .localCheckpoint()
+        } {
+          s.sparkContext.setJobDescription("q4: benchmark bloom build")
+          Dedup.prepareDecontamination(
+            d.filter(col("source") === "src0"), "doc_id", "text")
+        }
         val spanned = Dedup.dropDupSpans(near, "doc_id", "text",
             n = 8, minDocs = 2,
             tokensCol = Some("__toks"), keepToksCol = Some("__toks"))
@@ -4480,15 +4507,20 @@ object Queries {
             col("__toks"))
           .join(near.select("doc_id", "source"), "doc_id")
         sc.setJobDescription("q4: dup-spans + decontaminate checkpoint")
-        val corpus = Dedup.decontaminate(spanned,
-          d.filter(col("source") === "src0"), "doc_id", "text",
-          corpusTokensCol = Some("__toks"))
+        val corpus = Dedup.decontaminateWith(spanned, bench,
+          "doc_id", "text", corpusTokensCol = Some("__toks"))
           .localCheckpoint()
         sc.setJobDescription("q4: surprisal + mixture")
         val scored = TextAnalysis.unigramSurprisal(corpus, "doc_id",
           "text", tokensCol = Some("__toks"))
+        // checkpoint the scored frame: Mixture.mix's per-source
+        // subtotal collect executes its input once for the offsets and
+        // the final plan executes it again for the window — without
+        // the boundary the whole surprisal aggregate ran twice (r22,
+        // guide §1.2 double evaluation)
         val withW = corpus.select("doc_id", "source")
           .join(scored.select("doc_id", "n_toks", "mean_bits"), "doc_id")
+          .localCheckpoint()
         val out = Mixture.mix(withW, "doc_id", "source", "n_toks",
           Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
           budget = 2000L)

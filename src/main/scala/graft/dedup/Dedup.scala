@@ -840,31 +840,73 @@ object Dedup {
     * NFC-first by default on BOTH sides (see [[nfcKey]]): a benchmark
     * question whose crawl copy differs only in Unicode composition must
     * still collide. */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int = 5,
-                    bloomFpp: Double = 0.01, nfc: Boolean = true,
-                    corpusTokensCol: Option[String] = None): DataFrame = {
+  /** The PREPARED benchmark side of [[decontaminate]]: the cached
+    * shingle-token frame, the Bloom prefilter predicate, the digest
+    * join table, and the shingle parameters they were built with
+    * (carried along so an apply call can never silently mismatch the
+    * prepare call's n-gram family). Obtain via
+    * [[prepareDecontamination]]; consume via [[decontaminateWith]]. */
+  final case class DecontaminationBench private[dedup] (
+      private[dedup] val benchToks: DataFrame,
+      private[dedup] val mightContain: Column => Column,
+      private[dedup] val bench: DataFrame,
+      private[dedup] val shingleN: Int,
+      private[dedup] val nfc: Boolean)
+
+  /** Build [[decontaminate]]'s benchmark side eagerly (persist + count
+    * + driver Bloom build — the expensive driver-blocking prefix) and
+    * return the handle [[decontaminateWith]] consumes. Split out (r22,
+    * guide §2.6) so a pipeline can overlap this build with an
+    * INDEPENDENT earlier stage — in q4/q8 the benchmark Bloom now
+    * builds concurrently with the selection/dedup front instead of
+    * serializing after it. */
+  def prepareDecontamination(benchmark: DataFrame, idCol: String,
+                             textCol: String, shingleN: Int = 5,
+                             bloomFpp: Double = 0.01,
+                             nfc: Boolean = true): DecontaminationBench = {
+    graft.util.OptimizerTuning.tune(benchmark.sparkSession)
+    val (benchToks, mightContain, bench) = decontaminationBenchSide(
+      benchmark, idCol, textCol, shingleN, bloomFpp, nfc)
+    DecontaminationBench(benchToks, mightContain, bench, shingleN, nfc)
+  }
+
+  /** Apply a [[prepareDecontamination]] handle to a corpus — the lazy
+    * half of [[decontaminate]] (same plan, same semantics; the n-gram
+    * family rides in the handle). Releases the handle's build-side
+    * cache before returning, exactly as [[decontaminate]] does — call
+    * once per prepared handle. */
+  def decontaminateWith(corpus: DataFrame, prepared: DecontaminationBench,
+                        idCol: String, textCol: String,
+                        corpusTokensCol: Option[String] = None)
+      : DataFrame = {
     // both sides explode HOF-built shingle arrays — without this the
     // inferred size>0 filter re-tokenizes per element (17× on this query)
     graft.util.OptimizerTuning.tune(corpus.sparkSession)
-    val (benchToks, mightContain, bench) = decontaminationBenchSide(
-      benchmark, idCol, textCol, shingleN, bloomFpp, nfc)
     // corpusTokensCol: tokenize-once threading for the CORPUS side (the
     // 100 TB side); the benchmark side is small by definition and keeps
     // its own derivation
-    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN, nfc,
-      corpusTokensCol)
+    val corpusSh = shingleTable(corpus, idCol, textCol, prepared.shingleN,
+      prepared.nfc, corpusTokensCol)
       .select(col(idCol), explode(col("__s")).as("token"))
-      .filter(mightContain(col("token")))
+      .filter(prepared.mightContain(col("token")))
       .select(col(idCol), key64(col("token")).as("__bd"))
-    val contaminated = corpusSh.join(bench, Seq("__bd"), "left_semi")
+    val contaminated = corpusSh.join(prepared.bench, Seq("__bd"), "left_semi")
       .select(col(idCol)).distinct()
     val out = corpus.join(contaminated, Seq(idCol), "left_anti")
     // release the build-side cache; the lazy plan recomputes the (small)
     // benchmark side once more when the caller executes
-    benchToks.unpersist(blocking = false)
+    prepared.benchToks.unpersist(blocking = false)
     out
   }
+
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 5,
+                    bloomFpp: Double = 0.01, nfc: Boolean = true,
+                    corpusTokensCol: Option[String] = None): DataFrame =
+    decontaminateWith(corpus,
+      prepareDecontamination(benchmark, idCol, textCol, shingleN,
+        bloomFpp, nfc),
+      idCol, textCol, corpusTokensCol)
 
   /** Per-document contamination REPORT — the measurement half of
     * [[decontaminate]]: before dropping anything, a corpus owner wants
