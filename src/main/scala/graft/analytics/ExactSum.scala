@@ -102,13 +102,27 @@ object ExactSum {
   private val Fast6AbsMax = 8.0e12 // scaled@6 fits a long, 10× headroom
 
   /** Exact decimal-sum of a DOUBLE column, returned as double —
-    * drop-in for `sum(c.cast("decimal(24,6)")).cast("double")`. */
+    * drop-in for `sum(c.cast("decimal(24,6)")).cast("double")`.
+    * GROUP-SIZE LIMIT: see [[dsumScaled]] — exact to ~1.26·10¹²
+    * same-sign max-magnitude fast rows PER GROUP, wrapping silently
+    * past it (the replaced decimal(24,6) sum stayed exact to ~10¹⁵
+    * rows and then errored rather than wrapping). */
   def dsum(c: Column): Column = dsumScaled(c, 24, 6, Fast6AbsMax)
 
   /** Drop-in for `sum(c.cast("decimal($prec,$scale)")).cast("double")`.
     * `absMax` bounds the fast path: |v|·10^scale must stay ≤ 8·10¹⁸
     * (required here); rows beyond it take the exact decimal slow path
-    * (including its ANSI overflow semantics past `prec` digits). */
+    * (including its ANSI overflow semantics past `prec` digits).
+    *
+    * GROUP-SIZE LIMIT (r22, ADVICE): the three long partial sums are
+    * exact only while they fit a long — the top split carries
+    * |l >> 40| ≤ ~7.3·10⁶ per max-magnitude row, so ~1.26·10¹²
+    * same-sign worst-case fast rows per group wrap SILENTLY (typical
+    * magnitudes push the bound far higher, and mixed signs cancel).
+    * The decimal form this replaces stayed exact to ~1.25·10¹⁵ rows
+    * and then nulled/errored instead of wrapping. Above ~10¹² rows
+    * per group (the SCALE.md regime for ungrouped 100 TB sums), use
+    * the plain decimal sum or add an intermediate grouping level. */
   def dsumScaled(c: Column, prec: Int, scale: Int,
                  absMax: Double): Column = {
     require(absMax * math.pow(10, scale) <= 8.1e18,

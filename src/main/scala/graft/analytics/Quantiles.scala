@@ -252,14 +252,19 @@ object Quantiles {
     // group-KEY values the driver-side Seq-equality lookups below
     // cannot key correctly: NaN (Scala NaN != NaN, while Spark's
     // grouping treats NaN = NaN) and binary arrays (reference
-    // equality). Bail to the Window form rather than risk a
-    // driver-side key miss.
+    // equality) — plus (r22, ADVICE) any value `lit()` cannot encode
+    // (struct rows, maps): the isGroup predicates below rebuild keys
+    // as literals, and an unencodable key must bail to the sort form,
+    // not throw 'Unsupported literal type' out of a stats call.
     val badKey = rowsA.exists(r => groupCols.indices.exists { i =>
       r.get(i) match {
+        case null => false
         case d: java.lang.Double => d.isNaN
         case f: java.lang.Float => f.isNaN
         case _: Array[_] => true
-        case _ => false
+        case _: java.lang.Number | _: String | _: java.lang.Boolean =>
+          false
+        case other => scala.util.Try(lit(other)).isFailure
       }
     })
     if (badKey) return None

@@ -487,7 +487,13 @@ object TextAnalysis {
     // (r21 note: base feeds three subtrees that each re-tokenize; an
     // eager localCheckpoint was tried and REVERTED — the redundant
     // stages run concurrently on idle cores, so the boundary only
-    // serialized them: 1.8 s -> 2.0 s at sf0.1.)
+    // serialized them: 1.8 s -> 2.0 s at sf0.1.
+    // r22 re-adjudication with ≥3-run A/B, min-of-6 at sf0.1:
+    // plain 1.96 s; spread+localCheckpoint 2.40 s (worse — the
+    // boundary still serializes); spread+lazy persist 1.87 s (inside
+    // the noise band, and it pins an O(corpus tokens) cache for the
+    // result's lifetime). All reverted: the concurrent redundant
+    // subtrees remain the cheapest schedule on this shape.)
     val base = df // (r21: spread tried and reverted — see unigramSurprisal)
       .filter(col(textCol).rlike("\\S"))
       .select(col(idCol),
