@@ -1484,11 +1484,16 @@ object Queries {
     // identically-parenthesized IEEE expression in both engines.
     QueryDef("m18_kmv_overlap",
       (s, dir) => {
-        // (r21: a spread() before the shingle explode was A/B-measured
-        // SLOWER — 1.86→2.05 s — and reverted; the KMV bottom-k agg
-        // isn't map-compute-bound here)
-        val items = t(s, dir, "documents").select(col("source"),
-          explode(Dedup.shingles(col("text"), 5)).as("sh"))
+        // r22: spread BEFORE the shingle explode. The r21 1×-only A/B
+        // (1.86→2.05 s) reverted this, but the ×10 slope run showed why
+        // that was wrong: the scan+shingle+hash map stage ran as ONE
+        // 6.2 s single-core job (slope ×5.7). The per-source bottom-k
+        // partial agg multiplies to only 32·k·sources rows — trivial —
+        // so the exchange cost is a small 1× constant for a ~5 s ×10
+        // win; at real scale spread() is a no-op (width-gated).
+        val items = graft.util.Partitioning.spread(t(s, dir, "documents"))
+          .select(col("source"),
+            explode(Dedup.shingles(col("text"), 5)).as("sh"))
         // The sketch IS the compressed artifact (k rows per source) —
         // materialize it once so the pairwise report's many references
         // re-read kilobytes, never the corpus scan that built them.
@@ -1510,8 +1515,10 @@ object Queries {
     QueryDef("m19_kmv_incremental",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        def items(df: DataFrame) = df.select(col("source"),
-          explode(Dedup.shingles(col("text"), 5)).as("sh"))
+        // spread before the explode — see m18 (r22 slope fix, ×4.3)
+        def items(df: DataFrame) =
+          graft.util.Partitioning.spread(df).select(col("source"),
+            explode(Dedup.shingles(col("text"), 5)).as("sh"))
         val out = s"/tmp/graft_sinks/${new java.io.File(dir).getName}" +
           "/kmvstore"
         Sketches.writeKmvStore(items(docs.filter(col("doc_id") < 250)),

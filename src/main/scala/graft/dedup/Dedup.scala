@@ -1130,10 +1130,18 @@ object Dedup {
     }
     // when threaded, the length gate runs on the SOURCE array (transform
     // is length-preserving) so the pushed filter never re-runs the lambda
+    // r22: spread the source — the per-window md5 map stage otherwise
+    // runs on a single-partition small-file scan (measured at ×10: one
+    // 9.8 s ONE-CORE job, the suite's steepest slope at ×7.0). The
+    // downstream aggregate keys are (__h, doc)-scoped, so repartitioning
+    // multiplies no map-side partials (the Dsir.features precedent) —
+    // unlike the vocabulary-collapsing pipelines where spread was
+    // A/B'd negative (see unigramSurprisal).
+    val src = graft.util.Partitioning.spread(df)
     val gated = tokensCol match {
-      case Some(tc) => df.filter(size(col(tc)) >= n)
+      case Some(tc) => src.filter(size(col(tc)) >= n)
         .select(col(idCol), toks.as("__toks"))
-      case None => df.select(col(idCol), toks.as("__toks"))
+      case None => src.select(col(idCol), toks.as("__toks"))
         .filter(size(col("__toks")) >= n)
     }
     val winCounts = gated

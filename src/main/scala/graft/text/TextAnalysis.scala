@@ -484,20 +484,24 @@ object TextAnalysis {
     * Output: (idCol, n_toks, total_bits, mean_bits). */
   def bigramSurprisal(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    // (r21 note: base feeds three subtrees that each re-tokenize; an
-    // eager localCheckpoint was tried and REVERTED — the redundant
-    // stages run concurrently on idle cores, so the boundary only
-    // serialized them: 1.8 s -> 2.0 s at sf0.1.
-    // r22 re-adjudication with ≥3-run A/B, min-of-6 at sf0.1:
-    // plain 1.96 s; spread+localCheckpoint 2.40 s (worse — the
-    // boundary still serializes); spread+lazy persist 1.87 s (inside
-    // the noise band, and it pins an O(corpus tokens) cache for the
-    // result's lifetime). All reverted: the concurrent redundant
-    // subtrees remain the cheapest schedule on this shape.)
-    val base = df // (r21: spread tried and reverted — see unigramSurprisal)
-      .filter(col(textCol).rlike("\\S"))
+    // base feeds three subtrees that each re-tokenize. The 1×-only
+    // A/Bs kept the plain form (r21: eager LC 1.8→2.0 s; r22 min-of-6:
+    // plain 1.96 / spread+LC 2.40 / spread+persist 1.87 s — all within
+    // noise or worse), but the r22 ×10 slope run showed the plain
+    // shape's cliff: the three redundant tokenizes run as three
+    // CONCURRENT ~6.3 s ONE-CORE jobs (slope ×5.3) — concurrency
+    // hides the redundancy only while cores outnumber subtrees × the
+    // per-subtree serial cost. spread + localCheckpoint tokenizes
+    // ONCE, 32-way parallel, and the boundary feeds all three
+    // consumers (measured: ×10 12.33 → 5.81 s, 1× 2.31 → 2.20 s —
+    // no 1× cost after all; the earlier "+0.4 s" readings were the
+    // bimodal box). Scale-adaptive by construction: spread() is
+    // width-gated.
+    val base = graft.util.Partitioning.spread(
+        df.filter(col(textCol).rlike("\\S")))
       .select(col(idCol),
         CaptionStats.tokens(lower(col(textCol))).as("__toks"))
+      .localCheckpoint()
     val tk = base.select(col(idCol), explode(col("__toks")).as("tok"))
     val uni = tk.groupBy("tok").agg(count(lit(1)).as("c_u"))
     val tot = uni.agg(sum("c_u").as("total"))
