@@ -446,9 +446,19 @@ object Ann {
                     nCentroids: Int, path: String): Unit =
     StoreLease.withLease(corpus.sparkSession, StoreLease.forDir(path),
       "writeIvfIndex") { _ =>
-      val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids)
-      centroids.write.mode("overwrite").parquet(s"$path/centroids")
-      ivfAssignTo(corpus, idCol, vecCol, centroids)
+      val centDf = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+      // ONE corpus TakeOrdered pass: collect the (tiny) centroid rows,
+      // write them back as a local frame, and hand the same rows to
+      // the literal-unrolled assignment (r22 — previously the parquet
+      // write and the assignment each executed the centroid subtree
+      // over the corpus)
+      val rows = centDf.orderBy(col("cid")).collect()
+      val spark = corpus.sparkSession
+      spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), centDf.schema)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      assignArgmax(corpus, idCol, vecCol, rows,
+        centDf.schema("cid").dataType, centDf.schema("__ce").dataType)
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$path/cells")
     }
