@@ -457,8 +457,16 @@ object Ann {
       spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), centDf.schema)
         .write.mode("overwrite").parquet(s"$path/centroids")
+      // REBALANCE on cid before the partitioned write (guide §6): the
+      // map-only assignment (r22) no longer ends in an AQE-coalesced
+      // exchange, so each of the N map tasks would open a file in
+      // every cid directory — N×K tiny files that every later probe
+      // pays to list and open. The rebalance exchange is AQE-sized:
+      // locally it coalesces to ~one file per cell; at scale it
+      // splits oversized cells to the advisory partition size.
       assignArgmax(corpus, idCol, vecCol, rows,
         centDf.schema("cid").dataType, centDf.schema("__ce").dataType)
+        .hint("rebalance", col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$path/cells")
     }
@@ -580,7 +588,8 @@ object Ann {
             }
           } else if (assigned.isEmpty) None // no-op, not an error
           else Some(assigned)
-        fresh.foreach(_.write.mode("append").partitionBy("cid")
+        fresh.foreach(_.hint("rebalance", col("cid"))
+          .write.mode("append").partitionBy("cid")
           .parquet(s"$path/cells"))
       } finally assigned.unpersist(blocking = false)
     }
